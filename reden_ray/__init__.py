@@ -1,0 +1,22 @@
+"""reden_ray — a Ray-Data-native knowledge-graph-construction engine.
+
+Re-expresses the semantics of cvbrandoe/REDEN (graph-based named-entity
+disambiguation and Linked-Data linking over annotated text corpora;
+reference at /root/reference) as a streaming DAG of ``ray.data.Dataset``
+transforms over zero-copy Arrow batches:
+
+    pages (url, warc_ts, html, text, lang)
+      -> extract_text          (map_batches, byte-identical per url)
+      -> split_contexts        (flat map: page -> context rows)
+      -> detect_mentions       (flat map: context -> mention rows)
+      -> candidates            (normalized-alias dictionary lookup; broadcast
+                                or bucketed hash join)
+      -> adjacency attach      (RDF neighborhoods; broadcast index or
+                                sharded actor pool)
+      -> per-context fuse/prune/centrality/choose   (groupby.map_groups)
+      -> links + (subj, pred, obj) triples, written as partitioned Parquet
+
+The package never calls ``ray.init``; callers own the Ray session.
+"""
+
+__version__ = "0.1.0"

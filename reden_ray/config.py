@@ -1,0 +1,55 @@
+"""Pipeline configuration.
+
+Mirrors the reference's ``config/*.properties`` surface
+(/root/reference/config/config-authors-bnf.properties; loaded at
+/root/reference/src/fr/lip6/reden/MainNELApp.java:104-123) as a frozen
+dataclass. Each field's doc comment cites the property it re-expresses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class LinkerConfig:
+    """Knobs of the NEL/KG-construction pipeline.
+
+    Reference properties (config-authors-bnf.properties):
+      - ``annotationTag`` (line 4)    -> ``ne_types`` (ordered; later types
+        overwrite earlier ones for homonym surfaces, MainNELApp.java:255-256)
+      - ``baseURIs``                  -> ``base_uri_filter`` (substring test)
+      - ``sameAsproperty`` (line ~71) -> ``same_as_property``
+      - ``crawlSameAs``               -> ``crawl_same_as`` ("ALL" or a prefix)
+      - ``preferedURI`` (line 39)     -> ``preferred_uri`` ("ALL" or substring)
+      - ``centralityMeasure`` (line 24) -> ``measure``
+      - ``-relsFile=`` CLI arg        -> ``rel_weights`` (pred -> weight,
+        default 1.0; GraphHandlerNEL.java:236-249)
+    """
+
+    ne_types: tuple[str, ...] = ("PER", "LOC")
+    base_uri_filter: str = "http://kb.test/"
+    same_as_property: str = "http://kb.test/sameAs"
+    crawl_same_as: str = "ALL"
+    preferred_uri: str = "ALL"
+    measure: str = "DegreeCentrality"
+    rel_weights: dict[str, float] = field(default_factory=dict)
+    # Lucene search cap: DicoProcessingNEL.java:319 `search(query, 100)`
+    max_candidate_rows: int = 100
+
+    def weight_for(self, pred: str) -> float:
+        return self.rel_weights.get(pred.lower(), 1.0)
+
+
+@dataclass(frozen=True)
+class ExecConfig:
+    """Physical execution knobs (Ray-side only; no reference analogue)."""
+
+    batch_size: int = 4096
+    # actor pool size for stateful stages; (min, max) autoscaling allowed
+    lookup_concurrency: int = 4
+    fuse_concurrency: int = 4
+    # salt modulus for skewed hot keys before wide stages
+    salt_buckets: int = 16
+    # number of hash buckets for the bucketed hash-join fallback
+    join_buckets: int = 32

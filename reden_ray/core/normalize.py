@@ -1,0 +1,50 @@
+"""String normalizers — the join keys of the whole pipeline.
+
+Semantics match the reference (no code copied; behavior verified against
+/root/reference sources):
+
+- ``normalize_mention``: DicoProcessingNEL.replaceNonAlphabeticCharacters
+  (DicoProcessingNEL.java:410-415) — delete whitespace, apostrophes and
+  hyphens, then lowercase.  THE equality key between mention surfaces and
+  dictionary aliases (J2 in SURVEY.md §2.4).
+- ``uri_file_key``: Util.replaceNonAlphabeticCharacters (Util.java:75-80)
+  — same deletions, plus ``/`` -> ``-`` and ``:`` removed, lowercased;
+  the reference uses it for ``.n3`` cache filenames.
+- ``decompose``: Util.decompose (Util.java:88-99) — percent-decode URIs
+  that start with ``http:``; anything else passes through unchanged.
+  This defines VERTEX IDENTITY in the fusion graph, so it must be exact.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import unquote
+
+_MENTION_STRIP = re.compile(r"\s|'|-")
+
+
+def normalize_mention(s: str) -> str:
+    """Delete ``\\s``, ``'``, ``-`` and lowercase (Java ``\\s|'|-`` regex)."""
+    return _MENTION_STRIP.sub("", s).lower()
+
+
+def uri_file_key(s: str) -> str:
+    """Mention normalization plus ``/``->``-`` and ``:`` removal."""
+    return _MENTION_STRIP.sub("", s).replace("/", "-").replace(":", "").lower()
+
+
+def decompose(s: str) -> str:
+    """Percent-decode ``http:``-prefixed URIs (UTF-8); else identity.
+
+    Java's ``URLDecoder.decode`` also turns ``+`` into a space; ``unquote``
+    does not, so handle it explicitly to keep vertex identity aligned.
+    """
+    if s.startswith("http:"):
+        return unquote(s.replace("+", " "), encoding="utf-8")
+    return s
+
+
+def normalize_mention_batch(values: list[str]) -> list[str]:
+    """Vectorized-enough helper for Arrow string columns (see stages)."""
+    sub = _MENTION_STRIP.sub
+    return [sub("", v).lower() for v in values]

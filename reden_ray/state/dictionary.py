@@ -1,0 +1,55 @@
+"""Alias-dictionary index (the Lucene index re-expressed, ST1/S4).
+
+The reference indexes TSV dictionary rows into a Lucene FS index with an
+exact-match ``KeywordAnalyzer`` query on the normalized alias and a
+top-100 hit cap, reopening the index on every query
+(/root/reference/src/fr/lip6/reden/nelinker/DicoProcessingNEL.java:
+192-296 build, :305-339 search).  Here the dictionary is a hash map
+``alias_norm -> [tab-joined uri-group strings]`` built ONCE per actor
+from an Arrow table:
+
+- build cost is amortized across all batches of an actor-pool stage
+  (``__init__``-time, the Ray-idiomatic fix for the reopen-per-query
+  waste);
+- hit order is dictionary-row order (the reference iterates a Java
+  ``HashSet`` — order unspecified; row order is our canonical choice);
+- the 100-row cap applies before string-dedup, like Lucene's
+  ``search(query, 100)`` over per-row docs.
+
+Scale path: at web scale ship the dictionary as Parquet and either
+(a) broadcast it once per node via ``ray.put`` when it fits (few GB), or
+(b) hash-shard ``alias_norm`` across an actor pool and route batches by
+shard (see stages.candidates.ShardedDictionaryPool), or
+(c) skip lookup state entirely and shuffle-join mentions x dictionary on
+``norm`` (stages.joins.hash_join) — preferred at 10^12 docs.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+class DictionaryIndex:
+    """Exact-match alias lookup with reference cap + dedup semantics."""
+
+    def __init__(self, table: pa.Table, max_rows: int = 100):
+        self.max_rows = max_rows
+        self._by_norm: dict[str, list[str]] = {}
+        norms = table.column("alias_norm").to_pylist()
+        groups = table.column("uri_group").to_pylist()
+        by_norm = self._by_norm
+        for norm, group in zip(norms, groups):
+            by_norm.setdefault(norm, []).append("\t".join(group))
+
+    def groups(self, norm: str) -> list[list[str]]:
+        """Candidate URI groups, capped then string-deduped, row order."""
+        rows = self._by_norm.get(norm)
+        if not rows:
+            return []
+        seen: dict[str, None] = {}
+        for joined in rows[: self.max_rows]:
+            seen.setdefault(joined, None)
+        return [j.split("\t") for j in seen]
+
+    def __len__(self) -> int:
+        return len(self._by_norm)

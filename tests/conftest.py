@@ -1,0 +1,33 @@
+"""Shared fixtures. Ray is initialised ONCE per pytest session, lazily —
+only tests that request the ``ray_session`` fixture pay for it."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def small_fixture_dir() -> str:
+    from reden_ray.sources.fixtures import fixture_dir
+
+    return fixture_dir(n_docs=60, n_entities=40, n_topics=6, seed=42)
