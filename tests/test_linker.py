@@ -199,6 +199,7 @@ def test_preferred_uri_substring_selection():
         same_as_property=SAME,
         preferred_uri="http://alt.test/",
     )
+    B4, A4 = "http://kb.test/ent/4", "http://alt.test/ent/4"
     adj = FakeAdj(
         [
             (B1, SAME, A1),
@@ -206,9 +207,18 @@ def test_preferred_uri_substring_selection():
             (A1, REL, "http://obj.test/s2"),
             (B2, SAME, A2),
             (A2, REL, "http://obj.test/s1"),
+            (B4, SAME, A4),
+            (A4, REL, "http://obj.test/s1"),
+            (A4, REL, "http://obj.test/s2"),
         ]
     )
-    mentions = [MentionRow(0, "Hugo", "PER"), MentionRow(1, "Paris", "LOC")]
-    cand = {"Hugo": [[B1, A1], [B2]], "Paris": [[B2]]}
+    mentions = [
+        MentionRow(0, "Hugo", "PER"),
+        MentionRow(1, "Paris", "LOC"),
+        MentionRow(2, "Rouen", "LOC"),
+    ]
+    # B1 (degree 2 after pruning) beats B2 (degree 1); preferred-URI
+    # substring then swaps the winner for its alt.test group member.
+    cand = {"Hugo": [[B1, A1], [B2]], "Paris": [[B2]], "Rouen": [[B4]]}
     res = link_context(mentions, cand, adj, cfg)
     assert {l.mention_id: l.chosen_uris for l in res.links}[0] == [A1]

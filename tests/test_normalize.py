@@ -19,7 +19,7 @@ def test_normalize_idempotent():
 
 
 def test_uri_file_key():
-    assert uri_file_key("http://kb.test/ent/1") == "http-kb.test-ent-1"
+    assert uri_file_key("http://kb.test/ent/1") == "http--kb.test-ent-1"
 
 
 def test_decompose_percent_decoding_only_for_http():
