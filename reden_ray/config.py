@@ -46,9 +46,11 @@ class ExecConfig:
     """Physical execution knobs (Ray-side only; no reference analogue)."""
 
     batch_size: int = 4096
-    # actor pool size for stateful stages; (min, max) autoscaling allowed
-    lookup_concurrency: int = 4
-    fuse_concurrency: int = 4
+    # actor pool sizes for stateful stages: (min, max) AUTOSCALING tuples.
+    # A bare int pins min == max, which can deadlock when several pools
+    # plus task stages contend for a small CPU count — keep min at 1.
+    lookup_concurrency: tuple[int, int] = (1, 4)
+    fuse_concurrency: tuple[int, int] = (1, 8)
     # salt modulus for skewed hot keys before wide stages
     salt_buckets: int = 16
     # number of hash buckets for the bucketed hash-join fallback

@@ -26,16 +26,19 @@ from .normalize import normalize_mention
 
 
 class DictionaryLookup(Protocol):
-    """``groups(norm)`` -> candidate URI groups for a normalized alias,
-    in dictionary-row order, already capped + string-deduped."""
+    """``groups(norm, kind)`` -> candidate URI groups for a normalized
+    alias in the NE-type ``kind``'s dictionary, in dictionary-row order,
+    already capped + string-deduped."""
 
-    def groups(self, norm: str) -> list[list[str]]: ...
+    def groups(self, norm: str, kind: str = "") -> list[list[str]]: ...
 
 
-def candidate_groups_for_surface(surface: str, dictionary: DictionaryLookup) -> list[list[str]]:
+def candidate_groups_for_surface(
+    surface: str, dictionary: DictionaryLookup, kind: str = ""
+) -> list[list[str]]:
     """Unique URI groups for one mention surface, first-seen order."""
     out: list[list[str]] = []
-    for group in dictionary.groups(normalize_mention(surface)):
+    for group in dictionary.groups(normalize_mention(surface), kind):
         if group not in out:
             out.append(group)
     return out
@@ -51,7 +54,7 @@ def build_candidate_map(
         for m in mentions:
             if m.ne_type != ne_type or m.surface in per_type:
                 continue
-            groups = candidate_groups_for_surface(m.surface, dictionary)
+            groups = candidate_groups_for_surface(m.surface, dictionary, ne_type)
             if groups:
                 per_type[m.surface] = groups
         merged.update(per_type)

@@ -1,0 +1,176 @@
+"""The flagship KG-construction pipeline: pages -> links + triples.
+
+Ray-Data re-expression of the reference's NEL entry point
+(MainNELApp mode 1, /root/reference/src/fr/lip6/reden/MainNELApp.java:
+184-361) per SURVEY.md §3.1:
+
+    read_parquet(pages)                       # S1, column-pruned
+      -> map_batches(pages_to_contexts)       # S2 (html dropped here)
+      -> map_batches(contexts_to_mentions)    # M4 + M1
+      -> map_batches(CandidateLookup, ...)    # J2/A1, actor pool
+      -> groupby(url, context_id)
+           .map_groups(ContextLinker, ...)    # J1/J3 + fuse/prune/score/choose
+      -> combined links+triples Dataset       # S7/S8 sinks
+
+SCALE NOTES (10^12 docs, 100 TB):
+- the read prunes to (url, html): ``text``/``lang``/``warc_ts`` never
+  leave storage unless a stage needs them;
+- dictionary + adjacency are BROADCAST side tables (``ray.put`` once;
+  each node's object store holds one copy; actors build their index in
+  ``__init__``).  When a KB outgrows node memory, swap in the
+  shuffle-join variant (stages.joins) for candidates and a hash-sharded
+  actor pool for adjacency — same schemas either side;
+- the only all-to-all exchange is the groupby on (url, context_id) —
+  the minimum possible: the per-context algorithm is a whole-graph
+  computation over exactly that key.  Context groups are intrinsically
+  small (a paragraph's mentions), so no skew salt is needed on the
+  GROUP key; hot-entity skew lives INSIDE the adjacency index (lookup,
+  not shuffle — a famous URI's large neighbor list is read locally,
+  never re-shipped per batch) and in downstream aggregates
+  (pre-aggregated per batch before the small groupby);
+- one execution feeds both outputs: links and triples travel in one
+  combined dataset discriminated by ``record_type`` and are split at
+  write time with ``partition_cols`` (no double execution, no
+  mid-pipeline materialize).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..config import ExecConfig, LinkerConfig
+from ..stages.candidates import CandidateLookup
+from ..stages.extract import contexts_to_mentions, extract_text_batch, pages_to_contexts
+from ..stages.graphstage import ContextLinker
+
+
+def load_rel_weights(rels_table: pa.Table) -> dict[str, float]:
+    """rels.txt analogue: predicate (lowercased) -> weight
+    (GraphHandlerNEL.java:236-249)."""
+    return {
+        p.lower(): w
+        for p, w in zip(
+            rels_table.column("pred").to_pylist(), rels_table.column("weight").to_pylist()
+        )
+    }
+
+
+def mentions_dataset(pages: rd.Dataset, exec_cfg: ExecConfig | None = None) -> rd.Dataset:
+    """pages -> mention rows (stateless, fused by the streaming executor)."""
+    exec_cfg = exec_cfg or ExecConfig()
+    return pages.map_batches(
+        pages_to_contexts, batch_format="pyarrow", batch_size=exec_cfg.batch_size
+    ).map_batches(contexts_to_mentions, batch_format="pyarrow", batch_size=exec_cfg.batch_size)
+
+
+def candidates_dataset(
+    mentions: rd.Dataset,
+    dict_ref,
+    cfg: LinkerConfig,
+    exec_cfg: ExecConfig | None = None,
+) -> rd.Dataset:
+    exec_cfg = exec_cfg or ExecConfig()
+    return mentions.map_batches(
+        CandidateLookup,
+        fn_constructor_args=(dict_ref, cfg),
+        batch_format="pyarrow",
+        batch_size=exec_cfg.batch_size,
+        concurrency=exec_cfg.lookup_concurrency,
+        num_cpus=1,
+    )
+
+
+def linked_dataset(
+    candidates: rd.Dataset,
+    adj_ref,
+    cfg: LinkerConfig,
+    exec_cfg: ExecConfig | None = None,
+) -> rd.Dataset:
+    """Per-context fusion: the combined links+triples dataset."""
+    exec_cfg = exec_cfg or ExecConfig()
+    return candidates.groupby(["url", "context_id"]).map_groups(
+        ContextLinker,
+        fn_constructor_args=(adj_ref, cfg),
+        batch_format="pyarrow",
+        concurrency=exec_cfg.fuse_concurrency,
+        num_cpus=1,
+    )
+
+
+def run_pipeline(
+    pages: rd.Dataset,
+    dictionary: pa.Table,
+    adjacency: pa.Table,
+    cfg: LinkerConfig,
+    exec_cfg: ExecConfig | None = None,
+) -> rd.Dataset:
+    """Wire the full DAG; returns the lazy combined dataset."""
+    dict_ref = ray.put(dictionary)
+    adj_ref = ray.put(adjacency)
+    ments = mentions_dataset(pages, exec_cfg)
+    cands = candidates_dataset(ments, dict_ref, cfg, exec_cfg)
+    return linked_dataset(cands, adj_ref, cfg, exec_cfg)
+
+
+def links_view(combined: rd.Dataset) -> rd.Dataset:
+    """links logical table (filter is a cheap vectorized map)."""
+    return combined.map_batches(
+        lambda t: t.filter(pc.equal(t["record_type"], "link")).select(
+            ["url", "context_id", "route", "mention_id", "surface", "ne_type",
+             "chosen_uris", "score", "method"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def triples_view(combined: rd.Dataset) -> rd.Dataset:
+    """(subj, pred, obj) triples — the reference artifact to P/R-match
+    (the graph dump S8, nelinker/Util.java:32-44)."""
+    return combined.map_batches(
+        lambda t: t.filter(pc.equal(t["record_type"], "triple")).select(
+            ["url", "context_id", "subj", "pred", "obj", "weight"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def verify_text_invariant(pages: rd.Dataset) -> int:
+    """Number of pages whose stored ``text`` differs from
+    ``extract_text(html)`` — must be 0 (BASELINE.json input_hint)."""
+
+    def check(batch: pa.Table) -> pa.Table:
+        batch = extract_text_batch(batch)
+        bad = pc.sum(
+            pc.cast(pc.invert(pc.equal(batch["text"], batch["text_extracted"])), pa.int64())
+        ).as_py() or 0
+        return pa.table({"bad": pa.array([bad], pa.int64())})
+
+    out = pages.map_batches(check, batch_format="pyarrow")
+    return sum(r["bad"] for r in out.take_all())
+
+
+# ---------------------------------------------------------------------------
+# fixture-backed convenience entry points (tests, __ray_entry__, bench)
+# ---------------------------------------------------------------------------
+
+def fixture_config(fixture_dir: str) -> LinkerConfig:
+    rels = pq.read_table(f"{fixture_dir}/rels.parquet")
+    return LinkerConfig(rel_weights=load_rel_weights(rels))
+
+
+def run_fixture_pipeline(
+    fixture_dir: str,
+    exec_cfg: ExecConfig | None = None,
+    cfg: LinkerConfig | None = None,
+) -> rd.Dataset:
+    """Read the synthetic corpus + KB from ``fixture_dir`` and run the
+    flagship pipeline; returns the combined links+triples dataset."""
+    cfg = cfg or fixture_config(fixture_dir)
+    pages = rd.read_parquet(f"{fixture_dir}/pages.parquet", columns=["url", "html"])
+    dictionary = pq.read_table(f"{fixture_dir}/dictionary.parquet")
+    adjacency = pq.read_table(f"{fixture_dir}/adjacency.parquet")
+    return run_pipeline(pages, dictionary, adjacency, cfg, exec_cfg)

@@ -104,6 +104,11 @@ def _entity_pool(n_entities: int, rng: random.Random) -> list[dict]:
     if len(entities) >= 2:
         entities[-2].update({"kind": "PER", "first": "Anatole", "last": "France", "gender": "male"})
         entities[-1].update({"kind": "LOC", "first": "", "last": "France", "gender": "-"})
+    # the hot (skew) entity gets a UNIQUE name: its 100x neighborhood
+    # exercises skew handling without polluting homonym disambiguation
+    entities[0].update(
+        {"kind": "PER", "first": "Napoléon", "last": "Bonaparte", "gender": "male"}
+    )
     return entities
 
 
@@ -119,16 +124,31 @@ def generate_fixtures(
     entities = _entity_pool(n_entities, rng)
 
     # --- URIs, equivalents, dictionary -----------------------------------
+    # homonym-cluster members must live in DIFFERENT topics, else the
+    # fixture is intrinsically ambiguous (two same-name entities with the
+    # same co-occurrence neighborhood): spread topics within each
+    # (kind, lastname) group
+    group_base: dict[tuple[str, str], int] = {}
+    group_seen: dict[tuple[str, str], int] = {}
+    for e in entities:
+        gkey = (e["kind"], e["last"])
+        if gkey not in group_base:
+            group_base[gkey] = rng.randrange(n_topics)
+            group_seen[gkey] = 0
+        e["topic"] = (group_base[gkey] + group_seen[gkey]) % n_topics
+        group_seen[gkey] += 1
+
     dict_rows: list[dict] = []
     for e in entities:
         k = e["eid"]
         e["base"] = f"http://kb.test/ent/{k}"
-        n_equiv = rng.choice([1, 1, 1, 2, 2, 0])  # mostly >=1 so graphs have edges
+        # eid 1 stays equivalent-less on purpose: an isolated vertex that
+        # can only ever score 0 (a real reference failure mode)
+        n_equiv = rng.choice([1, 1, 2, 2, 3]) if k != 1 else 0
         e["equivs"] = [f"http://alt.test/ent/{k}/{j}" for j in range(n_equiv)]
         # which equivalents are visible where: dictionary group vs sameAs stmt
         e["dict_equivs"] = [u for u in e["equivs"] if rng.random() < 0.7]
         e["sameas_equivs"] = [u for u in e["equivs"] if rng.random() < 0.7] or e["equivs"][:1]
-        e["topic"] = rng.randrange(n_topics)
         if e["kind"] == "PER":
             e["aliases"] = make_aliases(e["first"], e["last"], e["gender"])
             e["display"] = normalized_name(e["first"], e["last"], "1800", "1870")
@@ -137,7 +157,7 @@ def generate_fixtures(
             )
         else:
             nm = e["last"]
-            e["aliases"] = [nm, nm.replace("-", " ")]
+            e["aliases"] = sorted({nm, nm.replace("-", " ")})
             e["display"] = nm
             e["canonical_surface"] = nm
         group = [e["base"], *e["dict_equivs"]]
@@ -147,6 +167,7 @@ def generate_fixtures(
                     "alias_norm": normalize_mention(alias),
                     "alias_raw": alias,
                     "name_std": e["display"],
+                    "kind": e["kind"],
                     "uri_group": group,
                 }
             )
@@ -157,6 +178,10 @@ def generate_fixtures(
     def stmt(subj: str, pred: str, obj: str, weight: float = 1.0) -> None:
         adj_rows.append({"subj": subj, "pred": pred, "obj": obj, "weight": weight})
 
+    by_topic_pool: dict[int, list[dict]] = {}
+    for e in entities:
+        by_topic_pool.setdefault(e["topic"], []).append(e)
+
     hot_eid = entities[0]["eid"]
     for e in entities:
         k, t = e["eid"], e["topic"]
@@ -164,16 +189,21 @@ def generate_fixtures(
             stmt(e["base"], SAME_AS, u)
         # decoy: base's own non-sameAs statements must never become edges
         stmt(e["base"], "http://kb.test/p/label", f"label of entity {k}")
-        n_shared = rng.randint(2, 5) if k != hot_eid else 60
-        n_priv = rng.randint(1, 4) if k != hot_eid else 200
+        n_shared = rng.randint(4, 8) if k != hot_eid else 60
+        n_priv = rng.randint(1, 3) if k != hot_eid else 200
         carriers = e["equivs"] or []
-        for i in range(n_shared):
-            obj = f"http://obj.test/topic/{t}/{i}"
-            if carriers:
+        if carriers:
+            # entity-to-entity links among topic mates: THE centrality
+            # signal — a candidate co-mentioned with its real associates
+            # gains colored-to-colored edges rivals can't have
+            mates = [m for m in by_topic_pool[t] if m["eid"] != k][:8]
+            for i, m in enumerate(mates):
+                stmt(carriers[i % len(carriers)], "http://kb.test/p/knows", m["base"])
+            for i in range(n_shared):
+                obj = f"http://obj.test/topic/{t}/{i}"
                 stmt(carriers[i % len(carriers)], f"http://kb.test/p/rel{i % 3}", obj)
-        for i in range(n_priv):
-            obj = f"http://obj.test/priv/{k}/{i}"
-            if carriers:
+            for i in range(n_priv):
+                obj = f"http://obj.test/priv/{k}/{i}"
                 stmt(carriers[i % len(carriers)], "http://kb.test/p/other", obj)
 
     rels_rows = [
@@ -207,18 +237,26 @@ def generate_fixtures(
                 n_m = rng.randint(2, mentions_per_context[1])
             parts: list[str] = []
             mention_id = 0
+            # one referent AND one surface per homonym cluster per context
+            # (a paragraph uses one "Hugo"); prevents rival candidates
+            # surviving pruning via multi-surface support
+            cluster_pick: dict[tuple[str, str], tuple[dict, str]] = {}
             for _ in range(n_m):
                 parts.append(rng.choice(_FILLER) + " ")
                 if rng.random() < 0.05:  # NIL mention: not in dictionary
                     surface, ne_type, gold_uri = rng.choice(nil_surfaces), "LOC", None
                 else:
                     ent = rng.choice(pool)
-                    # bias toward ambiguous aliases so centrality decides
-                    alias_pick = rng.random()
-                    if alias_pick < 0.45:
-                        surface = ent["last"]  # homonym-prone
+                    ckey = (ent["kind"], normalize_mention(ent["last"]))
+                    if ckey in cluster_pick:
+                        ent, surface = cluster_pick[ckey]
                     else:
-                        surface = rng.choice(ent["aliases"])
+                        # bias toward ambiguous aliases so centrality decides
+                        if rng.random() < 0.45:
+                            surface = ent["last"]  # homonym-prone
+                        else:
+                            surface = rng.choice(ent["aliases"])
+                        cluster_pick[ckey] = (ent, surface)
                     ne_type, gold_uri = ent["kind"], ent["base"]
                 parts.append(
                     f'<span class="ne" data-type="{ne_type}">{surface}</span>'
@@ -261,6 +299,7 @@ def generate_fixtures(
             "alias_norm": pa.array([r["alias_norm"] for r in dict_rows], pa.string()),
             "alias_raw": pa.array([r["alias_raw"] for r in dict_rows], pa.string()),
             "name_std": pa.array([r["name_std"] for r in dict_rows], pa.string()),
+            "kind": pa.array([r["kind"] for r in dict_rows], pa.string()),
             "uri_group": pa.array([r["uri_group"] for r in dict_rows], pa.list_(pa.string())),
         }
     )
@@ -305,7 +344,7 @@ def fixture_dir(
     Content-addressed by the generation parameters so tests, the driver's
     ``queries()`` callables and ``bench.py`` share one copy per shape.
     """
-    key = json.dumps([n_docs, n_entities, n_topics, seed, 3])  # bump last int on format change
+    key = json.dumps([n_docs, n_entities, n_topics, seed, 7])  # bump last int on format change
     tag = hashlib.sha1(key.encode()).hexdigest()[:12]
     out = os.path.join(root, f"fx_{tag}")
     done = os.path.join(out, "_SUCCESS")

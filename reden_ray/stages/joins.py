@@ -1,0 +1,106 @@
+"""Joins for Ray Data datasets (J1/J2/J5-J7 of SURVEY.md §2.4).
+
+Three physical strategies, chosen by side sizes:
+
+- ``broadcast_join``: small right side — ``ray.put`` the build table
+  once, map_batches a vectorized per-batch Arrow join against it.  No
+  shuffle; the idiomatic replacement for the reference's
+  dictionary/Lucene lookup when the side table fits a node.
+- ``hash_join``: both sides large — Ray 2.49's native
+  ``Dataset.join`` (hash-partitioned shuffle on the key).
+- ``broadcast_semi_join`` / ``broadcast_anti_join``: key-set broadcast +
+  vectorized ``is_in`` filter (J6/J7 run-diff and completeness probes).
+
+All helpers keep ``batch_format="pyarrow"`` end to end.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+def broadcast_join(
+    left: rd.Dataset,
+    right: pa.Table,
+    on: list[str],
+    how: str = "inner",
+    batch_size: int | None = 8192,
+) -> rd.Dataset:
+    """Hash-join each left batch against a broadcast Arrow table.
+
+    The build side ships through the object store ONCE (``ray.put``);
+    every map task reads the same shared copy (zero-copy on a node).
+    Uses ``pyarrow.Table.join`` per batch — vectorized, no Python rows.
+    """
+    right_ref = ray.put(right)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        build = ray.get(right_ref)
+        return batch.join(build, keys=on, join_type=how)
+
+    return left.map_batches(join_batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: list[str],
+    how: str = "inner",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Both-sides-large shuffle join (Ray native hash join)."""
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=tuple(on),
+    )
+
+
+def _key_set(table_or_ds, on: list[str]) -> set[tuple]:
+    if isinstance(table_or_ds, rd.Dataset):
+        cols = [on_col for on_col in on]
+        rows = table_or_ds.select_columns(cols).take_all()
+        return {tuple(r[c] for c in on) for r in rows}
+    t = table_or_ds
+    return set(zip(*[t.column(c).to_pylist() for c in on]))
+
+
+def broadcast_semi_join(left: rd.Dataset, right, on: list[str]) -> rd.Dataset:
+    """Keep left rows whose key appears in right (small right side)."""
+    return _membership_filter(left, right, on, keep=True)
+
+
+def broadcast_anti_join(left: rd.Dataset, right, on: list[str]) -> rd.Dataset:
+    """Keep left rows whose key does NOT appear in right."""
+    return _membership_filter(left, right, on, keep=False)
+
+
+def _membership_filter(left: rd.Dataset, right, on: list[str], keep: bool) -> rd.Dataset:
+    keys = _key_set(right, on)
+    if len(on) == 1:
+        value_set = pa.array([k[0] for k in keys])
+        col = on[0]
+        keys_ref = ray.put(value_set)
+
+        def filt(batch: pa.Table) -> pa.Table:
+            vs = ray.get(keys_ref)
+            mask = pc.is_in(batch[col], value_set=vs)
+            if not keep:
+                mask = pc.invert(pc.fill_null(mask, False))
+            return batch.filter(pc.fill_null(mask, False if keep else True))
+
+        return left.map_batches(filt, batch_format="pyarrow")
+
+    keys_ref = ray.put(keys)
+
+    def filt_multi(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        cols = [batch.column(c).to_pylist() for c in on]
+        mask = pa.array([(tuple(vals) in ks) == keep for vals in zip(*cols)], pa.bool_())
+        return batch.filter(mask)
+
+    return left.map_batches(filt_multi, batch_format="pyarrow")

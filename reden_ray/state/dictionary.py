@@ -1,25 +1,29 @@
 """Alias-dictionary index (the Lucene index re-expressed, ST1/S4).
 
-The reference indexes TSV dictionary rows into a Lucene FS index with an
+The reference indexes TSV dictionary rows into ONE Lucene FS index PER
+NE TYPE (``indexDir.split(",")[ind]``, MainNELApp.java:249-250) with an
 exact-match ``KeywordAnalyzer`` query on the normalized alias and a
 top-100 hit cap, reopening the index on every query
 (/root/reference/src/fr/lip6/reden/nelinker/DicoProcessingNEL.java:
 192-296 build, :305-339 search).  Here the dictionary is a hash map
-``alias_norm -> [tab-joined uri-group strings]`` built ONCE per actor
-from an Arrow table:
+``(kind, alias_norm) -> [tab-joined uri-group strings]`` built ONCE per
+actor from an Arrow table:
 
 - build cost is amortized across all batches of an actor-pool stage
-  (``__init__``-time, the Ray-idiomatic fix for the reopen-per-query
+  (``__init__``-time — the Ray-idiomatic fix for the reopen-per-query
   waste);
 - hit order is dictionary-row order (the reference iterates a Java
   ``HashSet`` — order unspecified; row order is our canonical choice);
 - the 100-row cap applies before string-dedup, like Lucene's
-  ``search(query, 100)`` over per-row docs.
+  ``search(query, 100)`` over per-row docs;
+- a dictionary without a ``kind`` column serves every NE type (the
+  single-tag configuration).
 
 Scale path: at web scale ship the dictionary as Parquet and either
-(a) broadcast it once per node via ``ray.put`` when it fits (few GB), or
+(a) broadcast it once via ``ray.put`` when it fits a node (few GB; the
+object store shares one copy across that node's workers), or
 (b) hash-shard ``alias_norm`` across an actor pool and route batches by
-shard (see stages.candidates.ShardedDictionaryPool), or
+shard, or
 (c) skip lookup state entirely and shuffle-join mentions x dictionary on
 ``norm`` (stages.joins.hash_join) — preferred at 10^12 docs.
 """
@@ -34,16 +38,20 @@ class DictionaryIndex:
 
     def __init__(self, table: pa.Table, max_rows: int = 100):
         self.max_rows = max_rows
-        self._by_norm: dict[str, list[str]] = {}
+        self.typed = "kind" in table.column_names
+        self._by_key: dict[tuple[str, str], list[str]] = {}
         norms = table.column("alias_norm").to_pylist()
+        kinds = (
+            table.column("kind").to_pylist() if self.typed else [""] * len(norms)
+        )
         groups = table.column("uri_group").to_pylist()
-        by_norm = self._by_norm
-        for norm, group in zip(norms, groups):
-            by_norm.setdefault(norm, []).append("\t".join(group))
+        by_key = self._by_key
+        for kind, norm, group in zip(kinds, norms, groups):
+            by_key.setdefault((kind, norm), []).append("\t".join(group))
 
-    def groups(self, norm: str) -> list[list[str]]:
+    def groups(self, norm: str, kind: str = "") -> list[list[str]]:
         """Candidate URI groups, capped then string-deduped, row order."""
-        rows = self._by_norm.get(norm)
+        rows = self._by_key.get((kind if self.typed else "", norm))
         if not rows:
             return []
         seen: dict[str, None] = {}
@@ -52,4 +60,4 @@ class DictionaryIndex:
         return [j.split("\t") for j in seen]
 
     def __len__(self) -> int:
-        return len(self._by_norm)
+        return len(self._by_key)

@@ -30,4 +30,4 @@ def ray_session():
 def small_fixture_dir() -> str:
     from reden_ray.sources.fixtures import fixture_dir
 
-    return fixture_dir(n_docs=60, n_entities=40, n_topics=6, seed=42)
+    return fixture_dir(n_docs=60, n_entities=60, n_topics=10, seed=42)

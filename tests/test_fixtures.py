@@ -43,4 +43,4 @@ def test_fixture_dir_caches(small_fixture_dir):
     assert t.num_rows == 60
     from reden_ray.sources.fixtures import fixture_dir
 
-    assert fixture_dir(n_docs=60, n_entities=40, n_topics=6, seed=42) == small_fixture_dir
+    assert fixture_dir(n_docs=60, n_entities=60, n_topics=10, seed=42) == small_fixture_dir
