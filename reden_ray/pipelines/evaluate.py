@@ -1,0 +1,154 @@
+"""NEL evaluation vs gold (J5 + A5): the Hachey-et-al. metric suite.
+
+Re-expresses ResultsAndEvaluationNEL (/root/reference/src/fr/lip6/reden/
+nelinker/ResultsAndEvaluationNEL.java: compareResultsWithGold:201-363,
+computeFinalResults:393-557) as Ray aggregates:
+
+- per-mention eval records via a broadcast join links x candidates x gold
+  keyed on (url, context_id, mention_id) — the reference aligns output
+  and gold POSITIONALLY (:240-257); explicit keys are the shuffle-safe
+  equivalent;
+- correctness tests are SUBSTRING containment like the reference
+  (``chosen.contains(goldURI)``, :289-304);
+- the seven headline numbers are single-pass sums over 0/1 indicator
+  columns (associative partial aggregation -> tiny final combine).
+
+Metrics (names follow the reference output):
+  candidate cardinality mean, candidate precision, candidate recall,
+  NIL precision, NIL recall, disambiguation accuracy,
+  overall linking accuracy.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+EVAL_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("context_id", pa.int32()),
+        ("mention_id", pa.int32()),
+        ("surface", pa.string()),
+        ("n_cand_groups", pa.int32()),
+        ("has_gold", pa.bool_()),
+        ("gold_in_cand", pa.bool_()),
+        ("has_choice", pa.bool_()),
+        ("choice_correct", pa.bool_()),
+    ]
+)
+
+
+def eval_records(
+    candidates: rd.Dataset, links: rd.Dataset, gold: pa.Table
+) -> rd.Dataset:
+    """Per-mention EvalInfo analogue.  ``candidates`` is the per-mention
+    candidate dataset (uri_groups column), ``links`` the links view,
+    ``gold`` the (url, context_id, mention_id, gold_uri) table
+    (broadcast — gold sets are tiny next to the corpus)."""
+    gold_ref = ray.put(
+        {
+            (u, c, m): g
+            for u, c, m, g in zip(
+                gold.column("url").to_pylist(),
+                gold.column("context_id").to_pylist(),
+                gold.column("mention_id").to_pylist(),
+                gold.column("gold_uri").to_pylist(),
+            )
+        }
+    )
+    links_small = links.select_columns(["url", "context_id", "mention_id", "chosen_uris"])
+    chosen_ref = ray.put(
+        {
+            (r["url"], r["context_id"], r["mention_id"]): list(r["chosen_uris"] or [])
+            for r in links_small.take_all()
+        }
+    )
+
+    def build(batch: pa.Table) -> pa.Table:
+        gold_map = ray.get(gold_ref)
+        chosen_map = ray.get(chosen_ref)
+        cols: dict[str, list] = {n: [] for n in EVAL_SCHEMA.names}
+        for r in batch.select(
+            ["url", "context_id", "mention_id", "surface", "uri_groups"]
+        ).to_pylist():
+            key = (r["url"], r["context_id"], r["mention_id"])
+            groups = r["uri_groups"] or []
+            gold_uri = gold_map.get(key)
+            chosen = chosen_map.get(key, [])
+            chosen_str = " ".join(chosen)
+            cols["url"].append(r["url"])
+            cols["context_id"].append(r["context_id"])
+            cols["mention_id"].append(r["mention_id"])
+            cols["surface"].append(r["surface"])
+            cols["n_cand_groups"].append(len(groups))
+            cols["has_gold"].append(gold_uri is not None)
+            cols["gold_in_cand"].append(
+                gold_uri is not None
+                and any(gold_uri in uri for g in groups for uri in g)
+            )
+            cols["has_choice"].append(bool(chosen))
+            cols["choice_correct"].append(
+                gold_uri is not None and bool(chosen) and gold_uri in chosen_str
+            )
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], f.type) for f in EVAL_SCHEMA], schema=EVAL_SCHEMA
+        )
+
+    return candidates.map_batches(build, batch_format="pyarrow")
+
+
+def _indicators(batch: pa.Table) -> pa.Table:
+    """0/1 indicator columns for the associative metric sums."""
+    rows = batch.to_pylist()
+    out = {
+        "n_cand_groups": [], "manual": [], "manual_nil": [], "nonempty": [],
+        "nonempty_correct_in": [], "manual_correct_in": [], "empty": [],
+        "empty_and_nil": [], "ambig_correct_in": [], "ambig_correct_choice": [],
+        "good_choice": [], "good_nil": [],
+    }
+    for r in rows:
+        n, has_gold = r["n_cand_groups"], r["has_gold"]
+        gin, has_choice, correct = r["gold_in_cand"], r["has_choice"], r["choice_correct"]
+        out["n_cand_groups"].append(n)
+        out["manual"].append(int(has_gold))
+        out["manual_nil"].append(int(not has_gold))
+        out["nonempty"].append(int(n > 0))
+        out["nonempty_correct_in"].append(int(n > 0 and gin))
+        out["manual_correct_in"].append(int(has_gold and gin))
+        out["empty"].append(int(n == 0))
+        out["empty_and_nil"].append(int(n == 0 and not has_gold))
+        out["ambig_correct_in"].append(int(n > 1 and gin))
+        out["ambig_correct_choice"].append(int(n > 1 and gin and correct))
+        out["good_choice"].append(int(has_gold and correct))
+        out["good_nil"].append(int(n == 0 and not has_gold and not has_choice))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+def compute_metrics(records: rd.Dataset) -> dict[str, float]:
+    """The seven headline metrics (ResultsAndEvaluationNEL.java:393-557)."""
+    ind = records.map_batches(_indicators, batch_format="pyarrow")
+    aggs = [Sum(c, alias_name=c) for c in [
+        "n_cand_groups", "manual", "manual_nil", "nonempty", "nonempty_correct_in",
+        "manual_correct_in", "empty", "empty_and_nil", "ambig_correct_in",
+        "ambig_correct_choice", "good_choice", "good_nil",
+    ]] + [Count(alias_name="n_mentions")]
+    s = ind.aggregate(*aggs)
+
+    def div(a, b):
+        return float(a) / b if b else 0.0
+
+    return {
+        "n_mentions": int(s["n_mentions"]),
+        "n_manual": int(s["manual"]),
+        "n_manual_nil": int(s["manual_nil"]),
+        "candidate_cardinality_mean": div(s["n_cand_groups"], s["n_mentions"]),
+        "candidate_precision": div(s["nonempty_correct_in"], s["nonempty"]),
+        "candidate_recall": div(s["manual_correct_in"], s["manual"]),
+        "nil_precision": div(s["empty_and_nil"], s["empty"]),
+        "nil_recall": div(s["empty_and_nil"], s["manual_nil"]),
+        "disambiguation_accuracy": div(s["ambig_correct_choice"], s["ambig_correct_in"]),
+        "overall_linking_accuracy": div(s["good_choice"] + s["good_nil"], s["n_mentions"]),
+    }

@@ -1,0 +1,168 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_brute_force`` — the exactness baseline: per-batch numpy matmul
+  of the block's vectors against a BROADCAST query matrix (``ray.put``
+  once, read per actor), emitting each block's local top-k, then a tiny
+  global top-k reduce per query.  This is a scan, not a shuffle: cost is
+  one pass over the corpus regardless of the number of queries.
+- ``knn_lsh`` — the scale path: random-hyperplane buckets (shared with
+  stages.dedup.embedding_dup_pairs); only blocks whose bucket matches a
+  query's bucket (within ``probe`` Hamming probes) are scanned.
+
+All math is float32 numpy; cosine = dot of L2-normalized vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_brute_force(
+    embeddings: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_column: str = "vec_id",
+) -> pa.Table:
+    """Exact top-k cosine neighbors per query row.
+
+    Returns (query_id, rank, vec_id, cosine) sorted by (query_id, rank);
+    ties broken by vec_id (deterministic).
+    """
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_column).to_pylist(), dtype=np.int64)
+        vecs = _normalize(np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32))
+        sims = qm @ vecs.T  # (n_q, n_block)
+        kk = min(k, sims.shape[1])
+        qs, vs, ss = [], [], []
+        # per query: top-k of this block only (tiny rows leave the task)
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            qs.extend([qi] * kk)
+            vs.extend(ids[idx].tolist())
+            ss.extend(sims[qi, idx].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qs, pa.int64()),
+                "vec_id": pa.array(vs, pa.int64()),
+                "cosine": pa.array(ss, pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(local_topk, batch_format="pyarrow").take_all()
+    by_q: dict[int, list[tuple[float, int]]] = {}
+    for r in partials:
+        by_q.setdefault(r["query_id"], []).append((r["cosine"], r["vec_id"]))
+    q_col, r_col, v_col, s_col = [], [], [], []
+    for qi in sorted(by_q):
+        best = sorted(by_q[qi], key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (s, v) in enumerate(best):
+            q_col.append(qi)
+            r_col.append(rank)
+            v_col.append(v)
+            s_col.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(q_col, pa.int64()),
+            "rank": pa.array(r_col, pa.int64()),
+            "vec_id": pa.array(v_col, pa.int64()),
+            "cosine": pa.array(s_col, pa.float64()),
+        }
+    )
+
+
+def knn_lsh(
+    embeddings: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_planes: int = 10,
+    seed: int = 11,
+    id_column: str = "vec_id",
+) -> pa.Table:
+    """Approximate top-k: scan only vectors whose hyperplane bucket is
+    within Hamming distance 1 of the query's bucket.  Same output schema
+    as ``knn_brute_force``; recall < 1 by design (documented)."""
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    dim = q.shape[1]
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(dim, n_planes).astype(np.float32)
+    q_buckets = ((q @ planes) > 0).dot(1 << np.arange(n_planes)).astype(np.int64)
+    probe_sets = []
+    for b in q_buckets:
+        probes = {int(b)}
+        for i in range(n_planes):
+            probes.add(int(b) ^ (1 << i))
+        probe_sets.append(probes)
+    wanted = set().union(*probe_sets)
+    planes_ref, q_ref = ray.put(planes), ray.put(q)
+    wanted_ref = ray.put(wanted)
+    probes_ref = ray.put(probe_sets)
+
+    def local(batch: pa.Table) -> pa.Table:
+        pl, qm = ray.get(planes_ref), ray.get(q_ref)
+        want, probes = ray.get(wanted_ref), ray.get(probes_ref)
+        ids = np.asarray(batch.column(id_column).to_pylist(), dtype=np.int64)
+        vecs = _normalize(np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32))
+        buckets = ((vecs @ pl) > 0).dot(1 << np.arange(pl.shape[1])).astype(np.int64)
+        keep = np.isin(buckets, np.fromiter(want, dtype=np.int64))
+        if not keep.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        ids, vecs, buckets = ids[keep], vecs[keep], buckets[keep]
+        sims = qm @ vecs.T
+        qs, vs, ss = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(buckets, np.fromiter(probes[qi], dtype=np.int64))
+            if not mask.any():
+                continue
+            cand = np.where(mask)[0]
+            kk = min(k, len(cand))
+            idx = cand[np.argpartition(-sims[qi, cand], kk - 1)[:kk]]
+            qs.extend([qi] * kk)
+            vs.extend(ids[idx].tolist())
+            ss.extend(sims[qi, idx].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qs, pa.int64()),
+                "vec_id": pa.array(vs, pa.int64()),
+                "cosine": pa.array(ss, pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(local, batch_format="pyarrow").take_all()
+    by_q: dict[int, list[tuple[float, int]]] = {}
+    for r in partials:
+        by_q.setdefault(r["query_id"], []).append((r["cosine"], r["vec_id"]))
+    q_col, r_col, v_col, s_col = [], [], [], []
+    for qi in sorted(by_q):
+        best = sorted(by_q[qi], key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (s, v) in enumerate(best):
+            q_col.append(qi)
+            r_col.append(rank)
+            v_col.append(v)
+            s_col.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(q_col, pa.int64()),
+            "rank": pa.array(r_col, pa.int64()),
+            "vec_id": pa.array(v_col, pa.int64()),
+            "cosine": pa.array(s_col, pa.float64()),
+        }
+    )

@@ -1,0 +1,200 @@
+"""Dedup + similarity + textstats stages over the driver testdata."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_matches_duckdb(docs):
+    import duckdb
+
+    from reden_ray.stages.dedup import exact_dedup
+
+    got = sorted(r["doc_id"] for r in exact_dedup(docs).take_all())
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT min(doc_id) FROM '{SF}/documents.parquet' GROUP BY text"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_minhash_finds_exact_duplicates(docs):
+    import duckdb
+
+    from reden_ray.stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.9)
+    got = {(a, b) for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist())}
+    # every EXACT duplicate pair must be found (jaccard 1.0)
+    dup_groups = duckdb.sql(
+        f"SELECT list(doc_id ORDER BY doc_id) FROM '{SF}/documents.parquet' "
+        "GROUP BY text HAVING count(*) > 1"
+    ).fetchall()
+    for (ids,) in dup_groups:
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert (ids[i], ids[j]) in got
+    # and every reported pair must genuinely be similar (verify exact)
+    if got:
+        import pyarrow.parquet as pq
+
+        from reden_ray.stages.dedup import ngram_jaccard
+
+        texts = dict(
+            zip(
+                pq.read_table(f"{SF}/documents.parquet").column("doc_id").to_pylist(),
+                pq.read_table(f"{SF}/documents.parquet").column("text").to_pylist(),
+            )
+        )
+        ta = [texts[a] for a, _ in got]
+        tb = [texts[b] for _, b in got]
+        js = ngram_jaccard(ta, tb)
+        assert min(js) >= 0.5  # LSH-estimated >=0.9 pairs are truly similar
+
+
+def test_minhash_deterministic(docs):
+    from reden_ray.stages.dedup import MinHasher
+
+    m1, m2 = MinHasher(), MinHasher()
+    s1 = m1.signature("Bonjour le monde, ceci est un document.")
+    s2 = m2.signature("Bonjour le monde, ceci est un document.")
+    assert (s1 == s2).all()
+
+
+def test_simhash_pairs_on_duplicates(docs):
+    import duckdb
+
+    from reden_ray.stages.dedup import simhash_pairs
+
+    pairs = simhash_pairs(docs, max_hamming=3)
+    got = {(a, b) for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist())}
+    dup_groups = duckdb.sql(
+        f"SELECT list(doc_id ORDER BY doc_id) FROM '{SF}/documents.parquet' "
+        "GROUP BY text HAVING count(*) > 1"
+    ).fetchall()
+    for (ids,) in dup_groups:
+        assert (ids[0], ids[1]) in got
+
+
+def test_knn_brute_force_matches_numpy(embeddings):
+    import pyarrow.parquet as pq
+
+    from reden_ray.stages.similarity import knn_brute_force
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    q = vecs[:3]
+    got = knn_brute_force(embeddings, q, k=5)
+    # numpy reference
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    nq = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = nq @ nv.T
+    for qi in range(3):
+        order = sorted(zip(-sims[qi], ids))[:5]
+        want = [int(v) for _, v in order]
+        rows = [
+            r["vec_id"]
+            for r in got.to_pylist()
+            if r["query_id"] == qi
+        ]
+        assert rows == want
+
+
+def test_knn_lsh_recall(embeddings):
+    import pyarrow.parquet as pq
+
+    from reden_ray.stages.similarity import knn_brute_force, knn_lsh
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    q = vecs[:3]
+    exact = knn_brute_force(embeddings, q, k=5).to_pylist()
+    approx = knn_lsh(embeddings, q, k=5).to_pylist()
+    for qi in range(3):
+        want = {r["vec_id"] for r in exact if r["query_id"] == qi}
+        got = {r["vec_id"] for r in approx if r["query_id"] == qi}
+        # each query's own vector is its nearest neighbor; LSH must find it
+        assert exact[0]["rank"] == 0
+        assert len(want & got) >= 1
+
+
+def test_textstats_columns(docs):
+    from reden_ray.stages.textstats import LangId, QualityScore, TokenStats
+
+    out = (
+        docs.limit(50)
+        .map_batches(TokenStats, batch_format="pyarrow", concurrency=1)
+        .map_batches(QualityScore, batch_format="pyarrow", concurrency=1)
+        .map_batches(LangId, batch_format="pyarrow", concurrency=1)
+        .take_all()
+    )
+    for r in out:
+        assert r["n_tokens_ws"] > 0
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["lang_pred"] in ("fr", "en", "de", "other")
+
+
+def test_embedding_dup_pairs_finds_self_dups(ray_session):
+    import ray.data as rd
+
+    from reden_ray.stages.dedup import embedding_dup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 16).astype(np.float32)
+    # rows 40..44 duplicate rows 0..4 with tiny noise
+    dups = base[:5] + rng.randn(5, 16).astype(np.float32) * 0.001
+    all_vecs = np.vstack([base, dups])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(all_vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in all_vecs], pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t)
+    pairs = embedding_dup_pairs(ds, threshold=0.99)
+    got = {(a, b) for a, b in zip(pairs["vec_a"].to_pylist(), pairs["vec_b"].to_pylist())}
+    for i in range(5):
+        assert (i, 40 + i) in got
+
+
+def test_multimodal_stub_plumbing(ray_session):
+    import ray.data as rd
+
+    from reden_ray.stages.multimodal import FrameSampler, ImageFeatures, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(16))
+    feats = ds.map_batches(
+        ImageFeatures, fn_constructor_kwargs={"strict": False},
+        batch_format="pyarrow", batch_size=8, concurrency=1,
+    ).take_all()
+    assert len(feats) == 16
+    assert len(feats[0]["feature"]) == 4 * 4 * 3
+    frames = ds.map_batches(
+        FrameSampler, fn_constructor_kwargs={"strict": False},
+        batch_format="pyarrow", batch_size=8, concurrency=1,
+    ).take_all()
+    assert len(frames) == 16 * 4
+    # strict mode raises (documented stub boundary)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        ImageFeatures(strict=True)(synth_media_table(2))

@@ -1,0 +1,55 @@
+"""Eval metrics (A5) on the fixture corpus."""
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def metrics(ray_session, small_fixture_dir):
+    import ray
+    import ray.data as rd
+
+    from reden_ray.config import ExecConfig
+    from reden_ray.pipelines.evaluate import compute_metrics, eval_records
+    from reden_ray.pipelines.kg import (
+        candidates_dataset,
+        fixture_config,
+        linked_dataset,
+        links_view,
+        mentions_dataset,
+    )
+
+    fd = small_fixture_dir
+    cfg = fixture_config(fd)
+    pages = rd.read_parquet(f"{fd}/pages.parquet", columns=["url", "html"])
+    dict_ref = ray.put(pq.read_table(f"{fd}/dictionary.parquet"))
+    adj_ref = ray.put(pq.read_table(f"{fd}/adjacency.parquet"))
+    cands = candidates_dataset(mentions_dataset(pages), dict_ref, cfg).materialize()
+    links = links_view(linked_dataset(cands, adj_ref, cfg)).materialize()
+    gold = pq.read_table(f"{fd}/gold.parquet")
+    recs = eval_records(cands, links, gold)
+    return compute_metrics(recs)
+
+
+def test_counts(metrics, small_fixture_dir):
+    gold = pq.read_table(f"{small_fixture_dir}/gold.parquet")
+    assert metrics["n_mentions"] == gold.num_rows
+    nils = sum(1 for v in gold.column("gold_uri").to_pylist() if v is None)
+    assert metrics["n_manual_nil"] == nils
+    assert metrics["n_manual"] == gold.num_rows - nils
+
+
+def test_candidate_metrics_sane(metrics):
+    # dictionary lookup is exact-alias: every in-dictionary mention's
+    # candidate set contains its entity => recall ~1; NIL surfaces are
+    # not in the dictionary => nil precision 1.0
+    assert metrics["candidate_recall"] >= 0.99
+    assert metrics["nil_precision"] >= 0.99
+    assert metrics["nil_recall"] >= 0.99
+    assert metrics["candidate_cardinality_mean"] > 1.0
+
+
+def test_accuracy_band(metrics):
+    # reference's own corpora span 0.45-0.73 overall accuracy
+    assert 0.5 <= metrics["overall_linking_accuracy"] <= 1.0
+    assert metrics["disambiguation_accuracy"] >= 0.5
