@@ -1,0 +1,334 @@
+"""Relational operator demonstrations over the driver's TPC-H-ish tables.
+
+One function per operator family from SURVEY.md §2, each with a DuckDB
+oracle in ``__ray_entry__.oracle_sql()``.  These aren't toys: each is
+the same physical pattern the KG pipeline uses (broadcast join = the
+dictionary lookup; hash join = the adjacency attach variant; groupby
+argmax = the per-mention top-1; window = streaming-shaped events), so
+the driver's oracle check gates the engine's building blocks.
+
+All numeric aggregate outputs are ROUNDED (2-6 dp) on BOTH sides:
+distributed float summation differs from DuckDB's sequential sum in the
+last ulp, and the driver compares value hashes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..stages.joins import broadcast_anti_join, broadcast_join, broadcast_semi_join, hash_join
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_col(t: pa.Table, col: str, digits: int) -> pa.Table:
+    i = t.schema.get_field_index(col)
+    return t.set_column(i, col, pc.round(t.column(col), ndigits=digits))
+
+
+# --- J2 analogue: broadcast join (small build side) ----------------------
+
+def j2_broadcast_join(sf_dir: str) -> rd.Dataset:
+    """orders x customer on custkey — the dictionary-lookup pattern."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).rename_columns(["o_custkey", "c_name", "c_mktsegment"])
+    return broadcast_join(orders, customer, on=["o_custkey"]).map_batches(
+        lambda t: _round_col(t, "o_totalprice", 2), batch_format="pyarrow"
+    )
+
+
+# --- J1 analogue: both-sides-large hash join -----------------------------
+
+def j1_hash_join(sf_dir: str) -> rd.Dataset:
+    """lineitem x orders on orderkey (Ray native hash-shuffle join)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).rename_columns(
+        ["l_orderkey", "o_orderstatus"]
+    )
+    joined = hash_join(li, orders, on=["l_orderkey"], num_partitions=16)
+    return joined.map_batches(
+        lambda t: _round_col(t, "l_extendedprice", 2), batch_format="pyarrow"
+    )
+
+
+# --- J5/J6/J7: semi / anti joins -----------------------------------------
+
+def j5_semi_join(sf_dir: str) -> rd.Dataset:
+    """customers that have at least one order (key-set broadcast)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    keys = orders.unique("o_custkey")
+    key_table = pa.table({"c_custkey": pa.array(keys, pa.int64())})
+    return broadcast_semi_join(cust, key_table, on=["c_custkey"])
+
+
+def j6_anti_join(sf_dir: str) -> rd.Dataset:
+    """customers with NO order above 300k (anti join, non-empty result)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 300_000.0)),
+        batch_format="pyarrow",
+    )
+    keys = orders.unique("o_custkey")
+    key_table = pa.table({"c_custkey": pa.array(keys, pa.int64())})
+    return broadcast_anti_join(cust, key_table, on=["c_custkey"])
+
+
+# --- A1: per-group list collection ---------------------------------------
+
+def a1_collect_groups(sf_dir: str) -> rd.Dataset:
+    """per order: sorted distinct part keys (candidate-set collection)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def collect(group: pa.Table) -> pa.Table:
+        parts = sorted(set(group.column("l_partkey").to_pylist()))
+        return pa.table(
+            {
+                "l_orderkey": pa.array([group.column("l_orderkey")[0].as_py()], pa.int64()),
+                "partkeys": pa.array([parts], pa.list_(pa.int64())),
+                "n_parts": pa.array([len(parts)], pa.int64()),
+            }
+        )
+
+    return li.groupby("l_orderkey").map_groups(collect, batch_format="pyarrow")
+
+
+# --- A3: frequency count --------------------------------------------------
+
+def a3_pred_frequency(sf_dir: str) -> rd.Dataset:
+    """events by type — the triple predicate-frequency pattern (S10)."""
+    ev = _read(sf_dir, "events", ["event_type"])
+    return ev.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+# --- A5: multi-aggregate (TPC-H Q1 shape) ---------------------------------
+
+def a5_aggregate_metrics(sf_dir: str) -> rd.Dataset:
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    out = (
+        li.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Mean("l_extendedprice", alias_name="avg_price"),
+            Count(alias_name="n_rows"),
+        )
+    )
+    return out.map_batches(
+        lambda t: _round_col(_round_col(_round_col(t, "sum_qty", 2), "sum_revenue", 2), "avg_price", 2),
+        batch_format="pyarrow",
+    )
+
+
+# --- A7/O1: per-group argmax with deterministic tie-break ----------------
+
+def a7_argmax_per_group(sf_dir: str) -> rd.Dataset:
+    """per customer: their single highest-value order (tie -> highest
+    orderkey) — the per-mention top-1 candidate pattern."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def argmax(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, False])
+        return g.head(1)
+
+    out = orders.groupby("o_custkey").map_groups(argmax, batch_format="pandas")
+    return out.map_batches(lambda t: _round_col(t, "o_totalprice", 2), batch_format="pyarrow")
+
+
+# --- O1: global top-k -----------------------------------------------------
+
+def o1_topk(sf_dir: str) -> rd.Dataset:
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = orders.sort(["o_totalprice", "o_orderkey"], descending=[True, True]).limit(10)
+    return top.map_batches(lambda t: _round_col(t, "o_totalprice", 2), batch_format="pyarrow")
+
+
+# --- D2: distinct ---------------------------------------------------------
+
+def d2_distinct(sf_dir: str) -> rd.Dataset:
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return ev.map_batches(
+        lambda t: t.group_by(["user_id", "event_type"]).aggregate([]), batch_format="pyarrow"
+    ).groupby(["user_id", "event_type"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+# --- M1: normalization projection ----------------------------------------
+
+def m1_normalize(sf_dir: str) -> rd.Dataset:
+    """the mention normalizer applied as a vectorized projection."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        normed = pc.utf8_lower(
+            pc.replace_substring_regex(t["c_name"], pattern=r"\s|'|-", replacement="")
+        )
+        return t.append_column("c_name_norm", normed)
+
+    return cust.map_batches(norm, batch_format="pyarrow")
+
+
+# --- M8: date scalar + filter --------------------------------------------
+
+def m8_date_filter(sf_dir: str) -> rd.Dataset:
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"])
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1995-06-01"))))
+        return keep.append_column("ship_year", pc.cast(pc.year(keep["l_shipdate"]), pa.int64()))
+
+    return li.map_batches(f, batch_format="pyarrow")
+
+
+# --- streaming-shaped: tumbling window -----------------------------------
+
+def window_tumbling(sf_dir: str) -> rd.Dataset:
+    """per user per 1-hour tumbling window: event count + value sum.
+    Windows are assigned per batch (vectorized epoch math); the groupby
+    is the only shuffle.  Oracle: GROUP BY user, floor(epoch/3600)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        win = pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()), 3600.0)), pa.int64())
+        return t.append_column("window_id", win)
+
+    out = (
+        ev.map_batches(assign, batch_format="pyarrow")
+        .groupby(["user_id", "window_id"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return out.map_batches(lambda t: _round_col(t, "sum_value", 4), batch_format="pyarrow")
+
+
+# --- streaming-shaped: sessionization ------------------------------------
+
+def sessionize(sf_dir: str, gap_seconds: int = 1800) -> rd.Dataset:
+    """session windows per user (gap > 30 min splits); returns per-session
+    row counts and bounds.  Ordered map_groups over ts within user."""
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds().fillna(0.0)
+        sid = (gap > gap_seconds).cumsum()
+        out = (
+            g.assign(session_id=sid)
+            .groupby("session_id", as_index=False)
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("event_id", "count"),
+                first_event=("event_id", "min"),
+            )
+        )
+        return out[["user_id", "session_id", "n_events", "first_event"]]
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# --- documents: exact dedup + token stats --------------------------------
+
+def dedup_exact_docs(sf_dir: str) -> rd.Dataset:
+    from ..stages.dedup import exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(docs).select_columns(["doc_id", "text"])
+
+
+def text_token_stats(sf_dir: str) -> rd.Dataset:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens_ws": pa.array([len(x.split()) for x in texts], pa.int64()),
+                "n_chars_seen": pa.array([len(x) for x in texts], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+# --- embeddings: exact knn ------------------------------------------------
+
+def knn_dot_topk(sf_dir: str, n_queries: int = 3, k: int = 5) -> pa.Table:
+    """top-k by DOT PRODUCT for the first ``n_queries`` vectors; returns
+    (query_id, rank, vec_id).  Dot product (not cosine) keeps the oracle
+    comparison integer-rank-only and float-rounding-proof; ties broken
+    by vec_id."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    all_ids = np.asarray(t.column("vec_id").to_pylist())
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    sel = all_ids < n_queries  # query_id == vec_id for vec_id < n_queries
+    order = np.argsort(all_ids[sel])
+    queries = vecs[sel][order]
+    query_ids = all_ids[sel][order].tolist()
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    # brute-force DOT top-k (no normalization): reuse local-topk pattern
+    import ray
+
+    q_ref = ray.put(queries.astype(np.float64))
+
+    def local(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        sims = qm @ m.T
+        kk = min(k, sims.shape[1])
+        qs, vs, ss = [], [], []
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            qs.extend([qi] * kk)
+            vs.extend(ids[idx].tolist())
+            ss.extend(sims[qi, idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qs, pa.int64()),
+                "vec_id": pa.array(vs, pa.int64()),
+                "dot": pa.array(ss, pa.float64()),
+            }
+        )
+
+    partials = emb.map_batches(local, batch_format="pyarrow").take_all()
+    by_q: dict[int, list[tuple[float, int]]] = {}
+    for r in partials:
+        by_q.setdefault(r["query_id"], []).append((r["dot"], r["vec_id"]))
+    q_col, r_col, v_col = [], [], []
+    for qi in sorted(by_q):
+        best = sorted(by_q[qi], key=lambda x: (-x[0], x[1]))[:k]
+        for rank, (_, v) in enumerate(best):
+            q_col.append(int(query_ids[qi]))
+            r_col.append(rank + 1)
+            v_col.append(v)
+    return pa.table(
+        {
+            "query_id": pa.array(q_col, pa.int64()),
+            "rank": pa.array(r_col, pa.int64()),
+            "vec_id": pa.array(v_col, pa.int64()),
+        }
+    )
