@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: executes the headline KG-construction pipeline (fixture
+corpus scaled to the requested sf) plus representative operator
+pipelines over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
+``ray.init(num_cpus=$RAY_GRAFT_CPUS)`` (default 32), then prints ONE
+JSON line:
+
+    {"metric": "e2e_seconds", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ..., "triples_per_sec": ...}
+
+``--scaling``: runs the SAME workload in two fresh processes at
+num_cpus=8 and num_cpus=32 (the sandbox stand-in for N vs 4N nodes) and
+prints both throughputs plus scaling efficiency.  Results are recorded
+in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_FIXTURE = {  # sf basename -> fixture scale for the headline pipeline
+    "sf0.001": dict(n_docs=60, n_entities=60, n_topics=10, seed=42),
+    "sf0.01": dict(n_docs=200, n_entities=60, n_topics=10, seed=42),
+    "sf0.1": dict(n_docs=2000, n_entities=120, n_topics=16, seed=42),
+}
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from reden_ray.config import ExecConfig
+    from reden_ray.pipelines import relational as R
+    from reden_ray.pipelines.kg import run_fixture_pipeline, triples_view
+    from reden_ray.sources.fixtures import fixture_dir
+    from reden_ray.stages.dedup import minhash_lsh_pairs
+
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    fd = fixture_dir(**BENCH_FIXTURE.get(base, BENCH_FIXTURE["sf0.1"]))
+
+    # warm the OS page cache (untimed): one full read of the inputs
+    rd.read_parquet(f"{fd}/pages.parquet").count()
+    rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+    rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+
+    exec_cfg = ExecConfig(
+        lookup_concurrency=(1, max(2, NCPU // 4)),
+        fuse_concurrency=(1, max(2, NCPU // 2)),
+    )
+
+    queries: dict[str, float] = {}
+
+    # headline: end-to-end KG pipeline (docs in -> links+triples out)
+    t0 = time.perf_counter()
+    combined = run_fixture_pipeline(
+        fd, exec_cfg=exec_cfg, override_num_blocks=max(8, NCPU * 2)
+    ).materialize()
+    headline = time.perf_counter() - t0
+    queries["kg_pipeline"] = headline
+    n_docs = rd.read_parquet(f"{fd}/pages.parquet").count()
+    n_triples = triples_view(combined).count()
+
+    # representative operator pipelines over the driver tables
+    for name, fn in [
+        ("a5_aggregate_metrics", R.a5_aggregate_metrics),
+        ("j1_hash_join", R.j1_hash_join),
+        ("window_tumbling", R.window_tumbling),
+        ("dedup_exact_docs", R.dedup_exact_docs),
+        ("sessionize", R.sessionize),
+    ]:
+        t0 = time.perf_counter()
+        out = fn(SF_DIR)
+        # consume without driver materialization of big results
+        out.count() if hasattr(out, "count") else len(out)
+        queries[name] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    minhash_lsh_pairs(docs, threshold=0.7)
+    queries["dedup_minhash_docs"] = time.perf_counter() - t0
+
+    ray.shutdown()
+    return {
+        "metric": "e2e_seconds",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": base,
+        "num_cpus": NCPU,
+        "n_docs": n_docs,
+        "n_triples": n_triples,
+        "docs_per_sec": round(n_docs / headline, 2),
+        "triples_per_sec": round(n_triples / headline, 2),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tp_lo, tp_hi = r_lo["docs_per_sec"], r_hi["docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "docs_per_sec_lo": tp_lo,
+        "docs_per_sec_hi": tp_hi,
+        "triples_per_sec_lo": r_lo["triples_per_sec"],
+        "triples_per_sec_hi": r_hi["triples_per_sec"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

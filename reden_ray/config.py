@@ -55,3 +55,7 @@ class ExecConfig:
     salt_buckets: int = 16
     # number of hash buckets for the bucketed hash-join fallback
     join_buckets: int = 32
+    # context buckets for the fusion stage: the shuffle's partition count
+    # AND the map_groups parallelism (one bucket = one task); size to
+    # ~2-4x the worker count
+    fuse_buckets: int = 16

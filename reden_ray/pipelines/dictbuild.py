@@ -1,0 +1,88 @@
+"""Dictionary-build pipeline (S12/S13 + M9-M12 of SURVEY.md §2).
+
+Re-expresses the reference's Linked-Data crawl (AppAdhoc.crawlsLinkedData,
+/root/reference/src/fr/lip6/reden/ldextractor/AppAdhoc.java:49-292 and
+the per-source processors, e.g. QueryAuthorBNF.java:139-266) as an
+offline batch pipeline over a local entity dump table:
+
+    read(entity_dump)                      # the SPARQL-result analogue
+      -> groupby(uri) merge                # A2: distinct refs per entity
+      -> flat_map(alias expansion)         # M10/M11: makeAliases rules
+      -> dictionary (alias_norm, alias_raw, name_std, kind, uri_group)
+
+The reference's per-first-letter SPARQL sharding (a..z+other, its only
+parallelism/restartability unit) becomes ordinary block parallelism +
+idempotent partitioned writes; no letter hack needed.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..core.aliases import make_aliases, normalized_name
+from ..core.normalize import normalize_mention
+
+DICTIONARY_SCHEMA = pa.schema(
+    [
+        ("alias_norm", pa.string()),
+        ("alias_raw", pa.string()),
+        ("name_std", pa.string()),
+        ("kind", pa.string()),
+        ("uri_group", pa.list_(pa.string())),
+    ]
+)
+
+
+def expand_aliases(batch: pa.Table) -> pa.Table:
+    """entity rows -> dictionary rows (vectorized over the batch)."""
+    cols: dict[str, list] = {n: [] for n in DICTIONARY_SCHEMA.names}
+    for r in batch.to_pylist():
+        kind = r["kind"]
+        if kind == "PER":
+            aliases = make_aliases(r["firstname"], r["lastname"], r["gender"])
+            display = normalized_name(r["firstname"], r["lastname"], r["birth"], r["death"])
+        else:
+            nm = r["lastname"]
+            aliases = sorted({nm, nm.replace("-", " ")})
+            display = nm
+        group = [r["uri"], *(r["equivalents"] or [])]
+        for alias in aliases:
+            cols["alias_norm"].append(normalize_mention(alias))
+            cols["alias_raw"].append(alias)
+            cols["name_std"].append(display)
+            cols["kind"].append(kind)
+            cols["uri_group"].append(group)
+    return pa.Table.from_arrays(
+        [pa.array(cols[f.name], f.type) for f in DICTIONARY_SCHEMA], schema=DICTIONARY_SCHEMA
+    )
+
+
+def build_dictionary(entity_dump: rd.Dataset) -> rd.Dataset:
+    """The full build: one stateless map stage (entities are already one
+    row per URI in the dump; the A2 merge happens upstream if the dump
+    has one row per SPARQL solution — see ``merge_solutions``)."""
+    return entity_dump.map_batches(expand_aliases, batch_format="pyarrow", batch_size=None)
+
+
+def merge_solutions(solutions: rd.Dataset) -> rd.Dataset:
+    """A2: merge one-row-per-SPARQL-solution input into one row per
+    entity URI, unioning equivalents (QueryAuthorBNF.java:161-240)."""
+
+    def merge(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        first = rows[0]
+        equivs: dict[str, None] = {}
+        for r in rows:
+            for e in r["equivalents"] or []:
+                equivs[e] = None
+        first["equivalents"] = list(equivs)
+        return pa.Table.from_pylist([first], schema=group.schema)
+
+    return solutions.groupby("uri").map_groups(merge, batch_format="pyarrow")
+
+
+def write_dictionary(dictionary: rd.Dataset, out_dir: str) -> None:
+    """Idempotent partitioned write (the TSV-per-letter files become
+    parquet partitions; rerun overwrites completed partitions)."""
+    dictionary.write_parquet(out_dir)

@@ -45,7 +45,24 @@ import ray.data as rd
 from ..config import ExecConfig, LinkerConfig
 from ..stages.candidates import CandidateLookup
 from ..stages.extract import contexts_to_mentions, extract_text_batch, pages_to_contexts
-from ..stages.graphstage import ContextLinker
+from ..stages.graphstage import BucketedContextLinker
+
+
+def use_hash_shuffle() -> None:
+    """Switch Ray Data's groupby implementation to hash shuffle.
+
+    The default sort-based shuffle coalesces output to ~128 MiB blocks;
+    for this pipeline that collapses the fusion stage to a HANDFUL of
+    map_groups tasks (measured: 1 task for a 45k-row candidate set) and
+    serializes the per-context work.  Hash shuffle honors
+    ``num_partitions`` so bucket parallelism is explicit.  Global
+    (DataContext) and idempotent.
+    """
+    from ray.data.context import ShuffleStrategy
+
+    ctx = rd.DataContext.get_current()
+    if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
 
 def load_rel_weights(rels_table: pa.Table) -> dict[str, float]:
@@ -60,11 +77,17 @@ def load_rel_weights(rels_table: pa.Table) -> dict[str, float]:
 
 
 def mentions_dataset(pages: rd.Dataset, exec_cfg: ExecConfig | None = None) -> rd.Dataset:
-    """pages -> mention rows (stateless, fused by the streaming executor)."""
-    exec_cfg = exec_cfg or ExecConfig()
+    """pages -> mention rows (stateless, fused by the streaming executor).
+
+    ``batch_size=None`` everywhere: one batch == one upstream BLOCK, so
+    task parallelism equals block count end to end.  A row-count
+    batch_size here would re-bundle blocks (fused operators count INPUT
+    page rows, and a whole small corpus can fit one 4096-row batch,
+    serializing the pipeline — measured).  Memory is bounded by block
+    size, which the read controls."""
     return pages.map_batches(
-        pages_to_contexts, batch_format="pyarrow", batch_size=exec_cfg.batch_size
-    ).map_batches(contexts_to_mentions, batch_format="pyarrow", batch_size=exec_cfg.batch_size)
+        pages_to_contexts, batch_format="pyarrow", batch_size=None
+    ).map_batches(contexts_to_mentions, batch_format="pyarrow", batch_size=None)
 
 
 def candidates_dataset(
@@ -78,7 +101,7 @@ def candidates_dataset(
         CandidateLookup,
         fn_constructor_args=(dict_ref, cfg),
         batch_format="pyarrow",
-        batch_size=exec_cfg.batch_size,
+        batch_size=None,
         concurrency=exec_cfg.lookup_concurrency,
         num_cpus=1,
     )
@@ -89,15 +112,62 @@ def linked_dataset(
     adj_ref,
     cfg: LinkerConfig,
     exec_cfg: ExecConfig | None = None,
+    mode: str = "local",
 ) -> rd.Dataset:
-    """Per-context fusion: the combined links+triples dataset."""
+    """Per-context fusion: the combined links+triples dataset.
+
+    ``mode="local"`` (default, ZERO-SHUFFLE): a context's mention rows
+    are born co-located — they all come from one page row and every
+    upstream stage is a block-local map — so the fusion is a plain
+    ``map_batches(batch_size=None)`` that groups by (url, context_id)
+    INSIDE each block.  The whole flagship pipeline is then a pure
+    streaming map with no all-to-all exchange at any scale.  Invariant
+    required: blocks must contain whole contexts, which holds as long as
+    upstream blocks stay under ``target_max_block_size`` (Ray only
+    splits oversized blocks; size the read blocks accordingly).
+
+    ``mode="hash"``: contexts hash-bucketed (stable blake2 of
+    (url, context_id)) + groupby(bucket, num_partitions) — for inputs
+    where context rows ARE scattered (e.g. a re-read candidates table
+    partitioned arbitrarily).  Requires hash shuffle (use_hash_shuffle).
+    """
     exec_cfg = exec_cfg or ExecConfig()
-    return candidates.groupby(["url", "context_id"]).map_groups(
-        ContextLinker,
-        fn_constructor_args=(adj_ref, cfg),
-        batch_format="pyarrow",
-        concurrency=exec_cfg.fuse_concurrency,
-        num_cpus=1,
+    if mode == "local":
+        return candidates.map_batches(
+            BucketedContextLinker,
+            fn_constructor_args=(adj_ref, cfg),
+            batch_format="pyarrow",
+            batch_size=None,  # whole blocks: contexts never split
+            concurrency=exec_cfg.fuse_concurrency,
+            num_cpus=1,
+        )
+
+    n_buckets = exec_cfg.fuse_buckets
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        keys = [
+            int.from_bytes(
+                hashlib.blake2b(f"{u}\x00{c}".encode(), digest_size=4).digest(), "big"
+            )
+            % n_buckets
+            for u, c in zip(
+                batch.column("url").to_pylist(), batch.column("context_id").to_pylist()
+            )
+        ]
+        return batch.append_column("bucket", pa.array(keys, pa.int32()))
+
+    return (
+        candidates.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=n_buckets)
+        .map_groups(
+            BucketedContextLinker,
+            fn_constructor_args=(adj_ref, cfg),
+            batch_format="pyarrow",
+            concurrency=exec_cfg.fuse_concurrency,
+            num_cpus=1,
+        )
     )
 
 
@@ -108,7 +178,15 @@ def run_pipeline(
     cfg: LinkerConfig,
     exec_cfg: ExecConfig | None = None,
 ) -> rd.Dataset:
-    """Wire the full DAG; returns the lazy combined dataset."""
+    """Wire the full DAG; returns the lazy combined dataset.
+
+    The default fusion mode is ZERO-SHUFFLE (see linked_dataset); no
+    shuffle-strategy change is needed or made here.  Callers using
+    ``mode="hash"`` must call ``use_hash_shuffle()`` BEFORE creating the
+    ``pages`` dataset (Ray snapshots the DataContext at creation), and
+    should leave it unset otherwise — the hash strategy's default
+    partition count (200 aggregator actors) slows unrelated small
+    groupbys by an order of magnitude (measured)."""
     dict_ref = ray.put(dictionary)
     adj_ref = ray.put(adjacency)
     ments = mentions_dataset(pages, exec_cfg)
@@ -166,11 +244,20 @@ def run_fixture_pipeline(
     fixture_dir: str,
     exec_cfg: ExecConfig | None = None,
     cfg: LinkerConfig | None = None,
+    override_num_blocks: int | None = None,
 ) -> rd.Dataset:
     """Read the synthetic corpus + KB from ``fixture_dir`` and run the
-    flagship pipeline; returns the combined links+triples dataset."""
+    flagship pipeline; returns the combined links+triples dataset.
+
+    ``override_num_blocks`` splits the read into enough blocks to feed
+    every actor when the input is a single small parquet file (a bench
+    concern only; real corpora arrive as many files)."""
     cfg = cfg or fixture_config(fixture_dir)
-    pages = rd.read_parquet(f"{fixture_dir}/pages.parquet", columns=["url", "html"])
+    pages = rd.read_parquet(
+        f"{fixture_dir}/pages.parquet",
+        columns=["url", "html"],
+        override_num_blocks=override_num_blocks,
+    )
     dictionary = pq.read_table(f"{fixture_dir}/dictionary.parquet")
     adjacency = pq.read_table(f"{fixture_dir}/adjacency.parquet")
     return run_pipeline(pages, dictionary, adjacency, cfg, exec_cfg)

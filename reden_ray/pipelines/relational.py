@@ -25,8 +25,23 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 from ..stages.joins import broadcast_anti_join, broadcast_join, broadcast_semi_join, hash_join
 
 
+_BIG_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Column-pruned read; big fact tables get an explicit block count
+    sized to the cluster (the auto-split default over-fragments small
+    files, and a 64-block Mean aggregate measured 4x slower than a
+    CPU-count-block one)."""
+    blocks = None
+    if table in _BIG_TABLES:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        blocks = max(4, cpus)
+    return rd.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns, override_num_blocks=blocks
+    )
 
 
 def _round_col(t: pa.Table, col: str, digits: int) -> pa.Table:

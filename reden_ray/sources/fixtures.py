@@ -326,12 +326,35 @@ def generate_fixtures(
             "gold_uri": pa.array([r["gold_uri"] for r in gold_rows], pa.string()),
         }
     )
+    # raw entity dump — the dictionary-BUILD pipeline's input (the
+    # SPARQL-result / geonames-dump analogue, SURVEY.md §3.2); the
+    # dictionary table above is exactly what building from this dump
+    # must reproduce (tested)
+    entity_dump = pa.table(
+        {
+            "uri": pa.array([e["base"] for e in entities], pa.string()),
+            "kind": pa.array([e["kind"] for e in entities], pa.string()),
+            "firstname": pa.array([e["first"] for e in entities], pa.string()),
+            "lastname": pa.array([e["last"] for e in entities], pa.string()),
+            "gender": pa.array([e["gender"] for e in entities], pa.string()),
+            "birth": pa.array(
+                ["1800" if e["kind"] == "PER" else None for e in entities], pa.string()
+            ),
+            "death": pa.array(
+                ["1870" if e["kind"] == "PER" else None for e in entities], pa.string()
+            ),
+            "equivalents": pa.array(
+                [e["dict_equivs"] for e in entities], pa.list_(pa.string())
+            ),
+        }
+    )
     return {
         "pages": pages,
         "dictionary": dictionary,
         "adjacency": adjacency,
         "rels": rels,
         "gold": gold,
+        "entity_dump": entity_dump,
     }
 
 
@@ -344,7 +367,7 @@ def fixture_dir(
     Content-addressed by the generation parameters so tests, the driver's
     ``queries()`` callables and ``bench.py`` share one copy per shape.
     """
-    key = json.dumps([n_docs, n_entities, n_topics, seed, 7])  # bump last int on format change
+    key = json.dumps([n_docs, n_entities, n_topics, seed, 8])  # bump last int on format change
     tag = hashlib.sha1(key.encode()).hexdigest()[:12]
     out = os.path.join(root, f"fx_{tag}")
     done = os.path.join(out, "_SUCCESS")

@@ -62,6 +62,92 @@ def rebuild_candidate_map(
     return merged
 
 
+class BucketedContextLinker:
+    """Bucketed fusion: one call per HASH BUCKET of contexts, not per
+    context.  The pipeline adds ``bucket = blake2(url, context_id) % P``
+    and hash-shuffles on it; each group call receives a whole bucket,
+    sorts it once by (url, context_id, mention_id), walks the context
+    boundaries, and emits ONE combined table — per-group Python overhead
+    (schema building, column conversion) is amortized across hundreds of
+    contexts.  This is also where hot-context skew would be salted: a
+    pathological context stays bounded by its own size, never by the
+    bucket's, because buckets parallelize freely via P.
+    """
+
+    def __init__(self, adj_ref, cfg: LinkerConfig):
+        import ray
+
+        table = ray.get(adj_ref) if not isinstance(adj_ref, pa.Table) else adj_ref
+        self.adjacency = AdjacencyIndex(table)
+        self.cfg = cfg
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cfg = self.cfg
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("url", "ascending"), ("context_id", "ascending"), ("mention_id", "ascending")],
+        )
+        group = group.take(order)
+        urls = group.column("url").to_pylist()
+        cids = group.column("context_id").to_pylist()
+        mids = group.column("mention_id").to_pylist()
+        surfaces = group.column("surface").to_pylist()
+        ne_types = group.column("ne_type").to_pylist()
+        uri_groups = group.column("uri_groups").to_pylist()
+
+        cols: dict[str, list] = {name: [] for name in COMBINED_SCHEMA.names}
+        n = len(urls)
+        start = 0
+        while start < n:
+            end = start
+            while end < n and urls[end] == urls[start] and cids[end] == cids[start]:
+                end += 1
+            mentions = [
+                MentionRow(mids[i], surfaces[i], ne_types[i]) for i in range(start, end)
+            ]
+            candidate_map = rebuild_candidate_map(mentions, uri_groups[start:end], cfg)
+            res = link_context(mentions, candidate_map, self.adjacency, cfg)
+            _emit(cols, urls[start], cids[start], res)
+            start = end
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], f.type) for f in COMBINED_SCHEMA],
+            schema=COMBINED_SCHEMA,
+        )
+
+
+def _emit(cols: dict[str, list], url: str, context_id: int, res) -> None:
+    k = len(res.links) + len(res.triples)
+    for l in res.links:
+        cols["record_type"].append("link")
+        cols["mention_id"].append(l.mention_id)
+        cols["surface"].append(l.surface)
+        cols["ne_type"].append(l.ne_type)
+        cols["chosen_uris"].append(l.chosen_uris)
+        cols["score"].append(l.score)
+        cols["method"].append(l.method)
+        cols["subj"].append(None)
+        cols["pred"].append(None)
+        cols["obj"].append(None)
+        cols["weight"].append(None)
+    for subj, pred, obj, weight in res.triples:
+        cols["record_type"].append("triple")
+        cols["mention_id"].append(None)
+        cols["surface"].append(None)
+        cols["ne_type"].append(None)
+        cols["chosen_uris"].append(None)
+        cols["score"].append(None)
+        cols["method"].append(None)
+        cols["subj"].append(subj)
+        cols["pred"].append(pred)
+        cols["obj"].append(obj)
+        cols["weight"].append(weight)
+    cols["url"].extend([url] * k)
+    cols["context_id"].extend([context_id] * k)
+    cols["route"].extend([res.route] * k)
+
+
 class ContextLinker:
     """map_groups callable class; adjacency index built once per actor."""
 
