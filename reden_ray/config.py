@@ -59,3 +59,8 @@ class ExecConfig:
     # AND the map_groups parallelism (one bucket = one task); size to
     # ~2-4x the worker count
     fuse_buckets: int = 16
+    # stateless=True runs lookup/fusion as task pools with worker-global
+    # index caches instead of actor pools: no actor-spawn latency, fully
+    # elastic scheduling; same semantics.  Actor pools remain the default
+    # (explicit state lifecycle; required if indices ever shard).
+    stateless: bool = False

@@ -43,9 +43,9 @@ import ray
 import ray.data as rd
 
 from ..config import ExecConfig, LinkerConfig
-from ..stages.candidates import CandidateLookup
+from ..stages.candidates import CandidateLookup, make_candidate_lookup_fn
 from ..stages.extract import contexts_to_mentions, extract_text_batch, pages_to_contexts
-from ..stages.graphstage import BucketedContextLinker
+from ..stages.graphstage import BucketedContextLinker, make_context_linker_fn
 
 
 def use_hash_shuffle() -> None:
@@ -97,6 +97,10 @@ def candidates_dataset(
     exec_cfg: ExecConfig | None = None,
 ) -> rd.Dataset:
     exec_cfg = exec_cfg or ExecConfig()
+    if exec_cfg.stateless:
+        return mentions.map_batches(
+            make_candidate_lookup_fn(dict_ref, cfg), batch_format="pyarrow", batch_size=None
+        )
     return mentions.map_batches(
         CandidateLookup,
         fn_constructor_args=(dict_ref, cfg),
@@ -133,6 +137,12 @@ def linked_dataset(
     """
     exec_cfg = exec_cfg or ExecConfig()
     if mode == "local":
+        if exec_cfg.stateless:
+            return candidates.map_batches(
+                make_context_linker_fn(adj_ref, cfg),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
         return candidates.map_batches(
             BucketedContextLinker,
             fn_constructor_args=(adj_ref, cfg),

@@ -1,0 +1,80 @@
+"""Side outputs of the NEL run: ambiguity report, predicate frequency,
+enrichment (S9/S10/S11 of SURVEY.md §2.1).
+
+Each is a small aggregate over an already-computed dataset — no extra
+pass over the corpus:
+
+- ``ambiguity_report``  — per mention surface: referent-count stats
+  (the ``*-ambigousMentions.txt`` analogue, MainNELApp.java:266-275)
+- ``pred_frequency``    — global predicate counts over emitted triples
+  (the ``*-relFrequency.txt`` analogue, ResultsAndEvaluationNEL.java:
+  371-387; associative, so a plain groupby-count replaces the
+  reference's mutable static accumulator MainNELApp.java:56)
+- ``enrichment``        — per chosen URI: occurrence counts + property
+  probe from the adjacency table -> records ready for GeoJSON-style
+  export (EnrichmentHandler.java:51-153)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Sum
+
+
+def ambiguity_report(candidates: rd.Dataset) -> rd.Dataset:
+    """surface -> occurrences + referent-count aggregate."""
+    return candidates.groupby("surface").aggregate(
+        Count(alias_name="n_mentions"),
+        Mean("n_groups", alias_name="mean_referents"),
+        Max("n_groups", alias_name="max_referents"),
+    )
+
+
+def pred_frequency(triples: rd.Dataset) -> rd.Dataset:
+    """predicate -> count over the pruned-graph triples."""
+    return triples.groupby("pred").aggregate(Count(alias_name="n"))
+
+
+def enrichment(links: rd.Dataset, adjacency: pa.Table, props: list[str]) -> rd.Dataset:
+    """chosen URI -> occurrence count + requested property values.
+
+    The property probe list mirrors ``config/latlong.properties``; the
+    adjacency side table is broadcast (tiny next to links)."""
+    import ray
+
+    adj_ref = ray.put(adjacency)
+    props_set = set(props)
+
+    def explode_chosen(batch: pa.Table) -> pa.Table:
+        uris = []
+        for chosen in batch.column("chosen_uris").to_pylist():
+            for u in chosen or []:
+                uris.append(u)
+        return pa.table({"uri": pa.array(uris, pa.string())})
+
+    counts = links.map_batches(explode_chosen, batch_format="pyarrow").groupby(
+        "uri"
+    ).aggregate(Count(alias_name="occurrences"))
+
+    def attach_props(batch: pa.Table) -> pa.Table:
+        table = ray.get(adj_ref)
+        by_subj: dict[str, dict[str, str]] = {}
+        for s, p, o in zip(
+            table.column("subj").to_pylist(),
+            table.column("pred").to_pylist(),
+            table.column("obj").to_pylist(),
+        ):
+            if p in props_set:
+                by_subj.setdefault(s, {}).setdefault(p, o)
+        cols: dict[str, list] = {p: [] for p in props}
+        for uri in batch.column("uri").to_pylist():
+            found = by_subj.get(uri, {})
+            for p in props:
+                cols[p].append(found.get(p))
+        out = batch
+        for p in props:
+            out = out.append_column(p.rsplit("/", 1)[-1], pa.array(cols[p], pa.string()))
+        return out
+
+    return counts.map_batches(attach_props, batch_format="pyarrow")

@@ -367,7 +367,7 @@ def fixture_dir(
     Content-addressed by the generation parameters so tests, the driver's
     ``queries()`` callables and ``bench.py`` share one copy per shape.
     """
-    key = json.dumps([n_docs, n_entities, n_topics, seed, 8])  # bump last int on format change
+    key = json.dumps([n_docs, n_entities, n_topics, seed, 9])  # bump last int on format change
     tag = hashlib.sha1(key.encode()).hexdigest()[:12]
     out = os.path.join(root, f"fx_{tag}")
     done = os.path.join(out, "_SUCCESS")
@@ -381,7 +381,22 @@ def fixture_dir(
         shutil.rmtree(out)
     os.makedirs(tmp)
     for name, table in tables.items():
-        pq.write_table(table, os.path.join(tmp, f"{name}.parquet"))
+        if name == "pages":
+            # pages ship as a SHARDED directory (real corpora are many
+            # files; a single file means a single read task, which
+            # serializes the whole streaming pipeline behind one
+            # producer — measured)
+            n_shards = min(64, max(4, n_docs // 250))
+            shard_dir = os.path.join(tmp, "pages.parquet")
+            os.makedirs(shard_dir)
+            rows = table.num_rows
+            per = (rows + n_shards - 1) // n_shards
+            for s_i in range(n_shards):
+                chunk = table.slice(s_i * per, per)
+                if chunk.num_rows:
+                    pq.write_table(chunk, os.path.join(shard_dir, f"part-{s_i:04d}.parquet"))
+        else:
+            pq.write_table(table, os.path.join(tmp, f"{name}.parquet"))
     os.replace(tmp, out)
     with open(done, "w") as f:
         f.write(key)

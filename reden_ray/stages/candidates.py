@@ -43,6 +43,65 @@ CANDIDATE_SCHEMA = pa.schema(
 )
 
 
+# Worker-global index cache for the STATELESS task variants: a task pool
+# is more elastic than an actor pool (no actor-spawn latency, any idle
+# worker serves), and Ray worker processes persist across tasks, so the
+# index build is still amortized — keyed by the broadcast ref so repeat
+# runs in one session reuse it.  One entry per (ref, type); bounded.
+_WORKER_INDEX_CACHE: dict = {}
+
+
+def _cached_index(dict_ref, max_rows: int) -> "DictionaryIndex":
+    key = ("dict", getattr(dict_ref, "hex", lambda: id(dict_ref))(), max_rows)
+    idx = _WORKER_INDEX_CACHE.get(key)
+    if idx is None:
+        import ray
+
+        table = ray.get(dict_ref) if not isinstance(dict_ref, pa.Table) else dict_ref
+        idx = DictionaryIndex(table, max_rows=max_rows)
+        _WORKER_INDEX_CACHE.clear()  # hold at most one dictionary per worker
+        _WORKER_INDEX_CACHE[key] = idx
+    return idx
+
+
+def make_candidate_lookup_fn(dict_ref, cfg: LinkerConfig):
+    """Stateless-task variant of CandidateLookup (worker-global cache)."""
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        index = _cached_index(dict_ref, cfg.max_candidate_rows)
+        return _lookup_batch(batch, index, cfg)
+
+    return lookup
+
+
+def _lookup_batch(batch: pa.Table, index: DictionaryIndex, cfg: LinkerConfig) -> pa.Table:
+    norms = batch.column("norm").to_pylist()
+    ne_types = batch.column("ne_type").to_pylist()
+    surfaces = batch.column("surface").to_pylist()
+    cache: dict[tuple[str, str], list[list[str]]] = {}
+    groups_col: list[list[list[str]]] = []
+    for surface, norm, kind in zip(surfaces, norms, ne_types):
+        key = (kind, norm)
+        hit = cache.get(key)
+        if hit is None:
+            hit = candidate_groups_for_surface(surface, index, kind)
+            cache[key] = hit
+        groups_col.append(hit)
+    return pa.Table.from_arrays(
+        [
+            batch.column("url"),
+            batch.column("context_id"),
+            batch.column("mention_id"),
+            batch.column("surface"),
+            batch.column("norm"),
+            batch.column("ne_type"),
+            pa.array(groups_col, pa.list_(pa.list_(pa.string()))),
+            pa.array([len(g) for g in groups_col], pa.int32()),
+        ],
+        schema=CANDIDATE_SCHEMA,
+    )
+
+
 class CandidateLookup:
     """map_batches(CandidateLookup, fn_constructor_args=(dict_ref, cfg),
     concurrency=N) — dictionary loaded once per actor."""
@@ -52,34 +111,79 @@ class CandidateLookup:
 
         table = ray.get(dict_ref) if not isinstance(dict_ref, pa.Table) else dict_ref
         self.index = DictionaryIndex(table, max_rows=cfg.max_candidate_rows)
+        self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        norms = batch.column("norm").to_pylist()
-        ne_types = batch.column("ne_type").to_pylist()
-        surfaces = batch.column("surface").to_pylist()
-        cache: dict[tuple[str, str], list[list[str]]] = {}
-        groups_col: list[list[list[str]]] = []
-        for surface, norm, kind in zip(surfaces, norms, ne_types):
-            key = (kind, norm)
-            hit = cache.get(key)
-            if hit is None:
-                hit = candidate_groups_for_surface(surface, self.index, kind)
-                cache[key] = hit
-            groups_col.append(hit)
-        out = pa.Table.from_arrays(
-            [
-                batch.column("url"),
-                batch.column("context_id"),
-                batch.column("mention_id"),
-                batch.column("surface"),
-                batch.column("norm"),
-                batch.column("ne_type"),
-                pa.array(groups_col, pa.list_(pa.list_(pa.string()))),
-                pa.array([len(g) for g in groups_col], pa.int32()),
+        return _lookup_batch(batch, self.index, self.cfg)
+
+
+class JoinedCandidateAssembler:
+    """Rebuilds per-mention candidate groups from the SHUFFLE-JOIN path.
+
+    Input: one hash bucket of ``mentions LEFT OUTER JOIN dictionary`` rows
+    (one row per mention x matching dictionary row, ``uri_group`` null
+    for no-match mentions, ``dict_row`` = the dictionary row index).
+    Emits CANDIDATE_SCHEMA rows: per mention, groups ordered by
+    dictionary-row order, capped at ``max_rows`` then string-deduped —
+    exactly the DictionaryIndex semantics, reproduced after a shuffle.
+    """
+
+    def __init__(self, cfg: LinkerConfig):
+        self.cfg = cfg
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("url", "ascending"),
+                ("context_id", "ascending"),
+                ("mention_id", "ascending"),
+                ("dict_row", "ascending"),
             ],
+        )
+        group = group.take(order)
+        urls = group.column("url").to_pylist()
+        cids = group.column("context_id").to_pylist()
+        mids = group.column("mention_id").to_pylist()
+        surfaces = group.column("surface").to_pylist()
+        norms = group.column("norm").to_pylist()
+        ne_types = group.column("ne_type").to_pylist()
+        uri_groups = group.column("uri_group").to_pylist()
+
+        cols: dict[str, list] = {k: [] for k in CANDIDATE_SCHEMA.names}
+        n = len(urls)
+        start = 0
+        max_rows = self.cfg.max_candidate_rows
+        while start < n:
+            end = start
+            while (
+                end < n
+                and urls[end] == urls[start]
+                and cids[end] == cids[start]
+                and mids[end] == mids[start]
+            ):
+                end += 1
+            seen: dict[str, None] = {}
+            for i in range(start, min(end, start + max_rows)):
+                g = uri_groups[i]
+                if g is not None:
+                    seen.setdefault("\t".join(g), None)
+            groups = [j.split("\t") for j in seen]
+            cols["url"].append(urls[start])
+            cols["context_id"].append(cids[start])
+            cols["mention_id"].append(mids[start])
+            cols["surface"].append(surfaces[start])
+            cols["norm"].append(norms[start])
+            cols["ne_type"].append(ne_types[start])
+            cols["uri_groups"].append(groups)
+            cols["n_groups"].append(len(groups))
+            start = end
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], f.type) for f in CANDIDATE_SCHEMA],
             schema=CANDIDATE_SCHEMA,
         )
-        return out
 
 
 def explode_candidates(batch: pa.Table) -> pa.Table:

@@ -62,6 +62,33 @@ def rebuild_candidate_map(
     return merged
 
 
+# worker-global adjacency cache for the stateless-task fusion variant
+# (see stages.candidates._WORKER_INDEX_CACHE for the rationale)
+_ADJ_CACHE: dict = {}
+
+
+def _cached_adjacency(adj_ref) -> AdjacencyIndex:
+    key = getattr(adj_ref, "hex", lambda: id(adj_ref))()
+    idx = _ADJ_CACHE.get(key)
+    if idx is None:
+        import ray
+
+        table = ray.get(adj_ref) if not isinstance(adj_ref, pa.Table) else adj_ref
+        idx = AdjacencyIndex(table)
+        _ADJ_CACHE.clear()
+        _ADJ_CACHE[key] = idx
+    return idx
+
+
+def make_context_linker_fn(adj_ref, cfg: LinkerConfig):
+    """Stateless-task variant of BucketedContextLinker."""
+
+    def link(batch: pa.Table) -> pa.Table:
+        return _link_sorted_batch(batch, _cached_adjacency(adj_ref), cfg)
+
+    return link
+
+
 class BucketedContextLinker:
     """Bucketed fusion: one call per HASH BUCKET of contexts, not per
     context.  The pipeline adds ``bucket = blake2(url, context_id) % P``
@@ -82,39 +109,42 @@ class BucketedContextLinker:
         self.cfg = cfg
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        return _link_sorted_batch(group, self.adjacency, self.cfg)
 
-        cfg = self.cfg
-        order = pc.sort_indices(
-            group,
-            sort_keys=[("url", "ascending"), ("context_id", "ascending"), ("mention_id", "ascending")],
-        )
-        group = group.take(order)
-        urls = group.column("url").to_pylist()
-        cids = group.column("context_id").to_pylist()
-        mids = group.column("mention_id").to_pylist()
-        surfaces = group.column("surface").to_pylist()
-        ne_types = group.column("ne_type").to_pylist()
-        uri_groups = group.column("uri_groups").to_pylist()
 
-        cols: dict[str, list] = {name: [] for name in COMBINED_SCHEMA.names}
-        n = len(urls)
-        start = 0
-        while start < n:
-            end = start
-            while end < n and urls[end] == urls[start] and cids[end] == cids[start]:
-                end += 1
-            mentions = [
-                MentionRow(mids[i], surfaces[i], ne_types[i]) for i in range(start, end)
-            ]
-            candidate_map = rebuild_candidate_map(mentions, uri_groups[start:end], cfg)
-            res = link_context(mentions, candidate_map, self.adjacency, cfg)
-            _emit(cols, urls[start], cids[start], res)
-            start = end
-        return pa.Table.from_arrays(
-            [pa.array(cols[f.name], f.type) for f in COMBINED_SCHEMA],
-            schema=COMBINED_SCHEMA,
-        )
+def _link_sorted_batch(group: pa.Table, adjacency: AdjacencyIndex, cfg: LinkerConfig) -> pa.Table:
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        group,
+        sort_keys=[("url", "ascending"), ("context_id", "ascending"), ("mention_id", "ascending")],
+    )
+    group = group.take(order)
+    urls = group.column("url").to_pylist()
+    cids = group.column("context_id").to_pylist()
+    mids = group.column("mention_id").to_pylist()
+    surfaces = group.column("surface").to_pylist()
+    ne_types = group.column("ne_type").to_pylist()
+    uri_groups = group.column("uri_groups").to_pylist()
+
+    cols: dict[str, list] = {name: [] for name in COMBINED_SCHEMA.names}
+    n = len(urls)
+    start = 0
+    while start < n:
+        end = start
+        while end < n and urls[end] == urls[start] and cids[end] == cids[start]:
+            end += 1
+        mentions = [
+            MentionRow(mids[i], surfaces[i], ne_types[i]) for i in range(start, end)
+        ]
+        candidate_map = rebuild_candidate_map(mentions, uri_groups[start:end], cfg)
+        res = link_context(mentions, candidate_map, adjacency, cfg)
+        _emit(cols, urls[start], cids[start], res)
+        start = end
+    return pa.Table.from_arrays(
+        [pa.array(cols[f.name], f.type) for f in COMBINED_SCHEMA],
+        schema=COMBINED_SCHEMA,
+    )
 
 
 def _emit(cols: dict[str, list], url: str, context_id: int, res) -> None:
