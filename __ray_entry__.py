@@ -113,6 +113,32 @@ def _kg_text_invariant(sf_dir: str):
     return pd.DataFrame([{"bad_rows": verify_text_invariant(pages)}])
 
 
+def _kg_canonical_triples(sf_dir: str):
+    import ray.data as rd
+
+    from reden_ray.pipelines.canonicalize import (
+        canonicalize_triples,
+        connected_components,
+        equivalence_pairs,
+    )
+    from reden_ray.pipelines.kg import run_fixture_pipeline, triples_view
+
+    fd = _fixture_for(sf_dir)
+    adjacency = rd.read_parquet(f"{fd}/adjacency.parquet")
+    dictionary = rd.read_parquet(f"{fd}/dictionary.parquet")
+    pairs = equivalence_pairs(adjacency, "http://kb.test/sameAs", dictionary)
+    mapping, _ = connected_components(pairs, max_iters=5, prefer_prefix="http://kb.test/")
+    triples = triples_view(run_fixture_pipeline(fd))
+    return canonicalize_triples(triples, mapping)
+
+
+def _kg_pred_frequency(sf_dir: str):
+    from reden_ray.pipelines.kg import run_fixture_pipeline, triples_view
+    from reden_ray.pipelines.metrics import pred_frequency
+
+    return pred_frequency(triples_view(run_fixture_pipeline(_fixture_for(sf_dir))))
+
+
 def _dedup_minhash(sf_dir: str):
     import ray.data as rd
 
@@ -181,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_candidates": _kg_candidates,
         "kg_eval_metrics": _kg_eval,
         "kg_text_invariant": _kg_text_invariant,
+        "kg_canonical_triples": _kg_canonical_triples,
+        "kg_pred_frequency": _kg_pred_frequency,
         # approximate dedup / scoring (algorithmic, rows-only)
         "dedup_minhash_docs": _dedup_minhash,
         "dedup_simhash_docs": _dedup_simhash,

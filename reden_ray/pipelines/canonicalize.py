@@ -1,0 +1,155 @@
+"""URI canonicalization: groupby-aggregate equivalence merge (J3 + the
+north-rule canonicalization stage).
+
+The reference expands sameAs links one hop from each base URI
+(GraphHandlerNEL.retrieveAndLoadSameAsRDFData:114-197) and keeps the
+base as the hub.  At corpus scale the same information — sameAs
+statements in the adjacency table plus the dictionary's uri_groups —
+defines an equivalence RELATION whose connected components are the
+canonical entities.  This stage computes components with bounded
+iterative MIN-LABEL PROPAGATION expressed as Ray groupbys (no driver
+union-find):
+
+    pairs(u, v)  ->  labels(u) = min over neighbors' labels  ->  repeat
+
+Each iteration is one groupby; the iteration count is bounded by the
+longest chain in the equivalence graph (sameAs chains in practice are
+1-3 hops; ``max_iters`` documents and enforces the bound — components
+wider than that keep distinct labels and the loop reports convergence
+state rather than silently merging).
+
+``canonicalize_triples`` then rewrites subj/obj through the resulting
+map (broadcast — the map is entity-count-sized, tiny next to triples).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+def equivalence_pairs(adjacency: rd.Dataset, same_as: str, dictionary: rd.Dataset | None = None) -> rd.Dataset:
+    """Symmetric (u, v) pairs from sameAs statements and dictionary
+    uri_groups (each group links consecutive members to its base)."""
+
+    def from_adj(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(batch["pred"], same_as))
+        subj = keep.column("subj").to_pylist()
+        obj = keep.column("obj").to_pylist()
+        return pa.table(
+            {
+                "u": pa.array(subj + obj, pa.string()),
+                "v": pa.array(obj + subj, pa.string()),
+            }
+        )
+
+    pairs = adjacency.map_batches(from_adj, batch_format="pyarrow")
+    if dictionary is not None:
+
+        def from_dict(batch: pa.Table) -> pa.Table:
+            us, vs = [], []
+            for group in batch.column("uri_group").to_pylist():
+                base = group[0]
+                for other in group[1:]:
+                    us += [base, other]
+                    vs += [other, base]
+            return pa.table({"u": pa.array(us, pa.string()), "v": pa.array(vs, pa.string())})
+
+        pairs = pairs.union(dictionary.map_batches(from_dict, batch_format="pyarrow"))
+    return pairs
+
+
+def connected_components(
+    pairs: rd.Dataset, max_iters: int = 5, prefer_prefix: str | None = None
+) -> tuple[pa.Table, bool]:
+    """(uri -> canonical label) via iterative min-label propagation.
+
+    Returns (mapping table, converged).  Each iteration: label(u) =
+    min(label(u), min(label(v) for neighbors v)), expressed as a
+    self-union + groupby-min — pure dataset ops, shuffle-partitioned by
+    ``u``, no driver-side graph.
+
+    ``prefer_prefix``: canonical representatives matching this prefix
+    (e.g. the base KB) win over lexicographically-smaller equivalents —
+    implemented by rank-prefixing the propagated labels, mirroring the
+    reference's base-URI-as-hub convention (GraphHandlerNEL.java:251+).
+    """
+
+    def rank(uri: str) -> str:
+        if prefer_prefix is not None and prefer_prefix in uri:
+            return "0|" + uri
+        return "1|" + uri
+
+    def unrank(label: str) -> str:
+        return label.split("|", 1)[1]
+
+    # initial label: the node itself (rank-prefixed)
+    labels = pairs.groupby("u").map_groups(
+        lambda g: pa.table(
+            {"u": [g.column("u")[0].as_py()], "label": [rank(g.column("u")[0].as_py())]}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    pairs = pairs.materialize()
+
+    from ray.data.aggregate import Min
+
+    converged = False
+    label_map = {r["u"]: r["label"] for r in labels.take_all()}
+    for _ in range(max_iters):
+        ref = ray.put(label_map)
+
+        def propagate(batch: pa.Table) -> pa.Table:
+            lm = ray.get(ref)
+            us = batch.column("u").to_pylist()
+            vs = batch.column("v").to_pylist()
+            return pa.table(
+                {
+                    "u": pa.array(us, pa.string()),
+                    "label": pa.array([lm.get(v, rank(v)) for v in vs], pa.string()),
+                }
+            )
+
+        # candidate labels: own label + neighbors' labels, keep min.
+        # NOTE the per-iteration label map travels via ray.put broadcast;
+        # at KB scale (10^9 entities) swap the broadcast for a hash join
+        # pairs x labels on v — same algebra, all-shuffle.
+        neigh = pairs.map_batches(propagate, batch_format="pyarrow")
+        new_labels = (
+            labels.union(neigh).groupby("u").aggregate(Min("label", alias_name="label")).materialize()
+        )
+        new_map = {r["u"]: r["label"] for r in new_labels.take_all()}
+        labels = new_labels
+        if new_map == label_map:
+            converged = True
+            label_map = new_map
+            break
+        label_map = new_map
+
+    items = sorted(label_map.items())
+    t = pa.table(
+        {
+            "uri": pa.array([k for k, _ in items], pa.string()),
+            "canonical": pa.array([unrank(v) for _, v in items], pa.string()),
+        }
+    )
+    return t, converged
+
+
+def canonicalize_triples(triples: rd.Dataset, mapping: pa.Table) -> rd.Dataset:
+    """Rewrite subj/obj through the canonical map (broadcast lookup)."""
+    ref = ray.put(
+        dict(zip(mapping.column("uri").to_pylist(), mapping.column("canonical").to_pylist()))
+    )
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        subj = [m.get(s, s) for s in batch.column("subj").to_pylist()]
+        obj = [m.get(o, o) for o in batch.column("obj").to_pylist()]
+        out = batch.set_column(batch.schema.get_field_index("subj"), "subj", pa.array(subj, pa.string()))
+        out = out.set_column(out.schema.get_field_index("obj"), "obj", pa.array(obj, pa.string()))
+        return out
+
+    return triples.map_batches(rewrite, batch_format="pyarrow")

@@ -82,6 +82,33 @@ def merge_solutions(solutions: rd.Dataset) -> rd.Dataset:
     return solutions.groupby("uri").map_groups(merge, batch_format="pyarrow")
 
 
+def geonames_to_dictionary(geonames: rd.Dataset) -> rd.Dataset:
+    """Geonames-dump conversion (scripts/genGeonamesDico.py:22-37): each
+    place row (geonameid, name, altnames comma-separated) becomes one
+    dictionary row per name/altname with URI
+    ``http://sws.geonames.org/<id>`` — a flat map, LOC kind."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {n: [] for n in DICTIONARY_SCHEMA.names}
+        for r in batch.to_pylist():
+            uri = f"http://sws.geonames.org/{r['geonameid']}"
+            names = [r["name"]] + [
+                a for a in (r.get("altnames") or "").split(",") if a.strip()
+            ]
+            for name in names:
+                cols["alias_norm"].append(normalize_mention(name))
+                cols["alias_raw"].append(name)
+                cols["name_std"].append(r["name"])
+                cols["kind"].append("LOC")
+                cols["uri_group"].append([uri])
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], f.type) for f in DICTIONARY_SCHEMA],
+            schema=DICTIONARY_SCHEMA,
+        )
+
+    return geonames.map_batches(expand, batch_format="pyarrow", batch_size=None)
+
+
 def write_dictionary(dictionary: rd.Dataset, out_dir: str) -> None:
     """Idempotent partitioned write (the TSV-per-letter files become
     parquet partitions; rerun overwrites completed partitions)."""

@@ -111,6 +111,87 @@ def candidates_dataset(
     )
 
 
+def candidates_dataset_join(
+    mentions: rd.Dataset,
+    dictionary: pa.Table,
+    cfg: LinkerConfig,
+    exec_cfg: ExecConfig | None = None,
+) -> rd.Dataset:
+    """SHUFFLE-JOIN candidate generation — the 10^12-doc scale path for
+    dictionaries too large to broadcast (J2 as a real exchange).
+
+    mentions LEFT OUTER JOIN dictionary on (norm, ne_type) ==
+    (alias_norm, kind) via Ray's hash join, then per-context bucket
+    groupby reassembles the per-mention group lists with the exact
+    DictionaryIndex cap/dedup/row-order semantics
+    (stages.candidates.JoinedCandidateAssembler).  Output schema equals
+    the broadcast path's, so the fusion stage is oblivious — but note
+    the join SCATTERS context rows, so downstream fusion must use
+    ``mode="hash"`` (or consume this stage's bucket-grouped output,
+    which re-co-locates contexts; run_pipeline handles it).
+
+    Call ``use_hash_shuffle()`` before creating ``mentions`` when using
+    this path.
+    """
+    from ..stages.candidates import JoinedCandidateAssembler
+
+    exec_cfg = exec_cfg or ExecConfig()
+    if "dict_row" not in dictionary.column_names:
+        dictionary = dictionary.append_column(
+            "dict_row", pa.array(range(dictionary.num_rows), pa.int64())
+        )
+    # Arrow's hash join rejects list-typed payload columns: ship the URI
+    # group tab-joined as a plain string, split downstream
+    dict_ds = rd.from_arrow(
+        pa.table(
+            {
+                "alias_norm": dictionary.column("alias_norm"),
+                "kind": dictionary.column("kind"),
+                "uri_group_str": pa.array(
+                    ["\t".join(g) for g in dictionary.column("uri_group").to_pylist()],
+                    pa.string(),
+                ),
+                "dict_row": dictionary.column("dict_row"),
+            }
+        )
+    )
+    joined = mentions.join(
+        dict_ds,
+        join_type="left_outer",
+        num_partitions=exec_cfg.join_buckets,
+        on=("norm", "ne_type"),
+        right_on=("alias_norm", "kind"),
+    )
+
+    n_buckets = exec_cfg.fuse_buckets
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        keys = [
+            int.from_bytes(
+                hashlib.blake2b(f"{u}\x00{c}".encode(), digest_size=4).digest(), "big"
+            )
+            % n_buckets
+            for u, c in zip(
+                batch.column("url").to_pylist(), batch.column("context_id").to_pylist()
+            )
+        ]
+        return batch.append_column("bucket", pa.array(keys, pa.int32()))
+
+    return (
+        joined.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=n_buckets)
+        .map_groups(
+            JoinedCandidateAssembler,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            concurrency=exec_cfg.lookup_concurrency,
+            num_cpus=1,
+        )
+    )
+
+
 def linked_dataset(
     candidates: rd.Dataset,
     adj_ref,

@@ -78,3 +78,38 @@ def enrichment(links: rd.Dataset, adjacency: pa.Table, props: list[str]) -> rd.D
         return out
 
     return counts.map_batches(attach_props, batch_format="pyarrow")
+
+
+def to_geojson_features(enriched: rd.Dataset, lat_prop: str, lon_prop: str) -> rd.Dataset:
+    """Enriched URI records -> GeoJSON Feature rows ready for
+    ``write_json`` (the ``EnrichmentHandler.toJson`` analogue,
+    EnrichmentHandler.java:122-153).  Rows lacking coordinates drop."""
+    import json
+
+    lat_col = lat_prop.rsplit("/", 1)[-1]
+    lon_col = lon_prop.rsplit("/", 1)[-1]
+
+    def features(batch: pa.Table) -> pa.Table:
+        out = []
+        for r in batch.to_pylist():
+            if r.get(lat_col) is None or r.get(lon_col) is None:
+                continue
+            out.append(
+                json.dumps(
+                    {
+                        "type": "Feature",
+                        "geometry": {
+                            "type": "Point",
+                            "coordinates": [float(r[lon_col]), float(r[lat_col])],
+                        },
+                        "properties": {
+                            "uri": r["uri"],
+                            "occurrences": r["occurrences"],
+                        },
+                    },
+                    sort_keys=True,
+                )
+            )
+        return pa.table({"feature": pa.array(out, pa.string())})
+
+    return enriched.map_batches(features, batch_format="pyarrow")

@@ -121,8 +121,9 @@ class JoinedCandidateAssembler:
     """Rebuilds per-mention candidate groups from the SHUFFLE-JOIN path.
 
     Input: one hash bucket of ``mentions LEFT OUTER JOIN dictionary`` rows
-    (one row per mention x matching dictionary row, ``uri_group`` null
-    for no-match mentions, ``dict_row`` = the dictionary row index).
+    (one row per mention x matching dictionary row, ``uri_group_str``
+    (tab-joined; Arrow joins reject list payloads) null for no-match
+    mentions, ``dict_row`` = the dictionary row index).
     Emits CANDIDATE_SCHEMA rows: per mention, groups ordered by
     dictionary-row order, capped at ``max_rows`` then string-deduped —
     exactly the DictionaryIndex semantics, reproduced after a shuffle.
@@ -150,7 +151,7 @@ class JoinedCandidateAssembler:
         surfaces = group.column("surface").to_pylist()
         norms = group.column("norm").to_pylist()
         ne_types = group.column("ne_type").to_pylist()
-        uri_groups = group.column("uri_group").to_pylist()
+        uri_groups = group.column("uri_group_str").to_pylist()
 
         cols: dict[str, list] = {k: [] for k in CANDIDATE_SCHEMA.names}
         n = len(urls)
@@ -169,7 +170,7 @@ class JoinedCandidateAssembler:
             for i in range(start, min(end, start + max_rows)):
                 g = uri_groups[i]
                 if g is not None:
-                    seen.setdefault("\t".join(g), None)
+                    seen.setdefault(g, None)
             groups = [j.split("\t") for j in seen]
             cols["url"].append(urls[start])
             cols["context_id"].append(cids[start])
