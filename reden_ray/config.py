@@ -36,6 +36,13 @@ class LinkerConfig:
     rel_weights: dict[str, float] = field(default_factory=dict)
     # Lucene search cap: DicoProcessingNEL.java:319 `search(query, 100)`
     max_candidate_rows: int = 100
+    # SKEW GUARD (no reference analogue — the reference would OOM): a
+    # pathological mega-context (e.g. a spam page with thousands of
+    # annotated mentions of a hot entity) is truncated to its first N
+    # mentions in document order before linking; None disables.  The
+    # truncation is deterministic and surfaces in the link rows' route
+    # column as 'OkTruncated'.
+    max_context_mentions: int | None = None
 
     def weight_for(self, pred: str) -> float:
         return self.rel_weights.get(pred.lower(), 1.0)

@@ -305,6 +305,21 @@ def link_context(
     """Run the full per-context algorithm; emits one LinkRow per mention
     (method 'centrality' / 'unambiguous' / 'nil') and the pruned fusion
     graph's edges as (subj, pred, obj, weight) triples."""
+    truncated = False
+    if cfg.max_context_mentions is not None and len(mentions) > cfg.max_context_mentions:
+        # skew guard: deterministic first-N truncation of mega-contexts;
+        # dropped mentions get explicit nil rows so output stays 1:1
+        kept = mentions[: cfg.max_context_mentions]
+        dropped = mentions[cfg.max_context_mentions :]
+        res = link_context(kept, candidate_map, adjacency, cfg)
+        links = list(res.links) + [
+            LinkRow(m.mention_id, m.surface, m.ne_type, [], None, "nil") for m in dropped
+        ]
+        return ContextResult(
+            res.route + "Truncated" if res.route == "Ok" else res.route,
+            links,
+            res.triples,
+        )
     all_surfaces = [m.surface for m in mentions]
     route = route_context(candidate_map, all_surfaces)
     links: list[LinkRow] = []
