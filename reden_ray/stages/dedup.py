@@ -115,24 +115,29 @@ class MinHasher:
         )
 
 
+_BAND_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
 def _band_rows(batch: pa.Table, n_bands: int, rows_per_band: int) -> pa.Table:
-    doc_ids, bands, keys = [], [], []
-    for doc_id, sig in zip(
-        batch.column("doc_id").to_pylist(), batch.column("sig").to_pylist()
-    ):
-        for b in range(n_bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            digest = hashlib.blake2b(
-                np.asarray([b] + list(chunk), dtype=np.uint64).tobytes(), digest_size=8
-            ).digest()
-            doc_ids.append(doc_id)
-            bands.append(b)
-            keys.append(int.from_bytes(digest, "big") >> 1)
+    """Banded bucket rows, fully vectorized: the band key is a
+    multiply-xor mix of the band's signature rows (deterministic across
+    workers; collisions beyond real signature equality are ~2^-62)."""
+    doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+    sigs = np.asarray(batch.column("sig").to_pylist(), dtype=np.uint64)
+    n = len(doc_ids)
+    sigs = sigs.reshape(n, n_bands, rows_per_band)
+    keys = np.full((n, n_bands), np.uint64(1469598103934665603))  # FNV offset
+    for r in range(rows_per_band):
+        keys = (keys ^ sigs[:, :, r]) * _BAND_MIX
+    band_idx = np.broadcast_to(np.arange(n_bands, dtype=np.uint64), (n, n_bands))
+    keys = (keys ^ band_idx) * _BAND_MIX
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "band": pa.array(bands, pa.int32()),
-            "band_key": pa.array(keys, pa.int64()),
+            "doc_id": pa.array(np.repeat(doc_ids, n_bands)),
+            "band": pa.array(
+                np.tile(np.arange(n_bands, dtype=np.int32), n), pa.int32()
+            ),
+            "band_key": pa.array((keys >> np.uint64(1)).astype(np.int64).reshape(-1)),
         }
     )
 
@@ -141,7 +146,7 @@ def minhash_lsh_pairs(
     docs: rd.Dataset,
     threshold: float = 0.7,
     n_perm: int = 64,
-    n_bands: int = 16,
+    n_bands: int = 8,
     shingle_k: int = 5,
     max_bucket: int = 200,
 ) -> pa.Table:
@@ -162,7 +167,8 @@ def minhash_lsh_pairs(
 
     buckets = sigs.map_batches(
         lambda t: _band_rows(t, n_bands, rows_per_band), batch_format="pyarrow"
-    )
+    ).materialize()
+    buckets = _collision_buckets_only(buckets)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(group.column("doc_id").to_pylist())
@@ -211,6 +217,34 @@ def minhash_lsh_pairs(
             "bucket_truncated": pa.array([any_trunc] * len(out_a), pa.bool_()),
         }
     )
+
+
+def _collision_buckets_only(buckets: rd.Dataset) -> rd.Dataset:
+    """Keep only (band, band_key) buckets holding >=2 docs.
+
+    Almost every bucket is a singleton; running map_groups over all of
+    them costs one Python call per DOC x BAND (measured: the dominant
+    cost).  A vectorized count-aggregate first, then a broadcast filter,
+    leaves map_groups only the actual collision buckets.
+    """
+    from ray.data.aggregate import Count
+
+    counts = buckets.groupby(["band", "band_key"]).aggregate(Count(alias_name="n"))
+    hot = {
+        (r["band"], r["band_key"])
+        for r in counts.take_all()
+        if r["n"] >= 2
+    }
+    hot_ref = ray.put(hot)
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        bands = batch.column("band").to_pylist()
+        keys = batch.column("band_key").to_pylist()
+        mask = pa.array([(b, k) in hs for b, k in zip(bands, keys)], pa.bool_())
+        return batch.filter(mask)
+
+    return buckets.map_batches(keep_hot, batch_format="pyarrow")
 
 
 # --- simhash -------------------------------------------------------------
@@ -279,7 +313,9 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 6) -> pa.Table:
         )
 
     cand = (
-        sigs.map_batches(band_rows, batch_format="pyarrow")
+        _collision_buckets_only(
+            sigs.map_batches(band_rows, batch_format="pyarrow").materialize()
+        )
         .groupby(["band", "band_key"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .take_all()

@@ -124,18 +124,26 @@ def run_checkpointed(
     combined = run_pipeline(pages, dictionary, adjacency, cfg, exec_cfg).map_batches(
         lambda t: add_partition_column(t, n_parts), batch_format="pyarrow"
     )
-    combined = combined.materialize()
+    # stream straight to parquet — no mid-pipeline materialize; the
+    # lineage counts come from a cheap re-read of the (much smaller)
+    # freshly-written partitions
     combined.write_parquet(data_dir, partition_cols=["part"])
 
-    # per-partition lineage metrics (counts), one tiny aggregate pass
     def part_counts(batch: pa.Table) -> pa.Table:
         tbl = batch.group_by(["part", "record_type"]).aggregate([("url", "count")])
         return tbl.rename_columns(["part", "record_type", "n"])
 
     agg: dict[int, dict[str, int]] = {p: {"link": 0, "triple": 0} for p in todo}
-    for r in combined.map_batches(part_counts, batch_format="pyarrow").take_all():
-        agg.setdefault(r["part"], {"link": 0, "triple": 0})
-        agg[r["part"]][r["record_type"]] = agg[r["part"]].get(r["record_type"], 0) + r["n"]
+    # hive-style partition dirs surface as a "part" column on re-read
+    counts_ds = rd.read_parquet(data_dir, columns=["part", "url", "record_type"])
+    for r in (
+        counts_ds.map_batches(part_counts, batch_format="pyarrow").take_all()
+    ):
+        p = int(r["part"])
+        if p not in todo:
+            continue
+        agg.setdefault(p, {"link": 0, "triple": 0})
+        agg[p][r["record_type"]] = agg[p].get(r["record_type"], 0) + r["n"]
     for p in todo:
         counts = agg.get(p, {})
         manifest.record(
