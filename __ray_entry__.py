@@ -201,6 +201,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": R.dedup_exact_docs,
         "text_token_stats": R.text_token_stats,
         "knn_dot_topk": R.knn_dot_topk,
+        "json_extract_props": R.json_extract_props,
+        "o3_regex_scan": R.o3_regex_scan,
+        "distinct_count_per_group": R.distinct_count_per_group,
         # KG pipeline (fixture-backed; golden-tested in-repo; rows-only here)
         "kg_links": _kg_links,
         "kg_triples": _kg_triples,
@@ -293,6 +296,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
             "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens_ws, "
             "length(text) AS n_chars_seen FROM documents"
+        ),
+        "json_extract_props": (
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
+        ),
+        "o3_regex_scan": (
+            "SELECT p_partkey, p_name FROM part "
+            "WHERE regexp_matches(p_name, '(red|blue)')"
+        ),
+        "distinct_count_per_group": (
+            "SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts "
+            "FROM lineitem GROUP BY l_suppkey"
         ),
         "knn_dot_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "

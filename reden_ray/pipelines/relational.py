@@ -287,6 +287,67 @@ def text_token_stats(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(stats, batch_format="pyarrow")
 
 
+# --- scalar functions: JSON, regex, distinct-count -----------------------
+
+def json_extract_props(sf_dir: str) -> rd.Dataset:
+    """JSON scalar extraction (SURVEY §2.8): events.props -> int field k."""
+    import json
+
+    ev = _read(sf_dir, "events", ["event_id", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = [json.loads(p)["k"] for p in t.column("props").to_pylist()]
+        return pa.table(
+            {"event_id": t.column("event_id"), "k": pa.array(ks, pa.int64())}
+        )
+
+    return ev.map_batches(extract, batch_format="pyarrow")
+
+
+def o3_regex_scan(sf_dir: str) -> rd.Dataset:
+    """O3: regex scan over a name column (the Lucene regex-query
+    completeness probe, DicoProcessingNEL.java:349-378)."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    return part.map_batches(
+        lambda t: t.filter(pc.match_substring_regex(t["p_name"], r"(red|blue)")),
+        batch_format="pyarrow",
+    )
+
+
+def distinct_count_per_group(sf_dir: str) -> rd.Dataset:
+    """count(distinct) per group — partial sets union per batch, then a
+    small merge (the mergeable-sketch pattern with exact sets)."""
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        seen: dict[int, set[int]] = {}
+        for s, p in zip(t.column("l_suppkey").to_pylist(), t.column("l_partkey").to_pylist()):
+            seen.setdefault(s, set()).add(p)
+        return pa.table(
+            {
+                "l_suppkey": pa.array(list(seen), pa.int64()),
+                "parts": pa.array([sorted(v) for v in seen.values()], pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        acc: set[int] = set()
+        for lst in group.column("parts").to_pylist():
+            acc.update(lst)
+        return pa.table(
+            {
+                "l_suppkey": pa.array([group.column("l_suppkey")[0].as_py()], pa.int64()),
+                "n_parts": pa.array([len(acc)], pa.int64()),
+            }
+        )
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 # --- embeddings: exact knn ------------------------------------------------
 
 def knn_dot_topk(sf_dir: str, n_queries: int = 3, k: int = 5) -> pa.Table:
