@@ -113,6 +113,12 @@ def _kg_text_invariant(sf_dir: str):
     return pd.DataFrame([{"bad_rows": verify_text_invariant(pages)}])
 
 
+def _kg_links_untagged(sf_dir: str):
+    from reden_ray.pipelines.kg import links_view, run_untagged_pipeline
+
+    return links_view(run_untagged_pipeline(_fixture_for(sf_dir)))
+
+
 def _kg_canonical_triples(sf_dir: str):
     import ray.data as rd
 
@@ -212,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_text_invariant": _kg_text_invariant,
         "kg_canonical_triples": _kg_canonical_triples,
         "kg_pred_frequency": _kg_pred_frequency,
+        "kg_links_untagged": _kg_links_untagged,
         # approximate dedup / scoring (algorithmic, rows-only)
         "dedup_minhash_docs": _dedup_minhash,
         "dedup_simhash_docs": _dedup_simhash,

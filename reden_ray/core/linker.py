@@ -161,20 +161,27 @@ def fuse_graph(
                 if base in uri:
                     base_uris.append(uri)
 
+    weight_cache: dict[str, float] = {}
+    same_as = cfg.same_as_property
     for uri in base_uris:
         v1 = decompose(uri)
+        v1_low = v1.lower()
+        uri_low = uri.lower()
         graph.add_vertex(v1)
         for alias in equivalences.get(uri, {}):
-            if uri.lower() == alias.lower():  # avoiding loops
+            if uri_low == alias.lower():  # avoiding loops
                 continue
             for pred, obj in adjacency.get(alias):
-                if pred == cfg.same_as_property:
+                if pred == same_as:
                     continue
                 v2 = decompose(obj)
-                if v1.lower() == v2.lower():
+                if v1_low == v2.lower():
                     continue
+                w = weight_cache.get(pred)
+                if w is None:
+                    w = weight_cache[pred] = cfg.weight_for(pred)
                 graph.add_vertex(v2)
-                graph.add_edge(v1, v2, pred, cfg.weight_for(pred))
+                graph.add_edge(v1, v2, pred, w)
     return graph
 
 
@@ -208,15 +215,19 @@ def prune_graph(graph: ContextGraph, colored: set[str], inverted_index: dict[str
     fewer than 2 distinct mentions (CentralityHandler.java:100-122).
     Two-phase: flag on the original graph, then remove all."""
     to_delete: list[str] = []
+    out_adj, in_adj = graph.out_adj, graph.in_adj
     for vertex in graph.vertices:
         if vertex in colored:
             continue
         mention_check: set[str | None] = set()
-        for src, dst in graph.neighbors_of(vertex):
-            if src != vertex and src in colored:
-                mention_check.add(inverted_index.get(src))
+        # incident edges without materializing (src, dst) tuples: for an
+        # out-edge the OTHER endpoint is dst; for an in-edge it's src
+        for dst in out_adj.get(vertex, ()):
             if dst != vertex and dst in colored:
                 mention_check.add(inverted_index.get(dst))
+        for src in in_adj.get(vertex, ()):
+            if src != vertex and src in colored:
+                mention_check.add(inverted_index.get(src))
         if len(mention_check) < 2:
             to_delete.append(vertex)
     graph.remove_vertices(to_delete)

@@ -111,6 +111,42 @@ def candidates_dataset(
     )
 
 
+def untagged_mentions_dataset(pages: rd.Dataset) -> rd.Dataset:
+    """pages -> heuristic-NER mention rows (untagged web text; ne_type
+    'ANY' routes candidate lookup across every per-type dictionary)."""
+    from ..stages.ner import contexts_to_untagged_mentions
+
+    return pages.map_batches(
+        pages_to_contexts, batch_format="pyarrow", batch_size=None
+    ).map_batches(contexts_to_untagged_mentions, batch_format="pyarrow", batch_size=None)
+
+
+def run_untagged_pipeline(
+    fixture_dir: str,
+    exec_cfg: ExecConfig | None = None,
+) -> rd.Dataset:
+    """The no-annotations variant of the flagship pipeline: heuristic
+    NER instead of pre-tagged spans; everything downstream identical."""
+    base_cfg = fixture_config(fixture_dir)
+    cfg = LinkerConfig(
+        ne_types=("ANY",),
+        base_uri_filter=base_cfg.base_uri_filter,
+        same_as_property=base_cfg.same_as_property,
+        crawl_same_as=base_cfg.crawl_same_as,
+        preferred_uri=base_cfg.preferred_uri,
+        measure=base_cfg.measure,
+        rel_weights=base_cfg.rel_weights,
+    )
+    pages = rd.read_parquet(f"{fixture_dir}/pages.parquet", columns=["url", "html"])
+    dictionary = pq.read_table(f"{fixture_dir}/dictionary.parquet")
+    adjacency = pq.read_table(f"{fixture_dir}/adjacency.parquet")
+    dict_ref = ray.put(dictionary)
+    adj_ref = ray.put(adjacency)
+    ments = untagged_mentions_dataset(pages)
+    cands = candidates_dataset(ments, dict_ref, cfg, exec_cfg)
+    return linked_dataset(cands, adj_ref, cfg, exec_cfg)
+
+
 def candidates_dataset_join(
     mentions: rd.Dataset,
     dictionary: pa.Table,

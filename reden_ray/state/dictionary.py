@@ -40,18 +40,29 @@ class DictionaryIndex:
         self.max_rows = max_rows
         self.typed = "kind" in table.column_names
         self._by_key: dict[tuple[str, str], list[str]] = {}
+        self._by_norm: dict[str, list[str]] = {}  # cross-kind, row order
         norms = table.column("alias_norm").to_pylist()
         kinds = (
             table.column("kind").to_pylist() if self.typed else [""] * len(norms)
         )
         groups = table.column("uri_group").to_pylist()
         by_key = self._by_key
+        by_norm = self._by_norm
         for kind, norm, group in zip(kinds, norms, groups):
-            by_key.setdefault((kind, norm), []).append("\t".join(group))
+            joined = "\t".join(group)
+            by_key.setdefault((kind, norm), []).append(joined)
+            by_norm.setdefault(norm, []).append(joined)
 
     def groups(self, norm: str, kind: str = "") -> list[list[str]]:
-        """Candidate URI groups, capped then string-deduped, row order."""
-        rows = self._by_key.get((kind if self.typed else "", norm))
+        """Candidate URI groups, capped then string-deduped, row order.
+
+        ``kind="ANY"`` searches across every per-type dictionary (the
+        untagged-NER path — no reference analogue; rows stay in global
+        dictionary-row order)."""
+        if kind == "ANY" or not self.typed:
+            rows = self._by_norm.get(norm)
+        else:
+            rows = self._by_key.get((kind, norm))
         if not rows:
             return []
         seen: dict[str, None] = {}
