@@ -36,7 +36,7 @@ BENCH_FIXTURE = {  # sf basename -> fixture scale for the headline pipeline
 }
 # the scaling runs use a larger corpus so compute dominates fixed
 # overhead (actor/worker spawn ~0.5s) and efficiency is measurable
-SCALING_FIXTURE = dict(n_docs=20000, n_entities=200, n_topics=20, seed=42)
+SCALING_FIXTURE = dict(n_docs=40000, n_entities=240, n_topics=24, seed=42)
 
 
 def run_bench() -> dict:
