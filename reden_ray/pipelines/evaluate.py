@@ -42,12 +42,15 @@ EVAL_SCHEMA = pa.schema(
 
 
 def eval_records(
-    candidates: rd.Dataset, links: rd.Dataset, gold: pa.Table
+    candidates: rd.Dataset, links: rd.Dataset, gold: pa.Table, num_partitions: int = 16
 ) -> rd.Dataset:
-    """Per-mention EvalInfo analogue.  ``candidates`` is the per-mention
-    candidate dataset (uri_groups column), ``links`` the links view,
-    ``gold`` the (url, context_id, mention_id, gold_uri) table
-    (broadcast — gold sets are tiny next to the corpus)."""
+    """Per-mention EvalInfo analogue.
+
+    ``candidates`` (per-mention uri_groups) and ``links`` are both
+    CORPUS-SIZED, so they meet in a keyed hash JOIN on
+    (url, context_id, mention_id) — never a driver collect.  Only
+    ``gold`` (human annotations, inherently small) is broadcast.
+    """
     gold_ref = ray.put(
         {
             (u, c, m): g
@@ -59,26 +62,61 @@ def eval_records(
             )
         }
     )
-    links_small = links.select_columns(["url", "context_id", "mention_id", "chosen_uris"])
-    chosen_ref = ray.put(
-        {
-            (r["url"], r["context_id"], r["mention_id"]): list(r["chosen_uris"] or [])
-            for r in links_small.take_all()
-        }
+
+    # Arrow joins reject list payloads: carry chosen URIs space-joined
+    # (also exactly the string the reference substring-compares against)
+    def flatten_links(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "context_id": batch.column("context_id"),
+                "mention_id": batch.column("mention_id"),
+                "chosen_str": pa.array(
+                    [" ".join(c or []) for c in batch.column("chosen_uris").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    links_small = links.map_batches(flatten_links, batch_format="pyarrow")
+
+    # the nested uri_groups column is also a list type: serialize it
+    # (groups tab-joined, record-separator-joined) across the join
+    def flatten_candidates(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "context_id": batch.column("context_id"),
+                "mention_id": batch.column("mention_id"),
+                "surface": batch.column("surface"),
+                "groups_str": pa.array(
+                    [
+                        "\x1e".join("\t".join(g) for g in gs or [])
+                        for gs in batch.column("uri_groups").to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    joined = candidates.map_batches(flatten_candidates, batch_format="pyarrow").join(
+        links_small,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("url", "context_id", "mention_id"),
     )
 
     def build(batch: pa.Table) -> pa.Table:
         gold_map = ray.get(gold_ref)
-        chosen_map = ray.get(chosen_ref)
         cols: dict[str, list] = {n: [] for n in EVAL_SCHEMA.names}
         for r in batch.select(
-            ["url", "context_id", "mention_id", "surface", "uri_groups"]
+            ["url", "context_id", "mention_id", "surface", "groups_str", "chosen_str"]
         ).to_pylist():
             key = (r["url"], r["context_id"], r["mention_id"])
-            groups = r["uri_groups"] or []
+            gs = r["groups_str"] or ""
+            groups = [g.split("\t") for g in gs.split("\x1e")] if gs else []
             gold_uri = gold_map.get(key)
-            chosen = chosen_map.get(key, [])
-            chosen_str = " ".join(chosen)
+            chosen_str = r["chosen_str"] or ""
             cols["url"].append(r["url"])
             cols["context_id"].append(r["context_id"])
             cols["mention_id"].append(r["mention_id"])
@@ -89,15 +127,15 @@ def eval_records(
                 gold_uri is not None
                 and any(gold_uri in uri for g in groups for uri in g)
             )
-            cols["has_choice"].append(bool(chosen))
+            cols["has_choice"].append(bool(chosen_str))
             cols["choice_correct"].append(
-                gold_uri is not None and bool(chosen) and gold_uri in chosen_str
+                gold_uri is not None and bool(chosen_str) and gold_uri in chosen_str
             )
         return pa.Table.from_arrays(
             [pa.array(cols[f.name], f.type) for f in EVAL_SCHEMA], schema=EVAL_SCHEMA
         )
 
-    return candidates.map_batches(build, batch_format="pyarrow")
+    return joined.map_batches(build, batch_format="pyarrow")
 
 
 def _indicators(batch: pa.Table) -> pa.Table:
