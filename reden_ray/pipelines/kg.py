@@ -127,16 +127,9 @@ def run_untagged_pipeline(
 ) -> rd.Dataset:
     """The no-annotations variant of the flagship pipeline: heuristic
     NER instead of pre-tagged spans; everything downstream identical."""
-    base_cfg = fixture_config(fixture_dir)
-    cfg = LinkerConfig(
-        ne_types=("ANY",),
-        base_uri_filter=base_cfg.base_uri_filter,
-        same_as_property=base_cfg.same_as_property,
-        crawl_same_as=base_cfg.crawl_same_as,
-        preferred_uri=base_cfg.preferred_uri,
-        measure=base_cfg.measure,
-        rel_weights=base_cfg.rel_weights,
-    )
+    import dataclasses
+
+    cfg = dataclasses.replace(fixture_config(fixture_dir), ne_types=("ANY",))
     pages = rd.read_parquet(f"{fixture_dir}/pages.parquet", columns=["url", "html"])
     dictionary = pq.read_table(f"{fixture_dir}/dictionary.parquet")
     adjacency = pq.read_table(f"{fixture_dir}/adjacency.parquet")

@@ -85,3 +85,26 @@ def test_minhash_estimates_jaccard():
     est = float((m.signature(a) == m.signature(b)).mean())
     true = ngram_jaccard([a], [b])[0]
     assert abs(est - true) < 0.15
+
+
+def test_dictionary_cap_applies_before_dedup():
+    """O2: the 100-row Lucene cap counts raw rows, not unique groups."""
+    import pyarrow as pa
+
+    from reden_ray.state.dictionary import DictionaryIndex
+
+    # 150 rows for one alias: 120 identical groups then 30 distinct ones
+    groups = [["http://kb.test/ent/same"]] * 120 + [
+        [f"http://kb.test/ent/{i}"] for i in range(30)
+    ]
+    t = pa.table(
+        {
+            "alias_norm": pa.array(["x"] * 150),
+            "kind": pa.array(["PER"] * 150),
+            "uri_group": pa.array(groups, pa.list_(pa.string())),
+        }
+    )
+    idx = DictionaryIndex(t, max_rows=100)
+    got = idx.groups("x", "PER")
+    # first 100 raw rows = 120-dup block truncated: only the 'same' group
+    assert got == [["http://kb.test/ent/same"]]
