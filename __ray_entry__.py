@@ -247,7 +247,8 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"
         ),
         "a1_collect_groups": (
-            "SELECT l_orderkey, list(DISTINCT l_partkey ORDER BY l_partkey) AS partkeys, "
+            "SELECT l_orderkey, "
+            "array_to_string(list(DISTINCT l_partkey ORDER BY l_partkey), ',') AS partkeys, "
             "count(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY l_orderkey"
         ),
         "a3_pred_frequency": (

@@ -66,11 +66,14 @@ def j2_broadcast_join(sf_dir: str) -> rd.Dataset:
 
 def j1_hash_join(sf_dir: str) -> rd.Dataset:
     """lineitem x orders on orderkey (Ray native hash-shuffle join)."""
+    import ray
+
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).rename_columns(
         ["l_orderkey", "o_orderstatus"]
     )
-    joined = hash_join(li, orders, on=["l_orderkey"], num_partitions=16)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    joined = hash_join(li, orders, on=["l_orderkey"], num_partitions=max(4, cpus // 2))
     return joined.map_batches(
         lambda t: _round_col(t, "l_extendedprice", 2), batch_format="pyarrow"
     )
@@ -110,7 +113,10 @@ def a1_collect_groups(sf_dir: str) -> rd.Dataset:
         return pa.table(
             {
                 "l_orderkey": pa.array([group.column("l_orderkey")[0].as_py()], pa.int64()),
-                "partkeys": pa.array([parts], pa.list_(pa.int64())),
+                # CSV string, not list<int64>: engine-portable value
+                # hashing (list columns convert differently across
+                # pandas/duckdb/numpy)
+                "partkeys": pa.array([",".join(map(str, parts))], pa.string()),
                 "n_parts": pa.array([len(parts)], pa.int64()),
             }
         )

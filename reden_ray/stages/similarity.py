@@ -83,6 +83,103 @@ def knn_brute_force(
     )
 
 
+def train_ivf_centroids(
+    embeddings: rd.Dataset,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    n_iters: int = 10,
+    seed: int = 13,
+    id_column: str = "vec_id",
+) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means on a deterministic sample.
+
+    The sample (first ``sample_size`` rows by id — seeded/deterministic,
+    no global shuffle) trains centroids DRIVER-SIDE in numpy; at corpus
+    scale this is the standard pattern (train on a sample, assign
+    distributed).  Returns L2-normalized centroids (spherical k-means —
+    cosine geometry)."""
+    rows = embeddings.limit(sample_size).take_all()
+    x = _normalize(np.asarray([r["embedding"] for r in rows], dtype=np.float32))
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def knn_ivf(
+    embeddings: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 13,
+    id_column: str = "vec_id",
+) -> pa.Table:
+    """IVF approximate top-k: assign every vector to its nearest
+    centroid per batch; score a query only against vectors whose
+    centroid is among the query's ``nprobe`` nearest lists.  Same output
+    schema as ``knn_brute_force``; recall grows with nprobe (== exact at
+    nprobe == n_centroids)."""
+    cent = train_ivf_centroids(embeddings, n_centroids=n_centroids, seed=seed, id_column=id_column)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_lists = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
+    cent_ref, q_ref, lists_ref = ray.put(cent), ray.put(q), ray.put(q_lists)
+
+    def local(batch: pa.Table) -> pa.Table:
+        c, qm, ql = ray.get(cent_ref), ray.get(q_ref), ray.get(lists_ref)
+        ids = np.asarray(batch.column(id_column).to_pylist(), dtype=np.int64)
+        vecs = _normalize(np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32))
+        assign = np.argmax(vecs @ c.T, axis=1)
+        sims = qm @ vecs.T
+        qs, vs, ss = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(assign, ql[qi])
+            if not mask.any():
+                continue
+            cand = np.where(mask)[0]
+            kk = min(k, len(cand))
+            idx = cand[np.argpartition(-sims[qi, cand], kk - 1)[:kk]]
+            qs.extend([qi] * kk)
+            vs.extend(ids[idx].tolist())
+            ss.extend(sims[qi, idx].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qs, pa.int64()),
+                "vec_id": pa.array(vs, pa.int64()),
+                "cosine": pa.array(ss, pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(local, batch_format="pyarrow").take_all()
+    by_q: dict[int, list[tuple[float, int]]] = {}
+    for r in partials:
+        by_q.setdefault(r["query_id"], []).append((r["cosine"], r["vec_id"]))
+    q_col, r_col, v_col, s_col = [], [], [], []
+    for qi in sorted(by_q):
+        best = sorted(by_q[qi], key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (s, v) in enumerate(best):
+            q_col.append(qi)
+            r_col.append(rank)
+            v_col.append(v)
+            s_col.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(q_col, pa.int64()),
+            "rank": pa.array(r_col, pa.int64()),
+            "vec_id": pa.array(v_col, pa.int64()),
+            "cosine": pa.array(s_col, pa.float64()),
+        }
+    )
+
+
 def knn_lsh(
     embeddings: rd.Dataset,
     queries: np.ndarray,

@@ -198,3 +198,25 @@ def test_multimodal_stub_plumbing(ray_session):
 
     with _pytest.raises(NotImplementedError):
         ImageFeatures(strict=True)(synth_media_table(2))
+
+
+def test_knn_ivf_recall_and_full_probe_exact(embeddings):
+    import pyarrow.parquet as pq
+
+    from reden_ray.stages.similarity import knn_brute_force, knn_ivf
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    q = vecs[:3]
+    exact = knn_brute_force(embeddings, q, k=5).to_pylist()
+    # nprobe == n_centroids probes every list => exact results
+    full = knn_ivf(embeddings, q, k=5, n_centroids=8, nprobe=8).to_pylist()
+    for qi in range(3):
+        want = [r["vec_id"] for r in exact if r["query_id"] == qi]
+        got = [r["vec_id"] for r in full if r["query_id"] == qi]
+        assert got == want
+    # narrow probe still finds each query's own vector (its top-1)
+    narrow = knn_ivf(embeddings, q, k=5, n_centroids=8, nprobe=2).to_pylist()
+    for qi in range(3):
+        top = [r for r in narrow if r["query_id"] == qi and r["rank"] == 0]
+        assert top and top[0]["vec_id"] == [r["vec_id"] for r in exact if r["query_id"] == qi][0]
