@@ -1,0 +1,139 @@
+"""Centrality measures for per-context fusion graphs (A6).
+
+The reference dispatches on a config string to jgrapht-sna implementations
+(CentralityHandler.java:137-152): DegreeCentrality,
+BrandesBetweennessCentrality, FreemanClosenessCentrality,
+EigenvectorCentrality.  Context graphs are small (10^2-10^3 vertices), so
+plain-Python implementations suffice; the registry lets configs and
+user extensions select by name (the §2.10 hook, Ray-native form).
+
+Definitions (standard; within one context only the RANKING between a
+mention's candidates matters, and all share the graph):
+- degree:       (in + out) / (n - 1)
+- betweenness:  Brandes' algorithm on the directed graph (unweighted)
+- closeness:    Freeman: (reachable - 1) / sum(d(v, u)) over reachable
+                u (0 for isolated vertices)
+- eigenvector:  power iteration on A + A^T (symmetrized so sinks don't
+                zero out; 100 iters / 1e-10 tol)
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Callable
+
+from .graph import ContextGraph
+
+Measure = Callable[[ContextGraph], dict[str, float]]
+
+
+def degree_centrality(graph: ContextGraph) -> dict[str, float]:
+    n = graph.n_vertices()
+    if n <= 1:
+        return {v: 0.0 for v in graph.vertices}
+    denom = float(n - 1)
+    return {v: graph.degree(v) / denom for v in graph.vertices}
+
+
+def brandes_betweenness(graph: ContextGraph) -> dict[str, float]:
+    """Brandes (2001), directed, unweighted."""
+    bc = dict.fromkeys(graph.vertices, 0.0)
+    out_adj = graph.out_adj
+    for s in graph.vertices:
+        stack: list[str] = []
+        pred: dict[str, list[str]] = {v: [] for v in graph.vertices}
+        sigma = dict.fromkeys(graph.vertices, 0.0)
+        sigma[s] = 1.0
+        dist = dict.fromkeys(graph.vertices, -1)
+        dist[s] = 0
+        queue = deque([s])
+        while queue:
+            v = queue.popleft()
+            stack.append(v)
+            for w in out_adj.get(v, ()):
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    queue.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    pred[w].append(v)
+        delta = dict.fromkeys(graph.vertices, 0.0)
+        while stack:
+            w = stack.pop()
+            for v in pred[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def freeman_closeness(graph: ContextGraph) -> dict[str, float]:
+    out_adj = graph.out_adj
+    out: dict[str, float] = {}
+    for s in graph.vertices:
+        dist = {s: 0}
+        queue = deque([s])
+        total = 0
+        while queue:
+            v = queue.popleft()
+            for w in out_adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    total += dist[w]
+                    queue.append(w)
+        reachable = len(dist) - 1
+        out[s] = (reachable / total) if total > 0 else 0.0
+    return out
+
+
+def eigenvector_centrality(graph: ContextGraph) -> dict[str, float]:
+    verts = list(graph.vertices)
+    n = len(verts)
+    if n == 0:
+        return {}
+    idx = {v: i for i, v in enumerate(verts)}
+    x = [1.0 / n] * n
+    neighbors: list[list[int]] = [[] for _ in range(n)]
+    for (a, b) in graph.edges:
+        neighbors[idx[a]].append(idx[b])
+        neighbors[idx[b]].append(idx[a])  # symmetrized
+    for _ in range(100):
+        # power-iterate on A + I: the identity shift keeps the dominant
+        # eigenvector but breaks period-2 oscillation on bipartite
+        # graphs (a star graph otherwise never converges)
+        nxt = list(x)
+        for i in range(n):
+            for j in neighbors[i]:
+                nxt[j] += x[i]
+        norm = sum(v * v for v in nxt) ** 0.5
+        if norm == 0:
+            return {v: 0.0 for v in verts}
+        nxt = [v / norm for v in nxt]
+        if max(abs(a - b) for a, b in zip(nxt, x)) < 1e-10:
+            x = nxt
+            break
+        x = nxt
+    return dict(zip(verts, x))
+
+
+CENTRALITY_MEASURES: dict[str, Measure] = {
+    "DegreeCentrality": degree_centrality,
+    "BrandesBetweennessCentrality": brandes_betweenness,
+    "FreemanClosenessCentrality": freeman_closeness,
+    "EigenvectorCentrality": eigenvector_centrality,
+}
+
+
+def register_measure(name: str, fn: Measure) -> None:
+    """User-extension hook (the reference's config-string dispatch,
+    CentralityHandler.java:139-152, as a registry)."""
+    CENTRALITY_MEASURES[name] = fn
+
+
+def get_measure(name: str) -> Measure:
+    try:
+        return CENTRALITY_MEASURES[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown centrality measure {name!r}; known: {sorted(CENTRALITY_MEASURES)}"
+        ) from None

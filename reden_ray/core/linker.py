@@ -233,18 +233,11 @@ def prune_graph(graph: ContextGraph, colored: set[str], inverted_index: dict[str
     graph.remove_vertices(to_delete)
 
 
-def degree_centrality(graph: ContextGraph) -> dict[str, float]:
-    """Normalized degree: (in+out) / (n-1); 0.0 on a single-vertex graph.
-
-    Stand-in for jgrapht-sna ``DegreeCentrality`` (CentralityHandler.java:
-    139-141).  The per-context normalization constant is uniform across
-    candidates, so argmax choices are measure-identical.
-    """
-    n = graph.n_vertices()
-    if n <= 1:
-        return {v: 0.0 for v in graph.vertices}
-    denom = float(n - 1)
-    return {v: graph.degree(v) / denom for v in graph.vertices}
+# re-exported for compatibility; the full measure registry (degree,
+# Brandes betweenness, Freeman closeness, eigenvector — the reference's
+# config dispatch, CentralityHandler.java:137-152) lives in
+# core.centrality
+from .centrality import degree_centrality  # noqa: E402
 
 
 def _select_preferred(
@@ -357,7 +350,9 @@ def link_context(
     inverted_index = build_inverted_index(surfaces, candidate_map)
     colored = colored_nodes(surfaces, candidate_map, cfg)
     prune_graph(graph, colored, inverted_index)
-    centrality = degree_centrality(graph)
+    from .centrality import get_measure
+
+    centrality = get_measure(cfg.measure)(graph)
     chosen, scores = score_and_choose(
         surfaces, candidate_map, colored, centrality, inverted_index, cfg
     )
