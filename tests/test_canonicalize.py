@@ -66,3 +66,24 @@ def test_canonicalize_fixture_triples(ray_session, small_fixture_dir):
     canon_triples = canonicalize_triples(triples, mapping).take_all()
     # after canonicalization, no alt.test URIs remain in subj
     assert all(not t["subj"].startswith("http://alt.test/") for t in canon_triples)
+
+
+def test_join_variant_equals_broadcast(ray_session, small_fixture_dir):
+    import ray.data as rd
+
+    from reden_ray.pipelines.canonicalize import (
+        connected_components,
+        connected_components_join,
+        equivalence_pairs,
+    )
+
+    fd = small_fixture_dir
+    adjacency = rd.read_parquet(f"{fd}/adjacency.parquet")
+    dictionary = rd.read_parquet(f"{fd}/dictionary.parquet")
+    pairs = equivalence_pairs(adjacency, "http://kb.test/sameAs", dictionary)
+    m1, c1 = connected_components(pairs, max_iters=5, prefer_prefix="http://kb.test/")
+    m2, c2 = connected_components_join(
+        pairs, max_iters=5, prefer_prefix="http://kb.test/", num_partitions=4
+    )
+    assert c1 and c2
+    assert m1.to_pylist() == m2.to_pylist()
