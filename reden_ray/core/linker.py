@@ -142,6 +142,7 @@ def fuse_graph(
     equivalences: dict[str, dict[str, None]],
     adjacency: AdjacencyLookup,
     cfg: LinkerConfig,
+    star_cache: dict | None = None,
 ) -> ContextGraph:
     """GraphHandlerNEL.fuseRDFGraphsIntoJGTGraph:211-343.
 
@@ -164,24 +165,41 @@ def fuse_graph(
     weight_cache: dict[str, float] = {}
     same_as = cfg.same_as_property
     for uri in base_uris:
-        v1 = decompose(uri)
-        v1_low = v1.lower()
-        uri_low = uri.lower()
+        # a base URI's "star" — its (v1, [(v2, pred, weight)]) fan-out —
+        # depends only on (uri, its equivalent set); popular entities
+        # recur across thousands of contexts, so an optional cross-
+        # context cache (per batch/worker) skips the adjacency rescan.
+        # First-edge-wins stays correct: the star preserves statement
+        # order, and the graph dedups on insert exactly as before.
+        equivs = equivalences.get(uri, {})
+        ckey = (uri, tuple(equivs)) if star_cache is not None else None
+        star = star_cache.get(ckey) if ckey is not None else None
+        if star is None:
+            v1 = decompose(uri)
+            v1_low = v1.lower()
+            uri_low = uri.lower()
+            edges: list[tuple[str, str, float]] = []
+            for alias in equivs:
+                if uri_low == alias.lower():  # avoiding loops
+                    continue
+                for pred, obj in adjacency.get(alias):
+                    if pred == same_as:
+                        continue
+                    v2 = decompose(obj)
+                    if v1_low == v2.lower():
+                        continue
+                    w = weight_cache.get(pred)
+                    if w is None:
+                        w = weight_cache[pred] = cfg.weight_for(pred)
+                    edges.append((v2, pred, w))
+            star = (v1, edges)
+            if ckey is not None:
+                star_cache[ckey] = star
+        v1, edges = star
         graph.add_vertex(v1)
-        for alias in equivalences.get(uri, {}):
-            if uri_low == alias.lower():  # avoiding loops
-                continue
-            for pred, obj in adjacency.get(alias):
-                if pred == same_as:
-                    continue
-                v2 = decompose(obj)
-                if v1_low == v2.lower():
-                    continue
-                w = weight_cache.get(pred)
-                if w is None:
-                    w = weight_cache[pred] = cfg.weight_for(pred)
-                graph.add_vertex(v2)
-                graph.add_edge(v1, v2, pred, w)
+        for v2, pred, w in edges:
+            graph.add_vertex(v2)
+            graph.add_edge(v1, v2, pred, w)
     return graph
 
 
@@ -305,6 +323,7 @@ def link_context(
     candidate_map: CandidateMap,
     adjacency: AdjacencyLookup,
     cfg: LinkerConfig,
+    star_cache: dict | None = None,
 ) -> ContextResult:
     """Run the full per-context algorithm; emits one LinkRow per mention
     (method 'centrality' / 'unambiguous' / 'nil') and the pruned fusion
@@ -315,7 +334,7 @@ def link_context(
         # dropped mentions get explicit nil rows so output stays 1:1
         kept = mentions[: cfg.max_context_mentions]
         dropped = mentions[cfg.max_context_mentions :]
-        res = link_context(kept, candidate_map, adjacency, cfg)
+        res = link_context(kept, candidate_map, adjacency, cfg, star_cache)
         links = list(res.links) + [
             LinkRow(m.mention_id, m.surface, m.ne_type, [], None, "nil") for m in dropped
         ]
@@ -346,7 +365,7 @@ def link_context(
 
     surfaces = _ordered_surfaces(mentions, candidate_map)
     equivalences = compute_equivalences(surfaces, candidate_map, adjacency, cfg)
-    graph = fuse_graph(surfaces, candidate_map, equivalences, adjacency, cfg)
+    graph = fuse_graph(surfaces, candidate_map, equivalences, adjacency, cfg, star_cache)
     inverted_index = build_inverted_index(surfaces, candidate_map)
     colored = colored_nodes(surfaces, candidate_map, cfg)
     prune_graph(graph, colored, inverted_index)

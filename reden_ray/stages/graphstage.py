@@ -130,6 +130,7 @@ def _link_sorted_batch(group: pa.Table, adjacency: AdjacencyIndex, cfg: LinkerCo
     cols: dict[str, list] = {name: [] for name in COMBINED_SCHEMA.names}
     n = len(urls)
     start = 0
+    star_cache: dict = {}  # per-batch: popular entities' fan-outs reused
     while start < n:
         end = start
         while end < n and urls[end] == urls[start] and cids[end] == cids[start]:
@@ -138,7 +139,7 @@ def _link_sorted_batch(group: pa.Table, adjacency: AdjacencyIndex, cfg: LinkerCo
             MentionRow(mids[i], surfaces[i], ne_types[i]) for i in range(start, end)
         ]
         candidate_map = rebuild_candidate_map(mentions, uri_groups[start:end], cfg)
-        res = link_context(mentions, candidate_map, adjacency, cfg)
+        res = link_context(mentions, candidate_map, adjacency, cfg, star_cache)
         _emit(cols, urls[start], cids[start], res)
         start = end
     return pa.Table.from_arrays(
