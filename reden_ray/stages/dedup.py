@@ -67,6 +67,7 @@ def exact_dedup(docs: rd.Dataset, column: str = "text", id_column: str = "doc_id
 # --- minhash -------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_HASHER_CACHE: dict = {}  # per-worker MinHasher reuse for stateless tasks
 
 
 def _shingles(text: str, k: int = 5) -> np.ndarray:
@@ -158,11 +159,18 @@ def minhash_lsh_pairs(
     verify.  Returns a small driver-side table of pairs.
     """
     rows_per_band = n_perm // n_bands
+
+    def sig_batch(batch: pa.Table, n_perm=n_perm, shingle_k=shingle_k) -> pa.Table:
+        # stateless task + worker-global hasher cache: elastic scheduling
+        # with the setup still amortized (cf. stages.candidates)
+        key = (n_perm, shingle_k)
+        hasher = _HASHER_CACHE.get(key)
+        if hasher is None:
+            hasher = _HASHER_CACHE[key] = MinHasher(n_perm=n_perm, shingle_k=shingle_k)
+        return hasher(batch)
+
     sigs = docs.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"n_perm": n_perm, "shingle_k": shingle_k},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        sig_batch, batch_format="pyarrow"
     ).materialize()  # reused twice (buckets + verify); signatures are small
 
     buckets = sigs.map_batches(

@@ -80,3 +80,46 @@ def _run(ray, rd, ExecConfig, candidates_dataset, candidates_dataset_join,
         }
 
     assert lcanon(links_a) == lcanon(links_b)
+
+
+def test_hash_mode_fusion_equals_local(ray_session, small_fixture_dir):
+    """linked_dataset(mode='hash') must produce the same links/triples."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from reden_ray.config import ExecConfig
+    from reden_ray.pipelines.kg import (
+        candidates_dataset,
+        fixture_config,
+        linked_dataset,
+        mentions_dataset,
+        use_hash_shuffle,
+    )
+
+    prev = rd.DataContext.get_current().shuffle_strategy
+    use_hash_shuffle()
+    try:
+        fd = small_fixture_dir
+        cfg = fixture_config(fd)
+        ec = ExecConfig(fuse_concurrency=(1, 2), fuse_buckets=4)
+        pages = rd.read_parquet(f"{fd}/pages.parquet", columns=["url", "html"])
+        dict_ref = ray.put(pq.read_table(f"{fd}/dictionary.parquet"))
+        adj_ref = ray.put(pq.read_table(f"{fd}/adjacency.parquet"))
+        cands = candidates_dataset(mentions_dataset(pages), dict_ref, cfg, ec).materialize()
+        local = linked_dataset(cands, adj_ref, cfg, ec, mode="local").take_all()
+        hashed = linked_dataset(cands, adj_ref, cfg, ec, mode="hash").take_all()
+
+        def canon(rows):
+            return sorted(
+                (
+                    r["record_type"], r["url"], r["context_id"], r["mention_id"],
+                    tuple(r["chosen_uris"] or []), r["method"],
+                    r["subj"], r["pred"], r["obj"], r["weight"],
+                )
+                for r in rows
+            )
+
+        assert canon(local) == canon(hashed)
+    finally:
+        rd.DataContext.get_current().shuffle_strategy = prev
