@@ -172,6 +172,14 @@ def _dedup_embedding(sf_dir: str):
     return embedding_dup_pairs(emb, threshold=0.98)
 
 
+def _curation(sf_dir: str):
+    from reden_ray.pipelines.curation import curate_documents
+
+    return curate_documents(sf_dir, min_quality=0.2, min_tokens=5).select_columns(
+        ["doc_id", "lang", "source", "n_tokens_ws", "lang_pred"]
+    )
+
+
 def _text_quality(sf_dir: str):
     import ray.data as rd
 
@@ -224,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_docs": _dedup_simhash,
         "dedup_embedding_docs": _dedup_embedding,
         "text_quality_langid": _text_quality,
+        "curation_pipeline": _curation,
     }
 
 

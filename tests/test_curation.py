@@ -1,0 +1,35 @@
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_curation_pipeline(ray_session):
+    from reden_ray.pipelines.curation import curate_documents
+
+    out = curate_documents(SF, min_quality=0.2, min_tokens=5).take_all()
+    assert out
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids))
+    # no exact duplicates survive
+    texts = [r["text"] for r in out]
+    assert len(texts) == len(set(texts))
+    # every surviving row carries the feature columns
+    r = out[0]
+    for col in ("quality", "n_tokens_ws", "lang_pred"):
+        assert col in r
+    # all survivors meet the thresholds
+    assert all(r["quality"] >= 0.2 and r["n_tokens_ws"] >= 5 for r in out)
+    # count is bounded by the exact-dedup winner count
+    n_unique = duckdb.sql(
+        f"SELECT count(DISTINCT text) FROM '{SF}/documents.parquet'"
+    ).fetchall()[0][0]
+    assert len(out) <= n_unique
+
+
+def test_curation_lang_pushdown(ray_session):
+    from reden_ray.pipelines.curation import curate_documents
+
+    out = curate_documents(SF, min_quality=0.0, min_tokens=0, lang="fr").take_all()
+    assert out
+    assert all(r["lang"] == "fr" for r in out)
