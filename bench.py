@@ -112,6 +112,19 @@ def run_bench() -> dict:
         minhash_lsh_pairs(docs, threshold=0.7)
         queries["dedup_minhash_docs"] = time.perf_counter() - t0
 
+        # checkpointed WRITE path (the real consumption mode): full
+        # pipeline streamed to partitioned parquet + lineage manifest
+        import shutil
+        import tempfile
+
+        from reden_ray.state.checkpoint import run_checkpointed
+
+        out_dir = tempfile.mkdtemp(prefix="bench_ckpt_", dir="/tmp")
+        t0 = time.perf_counter()
+        run_checkpointed(fd, out_dir, n_parts=8, exec_cfg=exec_cfg)
+        queries["kg_pipeline_write"] = time.perf_counter() - t0
+        shutil.rmtree(out_dir, ignore_errors=True)
+
     ray.shutdown()
     return {
         "metric": "e2e_seconds",
