@@ -32,8 +32,14 @@ def ambiguity_report(candidates: rd.Dataset) -> rd.Dataset:
 
 
 def pred_frequency(triples: rd.Dataset) -> rd.Dataset:
-    """predicate -> count over the pruned-graph triples."""
-    return triples.groupby("pred").aggregate(Count(alias_name="n"))
+    """predicate -> count over the pruned-graph triples.
+
+    Predicates are the canonical HOT KEY (a handful of values over
+    billions of triples): counts pre-aggregate per batch so the shuffle
+    moves one row per (pred, batch), not per triple."""
+    from ..stages.aggregates import partial_groupby_count
+
+    return partial_groupby_count(triples, ["pred"], alias="n")
 
 
 def enrichment(links: rd.Dataset, adjacency: pa.Table, props: list[str]) -> rd.Dataset:

@@ -62,3 +62,19 @@ def test_enrichment_props(pipeline):
     labeled = [r for r in out if r["label"] is not None]
     assert labeled  # base URIs carry label statements in the fixture
     assert all(r["occurrences"] > 0 for r in out)
+
+
+def test_salted_count_equals_plain(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reden_ray.stages.aggregates import partial_groupby_count, salted_groupby_count
+
+    # skewed: one hot key with 5000 rows, 10 cold keys with 10 each
+    keys = ["hot"] * 5000 + [f"cold{i}" for i in range(10) for _ in range(10)]
+    ds = rd.from_arrow(pa.table({"k": keys})).repartition(8)
+    want = {"hot": 5000, **{f"cold{i}": 10 for i in range(10)}}
+    got_partial = {r["k"]: r["n"] for r in partial_groupby_count(ds, ["k"]).take_all()}
+    got_salted = {r["k"]: r["n"] for r in salted_groupby_count(ds, ["k"], n_salts=4).take_all()}
+    assert got_partial == want
+    assert got_salted == want
