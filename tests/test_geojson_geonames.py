@@ -44,3 +44,29 @@ def test_geojson_features(ray_session):
     f = json.loads(out[0]["feature"])
     assert f["geometry"]["coordinates"] == [2.35, 48.85]
     assert f["properties"]["occurrences"] == 3
+
+
+def test_geojson_write_roundtrip(ray_session, tmp_path):
+    import json
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reden_ray.pipelines.metrics import to_geojson_features
+
+    enriched = pa.table(
+        {
+            "uri": [f"http://kb.test/ent/{i}" for i in range(5)],
+            "occurrences": [1, 2, 3, 4, 5],
+            "lat": ["48.0"] * 5,
+            "lon": ["2.0"] * 5,
+        }
+    )
+    feats = to_geojson_features(
+        rd.from_arrow(enriched), "http://kb.test/p/lat", "http://kb.test/p/lon"
+    )
+    out = str(tmp_path / "geo")
+    feats.write_json(out)
+    back = rd.read_json(out).take_all()
+    assert len(back) == 5
+    f = json.loads(back[0]["feature"])
+    assert f["type"] == "Feature"

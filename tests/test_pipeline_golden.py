@@ -79,3 +79,25 @@ def test_linking_accuracy_vs_gold(pipeline_outputs, small_fixture_dir):
             correct += 1
     assert total > 100
     assert correct / total >= 0.6, (correct, total)
+
+
+def test_bigger_kb_golden_exact(ray_session):
+    """Second golden config: larger KB (600 entities, 40 topics) — the
+    pipeline must stay exactly equal to the oracle as candidate density
+    and graph sizes grow."""
+    from reden_ray.pipelines.kg import run_fixture_pipeline, triples_view, links_view
+    from reden_ray.sources.fixtures import fixture_dir
+
+    fd = fixture_dir(n_docs=120, n_entities=600, n_topics=40, seed=7)
+    combined = run_fixture_pipeline(fd).materialize()
+    got_triples = {
+        (r["url"], r["context_id"], r["subj"], r["pred"], r["obj"], r["weight"])
+        for r in triples_view(combined).take_all()
+    }
+    gold_links, gold_triples = run_oracle(fd)
+    assert got_triples == gold_triples
+    got_links = {
+        (r["url"], r["context_id"], r["mention_id"]): (tuple(r["chosen_uris"] or []), r["method"])
+        for r in links_view(combined).take_all()
+    }
+    assert got_links == {k: (tuple(v[1]), v[2]) for k, v in gold_links.items()}
