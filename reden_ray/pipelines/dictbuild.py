@@ -82,6 +82,34 @@ def merge_solutions(solutions: rd.Dataset) -> rd.Dataset:
     return solutions.groupby("uri").map_groups(merge, batch_format="pyarrow")
 
 
+def filter_entities_by_period(
+    entity_dump: rd.Dataset, start_year: int, end_year: int
+) -> rd.Dataset:
+    """Temporal domain filter for the dictionary build: keep entities
+    whose life span overlaps [start_year, end_year] (the
+    ``loadDomainParams`` temporal filter, AppAdhoc.java:301-324, using
+    the M8 overlap math).  Entities without parseable dates are KEPT
+    (the reference only filters when both dates exist)."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    from ..core.dates import compare_date, process_date
+
+    def keep(batch: pa.Table) -> pa.Table:
+        births = batch.column("birth").to_pylist()
+        deaths = batch.column("death").to_pylist()
+        mask = []
+        for b, d in zip(births, deaths):
+            by = process_date(b) if b else None
+            dy = process_date(d) if d else None
+            if by is None or dy is None:
+                mask.append(True)
+            else:
+                mask.append(compare_date(by, dy, start_year, end_year) > 0)
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return entity_dump.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
 def geonames_to_dictionary(geonames: rd.Dataset) -> rd.Dataset:
     """Geonames-dump conversion (scripts/genGeonamesDico.py:22-37): each
     place row (geonameid, name, altnames comma-separated) becomes one

@@ -22,6 +22,7 @@ Metrics (names follow the reference output):
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
@@ -136,6 +137,75 @@ def eval_records(
         )
 
     return joined.map_batches(build, batch_format="pyarrow")
+
+
+def compare_runs(
+    records_a: rd.Dataset, records_b: rd.Dataset, num_partitions: int = 8
+) -> dict[str, int]:
+    """Run-vs-run diff (extra/CompareResults.java:43-96): per-mention
+    correct sets intersected/differenced via a keyed join."""
+    def proj(tag):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "url": batch.column("url"),
+                    "context_id": batch.column("context_id"),
+                    "mention_id": batch.column("mention_id"),
+                    f"correct_{tag}": pc.cast(batch.column("choice_correct"), pa.int64()),
+                }
+            )
+
+        return f
+
+    a = records_a.map_batches(proj("a"), batch_format="pyarrow")
+    b = records_b.map_batches(proj("b"), batch_format="pyarrow")
+    joined = a.join(b, join_type="inner", num_partitions=num_partitions,
+                    on=("url", "context_id", "mention_id"))
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ca = batch.column("correct_a").to_pylist()
+        cb = batch.column("correct_b").to_pylist()
+        both = sum(1 for x, y in zip(ca, cb) if x and y)
+        only_a = sum(1 for x, y in zip(ca, cb) if x and not y)
+        only_b = sum(1 for x, y in zip(ca, cb) if y and not x)
+        neither = sum(1 for x, y in zip(ca, cb) if not x and not y)
+        return pa.table(
+            {
+                "both": pa.array([both], pa.int64()),
+                "only_a": pa.array([only_a], pa.int64()),
+                "only_b": pa.array([only_b], pa.int64()),
+                "neither": pa.array([neither], pa.int64()),
+            }
+        )
+
+    out = {"both": 0, "only_a": 0, "only_b": 0, "neither": 0}
+    for r in joined.map_batches(counts, batch_format="pyarrow").take_all():
+        for k in out:
+            out[k] += r[k]
+    return out
+
+
+def score_pairs_export(records_a: rd.Dataset, records_b: rd.Dataset) -> rd.Dataset:
+    """Per-mention 0/1 correctness pairs — the significance-test data
+    prep (extra/SignificanceTesting.java:23-53 exports these for R)."""
+
+    def proj(tag):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "url": batch.column("url"),
+                    "context_id": batch.column("context_id"),
+                    "mention_id": batch.column("mention_id"),
+                    f"correct_{tag}": pc.cast(batch.column("choice_correct"), pa.int64()),
+                }
+            )
+
+        return f
+
+    a = records_a.map_batches(proj("a"), batch_format="pyarrow")
+    b = records_b.map_batches(proj("b"), batch_format="pyarrow")
+    return a.join(b, join_type="inner", num_partitions=8,
+                  on=("url", "context_id", "mention_id"))
 
 
 def _indicators(batch: pa.Table) -> pa.Table:

@@ -102,3 +102,18 @@ def test_rerun_wipes_orphans(ray_session, small_fixture_dir, tmp_path):
     run_checkpointed(small_fixture_dir, out_dir, n_parts=2)
     files = os.listdir(orphan)
     assert "garbage.parquet" not in files and files
+
+
+def test_temporal_domain_filter(ray_session, small_fixture_dir):
+    import ray.data as rd
+
+    from reden_ray.pipelines.dictbuild import filter_entities_by_period
+
+    dump = rd.read_parquet(f"{small_fixture_dir}/entity_dump.parquet")
+    total = dump.count()
+    # PER entities are 1800-1870; LOC have null dates (kept)
+    overlap = filter_entities_by_period(dump, 1850, 1900).take_all()
+    assert len(overlap) == total  # every PER overlaps, LOC kept
+    disjoint = filter_entities_by_period(dump, 1900, 1950).take_all()
+    assert all(r["kind"] == "LOC" for r in disjoint)  # only undated rows survive
+    assert 0 < len(disjoint) < total

@@ -53,3 +53,45 @@ def test_accuracy_band(metrics):
     # reference's own corpora span 0.45-0.73 overall accuracy
     assert 0.5 <= metrics["overall_linking_accuracy"] <= 1.0
     assert metrics["disambiguation_accuracy"] >= 0.5
+
+
+def test_compare_runs_and_score_pairs(ray_session, small_fixture_dir):
+    """Run diff (J6/D4 analogue) between degree and betweenness runs."""
+    import dataclasses
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from reden_ray.pipelines.evaluate import compare_runs, eval_records, score_pairs_export
+    from reden_ray.pipelines.kg import (
+        candidates_dataset,
+        fixture_config,
+        linked_dataset,
+        links_view,
+        mentions_dataset,
+    )
+
+    fd = small_fixture_dir
+    gold = pq.read_table(f"{fd}/gold.parquet")
+    pages = rd.read_parquet(f"{fd}/pages.parquet", columns=["url", "html"])
+    dict_ref = ray.put(pq.read_table(f"{fd}/dictionary.parquet"))
+    adj_ref = ray.put(pq.read_table(f"{fd}/adjacency.parquet"))
+    base = fixture_config(fd)
+    cands = candidates_dataset(mentions_dataset(pages), dict_ref, base).materialize()
+
+    recs = {}
+    for measure in ("DegreeCentrality", "FreemanClosenessCentrality"):
+        cfg = dataclasses.replace(base, measure=measure)
+        links = links_view(linked_dataset(cands, adj_ref, cfg)).materialize()
+        recs[measure] = eval_records(cands, links, gold).materialize()
+
+    diff = compare_runs(recs["DegreeCentrality"], recs["FreemanClosenessCentrality"])
+    n = sum(diff.values())
+    assert n == gold.num_rows == cands.count()
+    assert diff["both"] > 0  # the runs agree somewhere
+    pairs = score_pairs_export(
+        recs["DegreeCentrality"], recs["FreemanClosenessCentrality"]
+    ).take_all()
+    assert len(pairs) == n
+    assert {p["correct_a"] for p in pairs} <= {0, 1}
