@@ -89,6 +89,22 @@ def make_context_linker_fn(adj_ref, cfg: LinkerConfig):
     return link
 
 
+def make_sharded_context_linker_fn(shard_actors: list, cfg: LinkerConfig):
+    """Fusion against a SHARDED adjacency actor pool (the KB-exceeds-
+    node-memory path): each batch prefetches its URIs' neighborhoods in
+    two batched RPC rounds (state.adjacency.ShardedAdjacency), then
+    links fully locally — identical output to the broadcast path."""
+    from ..state.adjacency import ShardedAdjacency
+
+    client = ShardedAdjacency(shard_actors, cfg.same_as_property)
+
+    def link(batch: pa.Table) -> pa.Table:
+        local = client.prefetch_for_groups(batch.column("uri_groups").to_pylist())
+        return _link_sorted_batch(batch, local, cfg)
+
+    return link
+
+
 class BucketedContextLinker:
     """Bucketed fusion: one call per HASH BUCKET of contexts, not per
     context.  The pipeline adds ``bucket = blake2(url, context_id) % P``

@@ -40,3 +40,115 @@ class AdjacencyIndex:
 
     def __len__(self) -> int:
         return len(self._by_subj)
+
+
+# --- sharded scale path ---------------------------------------------------
+
+def shard_of(uri: str, n_shards: int) -> int:
+    """Stable subj-hash shard id (blake2b — NOT Python hash)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(uri.encode(), digest_size=4).digest(), "big") % n_shards
+
+
+class LocalAdjacency:
+    """AdjacencyLookup over a prefetched subset (see ShardedAdjacency)."""
+
+    def __init__(self, fetched: dict[str, list[tuple[str, str]]]):
+        self._by_subj = fetched
+
+    def get(self, uri: str):
+        return self._by_subj.get(uri, [])
+
+    def has(self, uri: str) -> bool:
+        return uri in self._by_subj
+
+
+class ShardedAdjacency:
+    """Client for a pool of adjacency shard actors (ST2's true scale
+    form: the KB exceeds node memory, so ``subj`` hash-shards live in N
+    actors; batches PREFETCH every URI they might touch in two batched
+    RPC rounds and then link fully locally — never one RPC per URI).
+
+    Round 1 fetches all candidate-group URIs (+ their decomposed forms);
+    round 2 fetches the sameAs targets discovered in round 1.  That
+    covers exactly what the per-context algorithm can read
+    (compute_equivalences / fuse_graph access patterns).
+    """
+
+    def __init__(self, actors: list, same_as_property: str):
+        self.actors = actors
+        self.n_shards = len(actors)
+        self.same_as = same_as_property
+
+    def fetch_many(self, uris: set[str]) -> dict[str, list[tuple[str, str]]]:
+        import ray
+
+        by_shard: dict[int, list[str]] = {}
+        for u in uris:
+            by_shard.setdefault(shard_of(u, self.n_shards), []).append(u)
+        futures = [
+            self.actors[s].get_many.remote(us) for s, us in by_shard.items()
+        ]
+        out: dict[str, list[tuple[str, str]]] = {}
+        for part in ray.get(futures):
+            out.update(part)
+        return out
+
+    def prefetch_for_groups(self, uri_groups_column) -> LocalAdjacency:
+        """2-round prefetch for a batch: ``uri_groups_column`` is the
+        per-mention list-of-groups column (one entry per mention row)."""
+        from ..core.normalize import decompose
+
+        round1: set[str] = set()
+        for mention_groups in uri_groups_column:
+            for group in mention_groups or []:
+                for uri in group:
+                    round1.add(uri)
+                    round1.add(decompose(uri))
+        fetched = self.fetch_many(round1)
+        round2: set[str] = set()
+        for uri, stmts in fetched.items():
+            for pred, obj in stmts:
+                if pred == self.same_as:
+                    dec = decompose(obj)
+                    if dec not in fetched:
+                        round2.add(dec)
+                    if obj not in fetched:
+                        round2.add(obj)
+        if round2:
+            fetched.update(self.fetch_many(round2))
+        return LocalAdjacency(fetched)
+
+
+def make_shard_actors(table: pa.Table, n_shards: int) -> list:
+    """Split the adjacency table into subj-hash shard actors."""
+    import ray
+
+    @ray.remote(num_cpus=0.5)
+    class AdjacencyShard:
+        def __init__(self, tbl: pa.Table):
+            self.index = AdjacencyIndex(tbl)
+
+        def get_many(self, uris: list[str]) -> dict[str, list[tuple[str, str]]]:
+            g = self.index.get
+            out = {}
+            for u in uris:
+                stmts = g(u)
+                if stmts:
+                    out[u] = stmts
+            return out
+
+        def size(self) -> int:
+            return len(self.index)
+
+    subjs = table.column("subj").to_pylist()
+    shard_ids = [shard_of(s, n_shards) for s in subjs]
+    actors = []
+    import numpy as np
+
+    ids = np.asarray(shard_ids)
+    for s in range(n_shards):
+        mask = pa.array(ids == s)
+        actors.append(AdjacencyShard.remote(table.filter(mask)))
+    return actors
