@@ -102,6 +102,38 @@ def _lookup_batch(batch: pa.Table, index: DictionaryIndex, cfg: LinkerConfig) ->
     )
 
 
+def make_sharded_candidate_lookup_fn(shard_actors: list, cfg: LinkerConfig):
+    """Candidate lookup against a SHARDED dictionary actor pool: the
+    batch's (ne_type, norm) keys are deduped and fetched in one batched
+    RPC per touched shard (state.dictionary.ShardedDictionary); output
+    identical to the broadcast path."""
+    from ..state.dictionary import ShardedDictionary
+
+    client = ShardedDictionary(shard_actors)
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        norms = batch.column("norm").to_pylist()
+        ne_types = batch.column("ne_type").to_pylist()
+        keys = list(zip(ne_types, norms))
+        hits = client.groups_many(keys)
+        groups_col = [hits.get(k, []) for k in keys]
+        return pa.Table.from_arrays(
+            [
+                batch.column("url"),
+                batch.column("context_id"),
+                batch.column("mention_id"),
+                batch.column("surface"),
+                batch.column("norm"),
+                batch.column("ne_type"),
+                pa.array(groups_col, pa.list_(pa.list_(pa.string()))),
+                pa.array([len(g) for g in groups_col], pa.int32()),
+            ],
+            schema=CANDIDATE_SCHEMA,
+        )
+
+    return lookup
+
+
 class CandidateLookup:
     """map_batches(CandidateLookup, fn_constructor_args=(dict_ref, cfg),
     concurrency=N) — dictionary loaded once per actor."""

@@ -72,3 +72,70 @@ class DictionaryIndex:
 
     def __len__(self) -> int:
         return len(self._by_key)
+
+
+# --- sharded scale path ---------------------------------------------------
+
+def make_dictionary_shard_actors(table: pa.Table, n_shards: int) -> list:
+    """alias_norm-hash shard actors for dictionaries beyond node memory
+    (option (b) in the module docstring; option (c), the shuffle join,
+    lives in pipelines.kg.candidates_dataset_join)."""
+    import hashlib
+
+    import ray
+
+    @ray.remote(num_cpus=0.5)
+    class DictionaryShard:
+        def __init__(self, tbl: pa.Table, max_rows: int):
+            self.index = DictionaryIndex(tbl, max_rows=max_rows)
+
+        def groups_many(
+            self, keys: list[tuple[str, str]]
+        ) -> dict[tuple[str, str], list[list[str]]]:
+            out = {}
+            for kind, norm in keys:
+                g = self.index.groups(norm, kind)
+                if g:
+                    out[(kind, norm)] = g
+            return out
+
+    def shard_of(norm: str) -> int:
+        return (
+            int.from_bytes(hashlib.blake2b(norm.encode(), digest_size=4).digest(), "big")
+            % n_shards
+        )
+
+    norms = table.column("alias_norm").to_pylist()
+    ids = [shard_of(n) for n in norms]
+    actors = []
+    for s in range(n_shards):
+        mask = pa.array([i == s for i in ids])
+        actors.append(DictionaryShard.remote(table.filter(mask), 100))
+    return actors
+
+
+class ShardedDictionary:
+    """Batched lookup client over the shard pool; per-batch keys are
+    deduped and routed by alias_norm hash (one RPC per touched shard)."""
+
+    def __init__(self, actors: list):
+        import hashlib
+
+        self.actors = actors
+        self.n_shards = len(actors)
+        self._h = hashlib.blake2b
+
+    def _shard(self, norm: str) -> int:
+        return int.from_bytes(self._h(norm.encode(), digest_size=4).digest(), "big") % self.n_shards
+
+    def groups_many(self, keys: list[tuple[str, str]]) -> dict:
+        import ray
+
+        by_shard: dict[int, list[tuple[str, str]]] = {}
+        for kind, norm in set(keys):
+            by_shard.setdefault(self._shard(norm), []).append((kind, norm))
+        futures = [self.actors[s].groups_many.remote(ks) for s, ks in by_shard.items()]
+        out: dict = {}
+        for part in ray.get(futures):
+            out.update(part)
+        return out
