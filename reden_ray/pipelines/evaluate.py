@@ -139,6 +139,31 @@ def eval_records(
     return joined.map_batches(build, batch_format="pyarrow")
 
 
+def kb_completeness(gold: pa.Table, dictionary: rd.Dataset) -> dict[str, int]:
+    """Domain-completeness probe (extra/CalculatePopulationCompleteness
+    LD.java:48-113): how many gold URIs exist in the KB dictionary at
+    all — an upper bound on achievable recall.  Semi/anti-join shape
+    with the small gold side broadcast."""
+    gold_uris = {u for u in gold.column("gold_uri").to_pylist() if u}
+
+    def batch_hits(batch: pa.Table) -> pa.Table:
+        found = set()
+        for group in batch.column("uri_group").to_pylist():
+            for u in group:
+                if u in gold_uris:
+                    found.add(u)
+        return pa.table({"uri": pa.array(sorted(found), pa.string())})
+
+    covered = set()
+    for r in dictionary.map_batches(batch_hits, batch_format="pyarrow").take_all():
+        covered.add(r["uri"])
+    return {
+        "gold_uris": len(gold_uris),
+        "in_kb": len(covered),
+        "missing": len(gold_uris - covered),
+    }
+
+
 def compare_runs(
     records_a: rd.Dataset, records_b: rd.Dataset, num_partitions: int = 8
 ) -> dict[str, int]:

@@ -95,3 +95,17 @@ def test_compare_runs_and_score_pairs(ray_session, small_fixture_dir):
     ).take_all()
     assert len(pairs) == n
     assert {p["correct_a"] for p in pairs} <= {0, 1}
+
+
+def test_kb_completeness(ray_session, small_fixture_dir):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from reden_ray.pipelines.evaluate import kb_completeness
+
+    gold = pq.read_table(f"{small_fixture_dir}/gold.parquet")
+    dictionary = rd.read_parquet(f"{small_fixture_dir}/dictionary.parquet")
+    out = kb_completeness(gold, dictionary)
+    # fixture gold URIs are all dictionary entities (NILs are null)
+    assert out["missing"] == 0
+    assert out["in_kb"] == out["gold_uris"] > 0
