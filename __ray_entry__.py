@@ -1,10 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
 ``entry()`` runs the flagship KG pipeline on /root/testdata/sf0.001-scale
-synthetic fixtures; ``queries()`` exposes one callable per implemented
-operator family (SURVEY.md §2); ``oracle_sql()`` gives the DuckDB
-equivalent for every SQL-expressible query (same column names — the
-driver hash-compares values with columns sorted by name).
+synthetic fixtures; ``queries()`` exposes 33 callables covering the
+SURVEY.md §2 operator families plus the training-data extras;
+``oracle_sql()`` gives the DuckDB equivalent for the 20 SQL-expressible
+queries (same column names — the driver hash-compares values with
+columns sorted by name; floats rounded identically on both sides).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (nor in reden_ray) calls ``ray.init``/``ray.shutdown``.
