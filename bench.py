@@ -112,6 +112,13 @@ def run_bench() -> dict:
         minhash_lsh_pairs(docs, threshold=0.7)
         queries["dedup_minhash_docs"] = time.perf_counter() - t0
 
+        # untagged path: heuristic NER instead of pre-tagged spans
+        from reden_ray.pipelines.kg import run_untagged_pipeline
+
+        t0 = time.perf_counter()
+        run_untagged_pipeline(fd, exec_cfg=exec_cfg).materialize()
+        queries["kg_pipeline_untagged"] = time.perf_counter() - t0
+
         # checkpointed WRITE path (the real consumption mode): full
         # pipeline streamed to partitioned parquet + lineage manifest
         import shutil
