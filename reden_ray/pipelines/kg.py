@@ -264,6 +264,18 @@ def linked_dataset(
 
     n_buckets = exec_cfg.fuse_buckets
 
+    from ray.data.context import ShuffleStrategy
+
+    if rd.DataContext.get_current().shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+        import warnings
+
+        warnings.warn(
+            "linked_dataset(mode='hash') without use_hash_shuffle(): the "
+            "sort-based shuffle ignores num_partitions and can collapse "
+            "the fusion stage to one task (correct but serial)",
+            stacklevel=2,
+        )
+
     def add_bucket(batch: pa.Table) -> pa.Table:
         import hashlib
 
