@@ -20,3 +20,23 @@ The package never calls ``ray.init``; callers own the Ray session.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience exports (keep ``import reden_ray`` Ray-free)."""
+    if name in ("LinkerConfig", "ExecConfig"):
+        from . import config
+
+        return getattr(config, name)
+    if name in (
+        "run_pipeline",
+        "run_fixture_pipeline",
+        "run_untagged_pipeline",
+        "links_view",
+        "triples_view",
+        "use_hash_shuffle",
+    ):
+        from .pipelines import kg
+
+        return getattr(kg, name)
+    raise AttributeError(name)

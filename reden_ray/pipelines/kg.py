@@ -160,7 +160,9 @@ def candidates_dataset_join(
     which re-co-locates contexts; run_pipeline handles it).
 
     Call ``use_hash_shuffle()`` before creating ``mentions`` when using
-    this path.
+    this path.  Limitation: ne_type='ANY' (untagged NER) mentions need
+    the broadcast/sharded lookup or a dictionary pre-exploded across
+    kinds — the equi-join matches kinds exactly.
     """
     from ..stages.candidates import JoinedCandidateAssembler
 
