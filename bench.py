@@ -84,11 +84,12 @@ def run_bench() -> dict:
     # runs: the steady-state number (first run pays worker spawn and
     # any transient CPU contention on this shared sandbox).
     headline = float("inf")
+    combined = None
     for _ in range(3 if SCALING_MODE else 1):
+        combined = None  # free the previous rep's blocks first
         t0 = time.perf_counter()
         combined = run_fixture_pipeline(fd, exec_cfg=exec_cfg).materialize()
         headline = min(headline, time.perf_counter() - t0)
-        del combined  # free the object store before the next rep
     queries["kg_pipeline"] = headline
     n_docs = rd.read_parquet(f"{fd}/pages.parquet").count()
     n_triples = triples_view(combined).count()
