@@ -9,7 +9,7 @@ user extensions select by name (the §2.10 hook, Ray-native form).
 
 Definitions (standard; within one context only the RANKING between a
 mention's candidates matters, and all share the graph):
-- degree:       (in + out) / (n - 1)
+- degree:       sum of incident edge weights / (n - 1)  [bytecode-verified]
 - betweenness:  Brandes' algorithm on the directed graph (unweighted)
 - closeness:    Freeman: (reachable - 1) / sum(d(v, u)) over reachable
                 u (0 for isolated vertices)
@@ -28,11 +28,15 @@ Measure = Callable[[ContextGraph], dict[str, float]]
 
 
 def degree_centrality(graph: ContextGraph) -> dict[str, float]:
+    """Sum of incident edge WEIGHTS / (n-1) — exactly jgrapht-sna's
+    DegreeCentrality (verified from jgrapht-sna-1.2.jar bytecode: it
+    accumulates getEdgeWeight over edgesOf(v), not the edge count), so
+    rels.txt weights influence the choice like in the reference."""
     n = graph.n_vertices()
     if n <= 1:
         return {v: 0.0 for v in graph.vertices}
     denom = float(n - 1)
-    return {v: graph.degree(v) / denom for v in graph.vertices}
+    return {v: graph.weighted_degree(v) / denom for v in graph.vertices}
 
 
 def brandes_betweenness(graph: ContextGraph) -> dict[str, float]:

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 
 class ContextGraph:
-    __slots__ = ("vertices", "edges", "out_adj", "in_adj")
+    __slots__ = ("vertices", "edges", "out_adj", "in_adj", "wdeg")
 
     def __init__(self) -> None:
         self.vertices: dict[str, None] = {}
@@ -27,12 +27,18 @@ class ContextGraph:
         self.edges: dict[tuple[str, str], tuple[str, float]] = {}
         self.out_adj: dict[str, dict[str, None]] = {}
         self.in_adj: dict[str, dict[str, None]] = {}
+        # incident edge-WEIGHT sums: jgrapht-sna's DegreeCentrality sums
+        # getEdgeWeight over edgesOf(v) (verified via javap on
+        # jgrapht-sna-1.2.jar DegreeCentrality.calculate: dload weight,
+        # dadd per incident edge, ddiv by n-1)
+        self.wdeg: dict[str, float] = {}
 
     def add_vertex(self, v: str) -> None:
         if v not in self.vertices:
             self.vertices[v] = None
             self.out_adj[v] = {}
             self.in_adj[v] = {}
+            self.wdeg[v] = 0.0
 
     def add_edge(self, src: str, dst: str, label: str, weight: float) -> None:
         """First edge per (src, dst) wins; both endpoints must exist."""
@@ -42,6 +48,8 @@ class ContextGraph:
         self.edges[key] = (label, weight)
         self.out_adj[src][dst] = None
         self.in_adj[dst][src] = None
+        self.wdeg[src] += weight
+        self.wdeg[dst] += weight
 
     def incident(self, v: str):
         """Endpoints of all edges touching ``v`` (both directions), as
@@ -77,9 +85,17 @@ class ContextGraph:
             for s in list(adj):
                 if s in dead:
                     del adj[s]
+        # rebuild weighted-degree sums from the surviving edges
+        self.wdeg = dict.fromkeys(self.vertices, 0.0)
+        for (s, d), (_, w) in self.edges.items():
+            self.wdeg[s] += w
+            self.wdeg[d] += w
 
     def degree(self, v: str) -> int:
         return len(self.out_adj.get(v, ())) + len(self.in_adj.get(v, ()))
+
+    def weighted_degree(self, v: str) -> float:
+        return self.wdeg.get(v, 0.0)
 
     def n_vertices(self) -> int:
         return len(self.vertices)

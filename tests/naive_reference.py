@@ -159,12 +159,14 @@ def run_oracle(fixture_dir: str, preferred_uri: str = "ALL"):
                 vertices.pop(v, None)
             edges = {e: lw for e, lw in edges.items() if e[0] in vertices and e[1] in vertices}
 
-            # degree centrality
+            # degree centrality: WEIGHTED incident-edge sum / (n-1)
+            # (jgrapht-sna DegreeCentrality sums getEdgeWeight, verified
+            # from the jar's bytecode)
             n = len(vertices)
-            deg = dict.fromkeys(vertices, 0)
-            for a, b in edges:
-                deg[a] += 1
-                deg[b] += 1
+            deg = dict.fromkeys(vertices, 0.0)
+            for (a, b), (_p, w) in edges.items():
+                deg[a] += w
+                deg[b] += w
             cent = {v: (deg[v] / (n - 1) if n > 1 else 0.0) for v in vertices}
 
             chosen = {}
