@@ -10,11 +10,14 @@ user extensions select by name (the §2.10 hook, Ray-native form).
 Definitions (standard; within one context only the RANKING between a
 mention's candidates matters, and all share the graph):
 - degree:       sum of incident edge weights / (n - 1)  [bytecode-verified]
-- betweenness:  Brandes' algorithm on the directed graph (unweighted)
-- closeness:    Freeman: (reachable - 1) / sum(d(v, u)) over reachable
-                u (0 for isolated vertices)
-- eigenvector:  power iteration on A + A^T (symmetrized so sinks don't
-                zero out; 100 iters / 1e-10 tol)
+- betweenness:  Brandes' algorithm, directed, unweighted (matches the
+                jar: BFS, no getEdgeWeight use)
+- closeness:    1 / Σ weighted directed distances; unreachable -> 0
+                [bytecode-verified]
+- eigenvector:  power iteration on A + A^T + I.  NOTE the jar's version
+                starts from `new Random()` — NON-deterministic in the
+                reference; this engine's deterministic uniform start is
+                the documented canonical choice (tolerance there: 1e-4)
 """
 
 from __future__ import annotations
@@ -72,21 +75,34 @@ def brandes_betweenness(graph: ContextGraph) -> dict[str, float]:
 
 
 def freeman_closeness(graph: ContextGraph) -> dict[str, float]:
+    """closeness(v) = 1 / Σ_u d(v, u) over WEIGHTED directed shortest
+    paths; any unreachable u makes the sum infinite -> 0.0 (bytecode of
+    jgrapht-sna FreemanClosenessCentrality: Floyd-Warshall distances,
+    early-out on isInfinite, dconst_1/sum).  Java's 1.0/0.0 == +inf is
+    mirrored for the degenerate zero-sum (single-vertex) case."""
+    import heapq
+
     out_adj = graph.out_adj
+    edges = graph.edges
+    n = graph.n_vertices()
     out: dict[str, float] = {}
     for s in graph.vertices:
-        dist = {s: 0}
-        queue = deque([s])
-        total = 0
-        while queue:
-            v = queue.popleft()
+        dist: dict[str, float] = {s: 0.0}
+        heap = [(0.0, s)]
+        while heap:
+            d, v = heapq.heappop(heap)
+            if d > dist.get(v, float("inf")):
+                continue
             for w in out_adj.get(v, ()):
-                if w not in dist:
-                    dist[w] = dist[v] + 1
-                    total += dist[w]
-                    queue.append(w)
-        reachable = len(dist) - 1
-        out[s] = (reachable / total) if total > 0 else 0.0
+                nd = d + edges[(v, w)][1]
+                if nd < dist.get(w, float("inf")):
+                    dist[w] = nd
+                    heapq.heappush(heap, (nd, w))
+        if len(dist) < n:
+            out[s] = 0.0  # some target unreachable -> sum = inf -> 1/inf
+        else:
+            total = sum(dist.values())
+            out[s] = (1.0 / total) if total > 0 else float("inf")
     return out
 
 

@@ -48,9 +48,25 @@ def test_betweenness_path():
 
 def test_closeness_path():
     c = freeman_closeness(path_graph())
-    # a reaches b,c,d at distances 1,2,3 -> 3/6
-    assert c["a"] == pytest.approx(3 / 6)
+    # a reaches b,c,d at distances 1,2,3 -> 1/6 (jgrapht-sna: 1/sum)
+    assert c["a"] == pytest.approx(1 / 6)
+    assert c["b"] == 0.0  # cannot reach a -> infinite sum
     assert c["d"] == 0.0  # sink reaches nothing
+
+
+def test_closeness_respects_weights():
+    g = ContextGraph()
+    for v in "abc":
+        g.add_vertex(v)
+    g.add_edge("a", "b", "p", 2.0)
+    g.add_edge("a", "c", "p", 0.5)
+    g.add_edge("b", "a", "p", 2.0)
+    g.add_edge("b", "c", "p", 1.0)
+    g.add_edge("c", "a", "p", 0.5)
+    g.add_edge("c", "b", "p", 1.0)
+    c = freeman_closeness(g)
+    # a: d(b)=2, d(c)=0.5 -> 1/2.5
+    assert c["a"] == pytest.approx(1 / 2.5)
 
 
 def test_eigenvector_star():
