@@ -59,14 +59,15 @@ def test_closeness_respects_weights():
     for v in "abc":
         g.add_vertex(v)
     g.add_edge("a", "b", "p", 2.0)
-    g.add_edge("a", "c", "p", 0.5)
+    g.add_edge("a", "c", "p", 0.4)
     g.add_edge("b", "a", "p", 2.0)
     g.add_edge("b", "c", "p", 1.0)
-    g.add_edge("c", "a", "p", 0.5)
+    g.add_edge("c", "a", "p", 0.4)
     g.add_edge("c", "b", "p", 1.0)
     c = freeman_closeness(g)
-    # a: d(b)=2, d(c)=0.5 -> 1/2.5
-    assert c["a"] == pytest.approx(1 / 2.5)
+    # a: d(c)=0.4 direct; d(b)=min(2.0, 0.4+1.0)=1.4 -> 1/1.8
+    # (unweighted BFS would give 1/2 — the weights matter)
+    assert c["a"] == pytest.approx(1 / 1.8)
 
 
 def test_eigenvector_star():
