@@ -14,10 +14,13 @@ mention's candidates matters, and all share the graph):
                 jar: BFS, no getEdgeWeight use)
 - closeness:    1 / Σ weighted directed distances; unreachable -> 0
                 [bytecode-verified]
-- eigenvector:  power iteration on A + A^T + I.  NOTE the jar's version
-                starts from `new Random()` — NON-deterministic in the
-                reference; this engine's deterministic uniform start is
-                the documented canonical choice (tolerance there: 1e-4)
+- eigenvector:  power iteration x' = (A_sym + I) x — the jar's exact
+                update rule (bytecode: next.putAll(prev) then accumulate
+                Graphs.neighborListOf, i.e. symmetrized neighbors plus
+                the self term).  NOTE the jar seeds from `new Random()`
+                — NON-deterministic in the reference; this engine's
+                deterministic uniform start is the documented canonical
+                choice (jar tolerance: 1e-4)
 """
 
 from __future__ import annotations
