@@ -114,6 +114,21 @@ def _kg_text_invariant(sf_dir: str):
     return pd.DataFrame([{"bad_rows": verify_text_invariant(pages)}])
 
 
+def _kg_ambiguity_report(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from reden_ray.pipelines.kg import candidates_dataset, fixture_config, mentions_dataset
+    from reden_ray.pipelines.metrics import ambiguity_report
+
+    fd = _fixture_for(sf_dir)
+    cfg = fixture_config(fd)
+    pages = rd.read_parquet(f"{fd}/pages.parquet", columns=["url", "html"])
+    dict_ref = ray.put(pq.read_table(f"{fd}/dictionary.parquet"))
+    return ambiguity_report(candidates_dataset(mentions_dataset(pages), dict_ref, cfg))
+
+
 def _kg_links_untagged(sf_dir: str):
     from reden_ray.pipelines.kg import links_view, run_untagged_pipeline
 
@@ -228,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonical_triples": _kg_canonical_triples,
         "kg_pred_frequency": _kg_pred_frequency,
         "kg_links_untagged": _kg_links_untagged,
+        "kg_ambiguity_report": _kg_ambiguity_report,
         # approximate dedup / scoring (algorithmic, rows-only)
         "dedup_minhash_docs": _dedup_minhash,
         "dedup_simhash_docs": _dedup_simhash,
