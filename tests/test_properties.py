@@ -108,3 +108,82 @@ def test_dictionary_cap_applies_before_dedup():
     got = idx.groups("x", "PER")
     # first 100 raw rows = 120-dup block truncated: only the 'same' group
     assert got == [["http://kb.test/ent/same"]]
+
+
+# --- linker invariants under random contexts ------------------------------
+
+from hypothesis import strategies as _st
+
+
+def _mk_world(n_ents, n_objs, edges_seed):
+    import random
+
+    rng = random.Random(edges_seed)
+    rows = []
+    for k in range(n_ents):
+        base = f"http://kb.test/ent/{k}"
+        alt = f"http://alt.test/ent/{k}"
+        rows.append((base, "http://kb.test/sameAs", alt))
+        for i in range(rng.randint(0, 4)):
+            rows.append((alt, f"http://kb.test/p/r{i%2}", f"http://obj.test/{rng.randrange(n_objs)}"))
+    return rows
+
+
+@given(
+    st.integers(min_value=2, max_value=6),   # entities
+    st.integers(min_value=1, max_value=5),   # mentions
+    st.integers(min_value=0, max_value=10_000),  # seed
+)
+@settings(max_examples=40, deadline=None)
+def test_link_context_invariants(n_ents, n_mentions, seed):
+    import random
+
+    from reden_ray.config import LinkerConfig
+    from reden_ray.core.linker import MentionRow, link_context
+
+    class Adj:
+        def __init__(self, rows):
+            self.m = {}
+            for s, p, o in rows:
+                self.m.setdefault(s, []).append((p, o))
+
+        def get(self, u):
+            return self.m.get(u, [])
+
+        def has(self, u):
+            return u in self.m
+
+    rng = random.Random(seed)
+    adj = Adj(_mk_world(n_ents, 5, seed))
+    mentions = []
+    cand = {}
+    for mid in range(n_mentions):
+        surface = f"M{rng.randrange(3)}"
+        mentions.append(MentionRow(mid, surface, "PER"))
+        if surface not in cand and rng.random() < 0.85:
+            n_groups = rng.randint(1, 3)
+            cand[surface] = [
+                [f"http://kb.test/ent/{rng.randrange(n_ents)}"] for _ in range(n_groups)
+            ]
+    cfg = LinkerConfig()
+    res = link_context(mentions, cand, adj, cfg)
+
+    # 1:1 links, ids preserved
+    assert [l.mention_id for l in res.links] == [m.mention_id for m in mentions]
+    # every chosen URI comes from the mention's candidate groups (ALL mode
+    # can only emit group members; winner fallback is also a group member)
+    for l in res.links:
+        if l.chosen_uris:
+            allowed = {u for g in cand.get(l.surface, []) for u in g}
+            # inverted-index quirk: the winner may belong to ANOTHER
+            # mention sharing the URI — union all context candidates
+            allowed |= {u for gs in cand.values() for g in gs for u in g}
+            assert set(l.chosen_uris) <= allowed
+    # triples only have base-KB subjects and never sameAs predicates
+    for s, p, o, w in res.triples:
+        assert "http://kb.test/" in s
+        assert p != "http://kb.test/sameAs"
+        assert w == 1.0  # no rels weights configured
+    # route consistency
+    if res.route == "NoAmbiguity":
+        assert res.triples == []
