@@ -37,6 +37,12 @@ BENCH_FIXTURE = {  # sf basename -> fixture scale for the headline pipeline
 # the scaling runs use a larger corpus so compute dominates fixed
 # overhead (actor/worker spawn ~0.5s) and efficiency is measurable
 SCALING_FIXTURE = dict(n_docs=40000, n_entities=240, n_topics=24, seed=42)
+# smaller corpus for low-CPU pairs (e.g. 2 vs 8) so best-of-3 at the
+# low level stays within the run budget
+SCALING_FIXTURE_SMALL = dict(n_docs=20000, n_entities=200, n_topics=20, seed=42)
+SCALING_PAIR = tuple(
+    int(x) for x in os.environ.get("GRAFT_SCALING_PAIR", "4,16").split(",")
+)
 
 
 def run_bench() -> dict:
@@ -63,7 +69,9 @@ def run_bench() -> dict:
 
     base = os.path.basename(SF_DIR.rstrip("/"))
     if SCALING_MODE:
-        fd = fixture_dir(**SCALING_FIXTURE)
+        fd = fixture_dir(
+            **(SCALING_FIXTURE_SMALL if max(SCALING_PAIR) <= 8 else SCALING_FIXTURE)
+        )
     else:
         fd = fixture_dir(**BENCH_FIXTURE.get(base, BENCH_FIXTURE["sf0.1"]))
 
@@ -162,12 +170,12 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # N vs 4N parallelism.  4/16 rather than 8/32: a raw CPU-burn probe
-    # shows this sandbox's 32 "cores" only deliver ~2.4x from 8->32
-    # processes (0.61 efficiency ceiling before any framework overhead)
-    # but a clean ~3.3x from 4->16 — the hardware above 16 workers is
-    # shared/throttled, which would measure the machine, not the engine.
-    lo, hi = 4, 16
+    # N vs 4N parallelism.  Default 4/16 rather than 8/32: a raw
+    # CPU-burn probe shows this sandbox's 32 "cores" only deliver ~2.4x
+    # from 8->32 processes (0.61 efficiency ceiling before any framework
+    # overhead), and even the 16-worker level throttles intermittently.
+    # Set GRAFT_SCALING_PAIR=2,8 for a fully throttle-immune pair.
+    lo, hi = SCALING_PAIR
     r_lo, r_hi = run(lo), run(hi)
     tp_lo, tp_hi = r_lo["docs_per_sec"], r_hi["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
