@@ -43,3 +43,16 @@ def test_entity_unescaping_before_mention():
     inner = 'a &amp; b <span class="ne" data-type="LOC">Nîmes</span>'
     ms = detect_mentions(inner)
     assert ms[0].start == len("a & b ")
+
+
+def test_unicode_heavy_contexts():
+    html = (
+        "<html><body><p>中文文本 🎉 <span class=\"ne\" data-type=\"LOC\">Paris</span>"
+        " et ænd Ωmega</p></body></html>"
+    ).encode("utf-8")
+    ctxs = split_contexts(html)
+    assert ctxs == ["中文文本 🎉 Paris et ænd Ωmega"]
+    ms = detect_mentions(split_context_html(html)[0])
+    assert ms[0].surface == "Paris"
+    # offsets are CODEPOINT-based: alignment must survive emoji/CJK
+    assert ctxs[0][ms[0].start : ms[0].end] == "Paris"
