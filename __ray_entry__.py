@@ -318,8 +318,8 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN epoch(ts - lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
             "sess AS (SELECT user_id, event_id, "
-            "sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-            "ROWS UNBOUNDED PRECEDING) AS session_id FROM gaps) "
+            "CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM gaps) "
             "SELECT user_id, session_id, count(*) AS n_events, "
             "min(event_id) AS first_event FROM sess GROUP BY user_id, session_id"
         ),
