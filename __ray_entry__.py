@@ -161,31 +161,48 @@ def _kg_pred_frequency(sf_dir: str):
     return pred_frequency(triples_view(run_fixture_pipeline(_fixture_for(sf_dir))))
 
 
+def _pairs_table(ds, schema, sort_cols):
+    """Fixture-sized pair Dataset -> deterministic driver table.
+
+    The library pair finders return streaming Datasets (write_parquet
+    at scale); the driver contract wants a small stable-schema result,
+    so ONLY here do pairs land on the driver."""
+    import pyarrow as pa
+
+    t = pa.Table.from_pylist(ds.take_all(), schema=schema)
+    import pyarrow.compute as pc
+
+    return t.take(pc.sort_indices(t, sort_keys=[(c, "ascending") for c in sort_cols]))
+
+
 def _dedup_minhash(sf_dir: str):
     import ray.data as rd
 
-    from reden_ray.stages.dedup import minhash_lsh_pairs
+    from reden_ray.stages.dedup import _MINHASH_PAIR_SCHEMA, minhash_lsh_pairs
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_pairs(docs, threshold=0.7)
+    pairs = minhash_lsh_pairs(docs, threshold=0.7)
+    return _pairs_table(pairs, _MINHASH_PAIR_SCHEMA, ["doc_a", "doc_b"])
 
 
 def _dedup_simhash(sf_dir: str):
     import ray.data as rd
 
-    from reden_ray.stages.dedup import simhash_pairs
+    from reden_ray.stages.dedup import _SIMHASH_PAIR_SCHEMA, simhash_pairs
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_pairs(docs, max_hamming=3)
+    pairs = simhash_pairs(docs, max_hamming=3)
+    return _pairs_table(pairs, _SIMHASH_PAIR_SCHEMA, ["doc_a", "doc_b"])
 
 
 def _dedup_embedding(sf_dir: str):
     import ray.data as rd
 
-    from reden_ray.stages.dedup import embedding_dup_pairs
+    from reden_ray.stages.dedup import _EMB_PAIR_SCHEMA, embedding_dup_pairs
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_dup_pairs(emb, threshold=0.98)
+    pairs = embedding_dup_pairs(emb, threshold=0.98)
+    return _pairs_table(pairs, _EMB_PAIR_SCHEMA, ["vec_a", "vec_b"])
 
 
 def _curation(sf_dir: str):

@@ -7,25 +7,52 @@ corpus actually runs:
       -> TokenStats + QualityScore + LangId     (fused stateless maps)
       -> quality / length filter                 (vectorized)
       -> exact dedup                             (hash partition + first)
-      -> MinHash-LSH near-dup drop               (keep the smallest id
-                                                  of each near-dup pair)
+      -> MinHash-LSH near-dup drop               (distributed anti-join
+                                                  against the pair
+                                                  losers — keep the
+                                                  smallest id of each
+                                                  near-dup pair)
       -> curated table
 
-Every stage streams; the only exchanges are the dedup groupby and the
-LSH bucket groupby, both on uniform hash keys.  The near-dup pair set is
-collected (pairs are rare by construction); at 10^12 docs the drop-set
-becomes a broadcast Bloom filter instead of an exact set — noted inline.
+Every stage streams; the exchanges are the dedup groupby, the LSH
+bucket groupby and the loser anti-join, all on uniform hash keys.
+Near-dup losers are never collected to the driver: the pairs Dataset
+maps to loser ids, distincts distributedly, and drops via a native
+hash-partitioned ``left_anti`` join — the same plan at 500 docs and
+at 10^12.
+
+The deduped survivors feed two consumers (the LSH pass and the final
+anti-join).  By default they are pinned once in the object store
+(``materialize`` — block-distributed, spillable); pass
+``checkpoint_dir`` to stage them as partitioned parquet instead, which
+is both the resume point and the cheaper choice when the corpus
+exceeds aggregate object-store memory.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray
 import ray.data as rd
 
 from ..stages.dedup import exact_dedup, minhash_lsh_pairs
+from ..stages.joins import shuffle_anti_join
 from ..stages.textstats import LangId, QualityScore, TokenStats
+
+
+def near_dup_losers(pairs: rd.Dataset) -> rd.Dataset:
+    """Pair table -> distinct loser doc_ids (the larger id of each
+    near-dup pair; the smaller survives).  Stays a Dataset end to end."""
+
+    def losers(batch: pa.Table) -> pa.Table:
+        keep = pc.max_element_wise(batch["doc_a"], batch["doc_b"])
+        return pa.table({"doc_id": keep})
+
+    ids = pairs.map_batches(losers, batch_format="pyarrow")
+    # one row per loser id (a doc can lose several pairs)
+    return ids.groupby("doc_id").map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
 
 
 def curate_documents(
@@ -34,6 +61,7 @@ def curate_documents(
     min_tokens: int = 10,
     near_dup_threshold: float = 0.9,
     lang: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> rd.Dataset:
     cols = ["doc_id", "text", "lang", "source"]
     if lang is not None:
@@ -58,27 +86,17 @@ def curate_documents(
         )
         return batch.filter(mask)
 
-    filtered = scored.map_batches(keep, batch_format="pyarrow").materialize()
-    # exact dedup on the filtered survivors
-    deduped = exact_dedup(filtered, column="text", id_column="doc_id").materialize()
+    filtered = scored.map_batches(keep, batch_format="pyarrow")
+    # exact dedup on the filtered survivors; staged once for the two
+    # downstream consumers (LSH pass + anti-join)
+    deduped = exact_dedup(filtered, column="text", id_column="doc_id")
+    if checkpoint_dir is not None:
+        deduped.write_parquet(checkpoint_dir)
+        deduped = rd.read_parquet(checkpoint_dir)
+    else:
+        deduped = deduped.materialize()
 
-    # near-dup drop: for each pair keep the smaller doc_id.  Pairs are
-    # collected exactly here; at web scale replace the drop set with a
-    # broadcast Bloom filter over pair losers.
     pairs = minhash_lsh_pairs(
         deduped.select_columns(["doc_id", "text"]), threshold=near_dup_threshold
     )
-    drop = {
-        max(a, b)
-        for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist())
-    }
-    drop_ref = ray.put(drop)
-
-    def drop_near_dups(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        mask = pa.array(
-            [i not in d for i in batch.column("doc_id").to_pylist()], pa.bool_()
-        )
-        return batch.filter(mask)
-
-    return deduped.map_batches(drop_near_dups, batch_format="pyarrow")
+    return shuffle_anti_join(deduped, near_dup_losers(pairs), on=["doc_id"])

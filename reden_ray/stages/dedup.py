@@ -2,24 +2,34 @@
 
 All variants follow the same scalable shape: vectorized per-batch
 signature computation (map_batches, state in ``__init__``), a
-hash-partitioned groupby on the signature/bucket key, and a small
-verification pass — never an O(n^2) driver loop.
+hash-partitioned groupby on the signature/bucket key, and an
+IN-BUCKET verification pass — never an O(n^2) driver loop and never
+a corpus-sized ``take_all()``.  Signatures ride along into the band
+rows (a few hundred bytes per doc), so candidate pairs are verified
+inside the bucket ``map_groups`` where both signatures are already
+co-located; the pair tables that leave each bucket hold only
+verified pairs.  Every pair finder returns a **streaming Dataset**
+(doc_a < doc_b), distinct across bands via a distributed groupby —
+the driver never holds a corpus-sized structure.
 
 - ``exact_dedup``         — content-hash partition + per-group min-id
 - ``minhash_lsh_pairs``   — shingle -> 64-perm MinHash -> banded LSH
-                            buckets -> candidate pairs -> signature-
-                            estimated Jaccard filter
+                            buckets -> in-bucket signature-estimated
+                            Jaccard verify -> distinct pairs Dataset
 - ``simhash_pairs``       — 64-bit SimHash, 4x16-bit band blocking,
-                            Hamming-distance verify
+                            in-bucket Hamming verify -> pairs Dataset
 - ``ngram_jaccard``       — exact n-gram Jaccard for a given pair list
                             (the verification primitive)
 - ``embedding_dup_pairs`` — random-hyperplane LSH buckets over an
-                            embedding column, exact cosine verify
+                            embedding column, in-bucket exact cosine
+                            verify -> pairs Dataset
 
 Scale notes: bucket keys are uniform hashes => the groupbys are
 skew-free by construction except for degenerate buckets (e.g. empty
-text); those are capped per bucket (``max_bucket``) and the cap is
-logged in the result, not silently dropped.
+text, zero vectors); ALL bucket processors cap group size
+(``max_bucket``) and surface the cap in a ``truncated`` column, never
+silently.  The hot-bucket prefilter is a distributed count + inner
+join (no driver key set).
 """
 
 from __future__ import annotations
@@ -29,7 +39,6 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray
 import ray.data as rd
 
 # --- exact ---------------------------------------------------------------
@@ -64,6 +73,72 @@ def exact_dedup(docs: rd.Dataset, column: str = "text", id_column: str = "doc_id
     )
 
 
+# --- shared LSH plumbing -------------------------------------------------
+
+
+def _empty_pairs(schema: pa.Schema) -> pa.Table:
+    return schema.empty_table()
+
+
+def distinct_pairs(pairs: rd.Dataset, a: str = "doc_a", b: str = "doc_b") -> rd.Dataset:
+    """One row per (a, b) pair — a pair found in several LSH bands keeps
+    its first row, with ``truncated`` OR-ed across bands (a cap in ANY
+    contributing bucket marks the pair).  Distributed groupby; duplicate
+    pairs are rare (only docs colliding in >1 band), so the per-group
+    Python call is off the hot path."""
+
+    def first(group: pa.Table) -> pa.Table:
+        row = group.slice(0, 1)
+        if "truncated" in group.column_names:
+            i = row.column_names.index("truncated")
+            any_trunc = pc.any(group.column("truncated")).as_py() or False
+            row = row.set_column(i, "truncated", pa.array([any_trunc], pa.bool_()))
+        return row
+
+    return pairs.groupby([a, b]).map_groups(first, batch_format="pyarrow")
+
+
+def collision_buckets_only(
+    buckets: rd.Dataset,
+    on: tuple[str, str] = ("band", "band_key"),
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Keep only buckets holding >=2 docs — fully distributed.
+
+    Almost every bucket is a singleton; running map_groups over all of
+    them costs one Python call per DOC x BAND (measured: the dominant
+    cost).  A vectorized count-aggregate over the PROJECTED key columns
+    (signatures don't ride through this shuffle), then an inner join of
+    the band rows against the ``n >= 2`` keys — no driver-side key set.
+    """
+    from ray.data.aggregate import Count
+
+    counts = (
+        buckets.select_columns(list(on))
+        .groupby(list(on))
+        .aggregate(Count(alias_name="__n"))
+    )
+    # staged_nonempty compacts away empty blocks (the hash-join schema
+    # broadcast rides ONLY on an input's first block — see joins.py)
+    # and makes the zero-collision empty check metadata-only.
+    from .joins import default_join_partitions, staged_nonempty
+
+    hot = staged_nonempty(
+        counts.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["__n"], 2)).drop_columns("__n"),
+            batch_format="pyarrow",
+        )
+    )
+    if hot is None:
+        return buckets.limit(0)
+    return buckets.join(
+        hot,
+        join_type="inner",
+        num_partitions=num_partitions or default_join_partitions(),
+        on=on,
+    )
+
+
 # --- minhash -------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
@@ -89,10 +164,13 @@ def _shingles(text: str, k: int = 5) -> np.ndarray:
 
 
 class MinHasher:
-    """(doc_id, text) -> (doc_id, sig: list<uint64>[n_perm]); permutations
+    """(doc_id, text) -> (doc_id, sig: binary[n_perm*8]); permutations
     are seeded a*x+b mod Mersenne-61 — deterministic across runs.
     Shingle hashes are 32-bit and a < 2^31, so a*x + b < 2^64: the uint64
-    vectorized arithmetic never overflows."""
+    vectorized arithmetic never overflows.  The signature is packed as
+    little-endian uint64 bytes so it can ride through band rows, joins
+    and shuffles as a plain binary column (Arrow joins reject list
+    payloads; binary is join-safe)."""
 
     def __init__(self, n_perm: int = 64, shingle_k: int = 5, seed: int = 7):
         rng = np.random.RandomState(seed)
@@ -111,7 +189,7 @@ class MinHasher:
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+                "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
             }
         )
 
@@ -119,12 +197,24 @@ class MinHasher:
 _BAND_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _unpack_sigs(sig_col: pa.ChunkedArray | pa.Array, n_perm: int) -> np.ndarray:
+    """binary sig column -> (n, n_perm) uint64 matrix, zero-copy-ish."""
+    blobs = sig_col.to_pylist()
+    if not blobs:
+        return np.empty((0, n_perm), dtype=np.uint64)
+    return np.frombuffer(b"".join(blobs), dtype=np.uint64).reshape(len(blobs), n_perm)
+
+
 def _band_rows(batch: pa.Table, n_bands: int, rows_per_band: int) -> pa.Table:
     """Banded bucket rows, fully vectorized: the band key is a
     multiply-xor mix of the band's signature rows (deterministic across
-    workers; collisions beyond real signature equality are ~2^-62)."""
+    workers; collisions beyond real signature equality are ~2^-62).
+    Each row carries the doc's full signature so the bucket stage can
+    verify candidate pairs in place (no second pass over the corpus)."""
+    n_perm = n_bands * rows_per_band
     doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
-    sigs = np.asarray(batch.column("sig").to_pylist(), dtype=np.uint64)
+    sig_blobs = batch.column("sig").to_pylist()
+    sigs = _unpack_sigs(batch.column("sig"), n_perm)
     n = len(doc_ids)
     sigs = sigs.reshape(n, n_bands, rows_per_band)
     keys = np.full((n, n_bands), np.uint64(1469598103934665603))  # FNV offset
@@ -136,11 +226,24 @@ def _band_rows(batch: pa.Table, n_bands: int, rows_per_band: int) -> pa.Table:
         {
             "doc_id": pa.array(np.repeat(doc_ids, n_bands)),
             "band": pa.array(
-                np.tile(np.arange(n_bands, dtype=np.int32), n), pa.int32()
+                np.tile(np.arange(n_bands, dtype=np.int64), n), pa.int64()
             ),
             "band_key": pa.array((keys >> np.uint64(1)).astype(np.int64).reshape(-1)),
+            "sig": pa.array(
+                [b for b in sig_blobs for _ in range(n_bands)], pa.binary()
+            ),
         }
     )
+
+
+_MINHASH_PAIR_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("est_jaccard", pa.float64()),
+        ("truncated", pa.bool_()),
+    ]
+)
 
 
 def minhash_lsh_pairs(
@@ -150,109 +253,68 @@ def minhash_lsh_pairs(
     n_bands: int = 8,
     shingle_k: int = 5,
     max_bucket: int = 200,
-) -> pa.Table:
-    """Near-duplicate pairs (doc_a < doc_b, est_jaccard >= threshold).
+) -> rd.Dataset:
+    """Near-duplicate pairs (doc_a < doc_b, est_jaccard >= threshold),
+    as a streaming Dataset.
 
-    Pipeline: signatures (actor pool) -> banded bucket rows -> groupby
-    bucket -> within-bucket pairs (capped at ``max_bucket`` docs; cap
-    events surface in the ``truncated`` column) -> signature-estimate
-    verify.  Returns a small driver-side table of pairs.
+    Pipeline: signatures (stateless tasks + worker-global hasher cache)
+    -> banded bucket rows carrying the signature -> hot-bucket prefilter
+    (distributed count + join) -> within-bucket VERIFIED pairs (capped
+    at ``max_bucket`` docs; cap events surface in ``truncated``) ->
+    distributed distinct across bands.  Nothing corpus-sized ever
+    reaches the driver; write the result with ``write_parquet`` or feed
+    it to an anti-join.
     """
     rows_per_band = n_perm // n_bands
 
     def sig_batch(batch: pa.Table, n_perm=n_perm, shingle_k=shingle_k) -> pa.Table:
-        # stateless task + worker-global hasher cache: elastic scheduling
-        # with the setup still amortized (cf. stages.candidates)
         key = (n_perm, shingle_k)
         hasher = _HASHER_CACHE.get(key)
         if hasher is None:
             hasher = _HASHER_CACHE[key] = MinHasher(n_perm=n_perm, shingle_k=shingle_k)
         return hasher(batch)
 
-    sigs = docs.map_batches(
-        sig_batch, batch_format="pyarrow"
-    ).materialize()  # reused twice (buckets + verify); signatures are small
-
-    buckets = sigs.map_batches(
-        lambda t: _band_rows(t, n_bands, rows_per_band), batch_format="pyarrow"
-    ).materialize()
-    buckets = _collision_buckets_only(buckets)
+    buckets = (
+        docs.map_batches(sig_batch, batch_format="pyarrow")
+        .map_batches(
+            lambda t: _band_rows(t, n_bands, rows_per_band), batch_format="pyarrow"
+        )
+        # consumed twice (count prefilter + join probe side); at extreme
+        # scale swap for a parquet checkpoint (state/checkpoint.py)
+        .materialize()
+    )
+    hot = collision_buckets_only(buckets)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())
-        truncated = len(ids) > max_bucket
-        ids = ids[:max_bucket]
-        a_col, b_col = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_col.append(ids[i])
-                b_col.append(ids[j])
+        n = group.num_rows
+        if n < 2:
+            return _empty_pairs(_MINHASH_PAIR_SCHEMA)
+        order = pc.sort_indices(group.column("doc_id"))
+        group = group.take(order)
+        truncated = n > max_bucket
+        group = group.slice(0, max_bucket)
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        sigs = _unpack_sigs(group.column("sig"), n_perm)
+        # pairwise estimated Jaccard = fraction of equal signature rows,
+        # vectorized over the (<= max_bucket)^2 bucket
+        eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        est = eq[ia, ib]
+        keep = est >= threshold
+        ia, ib, est = ia[keep], ib[keep], est[keep]
         return pa.table(
             {
-                "doc_a": pa.array(a_col, pa.int64()),
-                "doc_b": pa.array(b_col, pa.int64()),
-                "truncated": pa.array([truncated] * len(a_col), pa.bool_()),
+                "doc_a": pa.array(ids[ia]),
+                "doc_b": pa.array(ids[ib]),
+                "est_jaccard": pa.array(est.astype(np.float64)),
+                "truncated": pa.array(np.full(len(ia), truncated), pa.bool_()),
             }
         )
 
-    cand = (
-        buckets.groupby(["band", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .take_all()
+    pairs = hot.groupby(["band", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
     )
-    pairs = sorted({(r["doc_a"], r["doc_b"]) for r in cand})
-    any_trunc = any(r["truncated"] for r in cand)
-
-    # verify with signature-estimated Jaccard (exact verify: ngram_jaccard)
-    need = {d for p in pairs for d in p}
-    sig_map = {
-        r["doc_id"]: np.asarray(r["sig"], dtype=np.uint64)
-        for r in sigs.take_all()
-        if r["doc_id"] in need
-    }
-    out_a, out_b, est = [], [], []
-    for a, b in pairs:
-        j = float(np.mean(sig_map[a] == sig_map[b]))
-        if j >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-            est.append(j)
-    return pa.table(
-        {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "est_jaccard": pa.array(est, pa.float64()),
-            "bucket_truncated": pa.array([any_trunc] * len(out_a), pa.bool_()),
-        }
-    )
-
-
-def _collision_buckets_only(buckets: rd.Dataset) -> rd.Dataset:
-    """Keep only (band, band_key) buckets holding >=2 docs.
-
-    Almost every bucket is a singleton; running map_groups over all of
-    them costs one Python call per DOC x BAND (measured: the dominant
-    cost).  A vectorized count-aggregate first, then a broadcast filter,
-    leaves map_groups only the actual collision buckets.
-    """
-    from ray.data.aggregate import Count
-
-    counts = buckets.groupby(["band", "band_key"]).aggregate(Count(alias_name="n"))
-    hot = {
-        (r["band"], r["band_key"])
-        for r in counts.take_all()
-        if r["n"] >= 2
-    }
-    hot_ref = ray.put(hot)
-
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        hs = ray.get(hot_ref)
-        bands = batch.column("band").to_pylist()
-        keys = batch.column("band_key").to_pylist()
-        mask = pa.array([(b, k) in hs for b, k in zip(bands, keys)], pa.bool_())
-        return batch.filter(mask)
-
-    return buckets.map_batches(keep_hot, batch_format="pyarrow")
+    return distinct_pairs(pairs)
 
 
 # --- simhash -------------------------------------------------------------
@@ -288,62 +350,78 @@ class SimHasher:
         )
 
 
-def simhash_pairs(docs: rd.Dataset, max_hamming: int = 6) -> pa.Table:
-    """Near-dup pairs by SimHash: 4x16-bit band blocking guarantees any
-    pair within Hamming distance 3 shares a band; wider distances are
-    best-effort (documented LSH recall trade-off)."""
-    sigs = docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 8)).materialize()
+_SIMHASH_PAIR_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("hamming", pa.int64()),
+        ("truncated", pa.bool_()),
+    ]
+)
+
+
+def simhash_pairs(
+    docs: rd.Dataset, max_hamming: int = 6, max_bucket: int = 200
+) -> rd.Dataset:
+    """Near-dup pairs by SimHash, as a streaming Dataset: 4x16-bit band
+    blocking guarantees any pair within Hamming distance 3 shares a
+    band; wider distances are best-effort (documented LSH recall
+    trade-off).  The 64-bit hash rides into the band rows, so the
+    Hamming verify happens inside the bucket groupby — no driver-side
+    signature map."""
+    sigs = docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 8))
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids, bands, keys = [], [], []
-        for doc_id, h in zip(
-            batch.column("doc_id").to_pylist(), batch.column("simhash").to_pylist()
-        ):
-            u = (h + (1 << 63)) & 0xFFFFFFFFFFFFFFFF
-            for b in range(4):
-                ids.append(doc_id)
-                bands.append(b)
-                keys.append((u >> (16 * b)) & 0xFFFF)
+        doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        h = np.asarray(batch.column("simhash").to_pylist(), dtype=np.int64)
+        u = h.view(np.uint64) + np.uint64(1 << 63)
+        n = len(doc_ids)
+        bands = np.tile(np.arange(4, dtype=np.int64), n)
+        shifts = np.uint64(16) * bands.astype(np.uint64)
+        keys = (np.repeat(u, 4) >> shifts) & np.uint64(0xFFFF)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "band_key": pa.array(keys, pa.int64()),
+                "doc_id": pa.array(np.repeat(doc_ids, 4)),
+                "band": pa.array(bands, pa.int64()),
+                "band_key": pa.array(keys.astype(np.int64)),
+                "simhash": pa.array(np.repeat(h, 4)),
             }
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())[:200]
-        a_col = [ids[i] for i in range(len(ids)) for _ in range(i + 1, len(ids))]
-        b_col = [ids[j] for i in range(len(ids)) for j in range(i + 1, len(ids))]
+        n = group.num_rows
+        if n < 2:
+            return _empty_pairs(_SIMHASH_PAIR_SCHEMA)
+        order = pc.sort_indices(group.column("doc_id"))
+        group = group.take(order)
+        truncated = n > max_bucket
+        group = group.slice(0, max_bucket)
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        h = np.asarray(group.column("simhash").to_pylist(), dtype=np.int64).view(np.uint64)
+        # pairwise Hamming distance: xor then popcount via byte unpack
+        x = h[:, None] ^ h[None, :]
+        bits = np.unpackbits(x.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2)
+        dist = bits.sum(axis=2).astype(np.int64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        d = dist[ia, ib]
+        keep = d <= max_hamming
+        ia, ib, d = ia[keep], ib[keep], d[keep]
         return pa.table(
-            {"doc_a": pa.array(a_col, pa.int64()), "doc_b": pa.array(b_col, pa.int64())}
+            {
+                "doc_a": pa.array(ids[ia]),
+                "doc_b": pa.array(ids[ib]),
+                "hamming": pa.array(d),
+                "truncated": pa.array(np.full(len(ia), truncated), pa.bool_()),
+            }
         )
 
-    cand = (
-        _collision_buckets_only(
-            sigs.map_batches(band_rows, batch_format="pyarrow").materialize()
-        )
+    buckets = sigs.map_batches(band_rows, batch_format="pyarrow").materialize()
+    pairs = (
+        collision_buckets_only(buckets)
         .groupby(["band", "band_key"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .take_all()
     )
-    pairs = sorted({(r["doc_a"], r["doc_b"]) for r in cand})
-    sig_map = {r["doc_id"]: r["simhash"] for r in sigs.take_all()}
-    out_a, out_b, dist = [], [], []
-    for a, b in pairs:
-        d = bin((sig_map[a] ^ sig_map[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
-        if d <= max_hamming:
-            out_a.append(a)
-            out_b.append(b)
-            dist.append(d)
-    return pa.table(
-        {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "hamming": pa.array(dist, pa.int64()),
-        }
-    )
+    return distinct_pairs(pairs)
 
 
 # --- exact n-gram Jaccard (verification primitive) -----------------------
@@ -364,6 +442,15 @@ def ngram_jaccard(texts_a: list[str], texts_b: list[str], k: int = 5) -> list[fl
 
 # --- embedding near-dup --------------------------------------------------
 
+_EMB_PAIR_SCHEMA = pa.schema(
+    [
+        ("vec_a", pa.int64()),
+        ("vec_b", pa.int64()),
+        ("cosine", pa.float64()),
+        ("truncated", pa.bool_()),
+    ]
+)
+
 
 def embedding_dup_pairs(
     embeddings: rd.Dataset,
@@ -371,10 +458,17 @@ def embedding_dup_pairs(
     n_planes: int = 12,
     seed: int = 11,
     id_column: str = "vec_id",
-) -> pa.Table:
+    max_bucket: int = 200,
+) -> rd.Dataset:
     """Cosine near-duplicate pairs via random-hyperplane LSH buckets +
-    exact verify.  The brute-force all-pairs baseline lives in
-    stages.similarity; this is the scale path (bucket then verify)."""
+    in-bucket exact verify, as a streaming Dataset.  The brute-force
+    all-pairs baseline lives in stages.similarity; this is the scale
+    path (bucket then verify).  Degenerate buckets (e.g. zero vectors
+    all landing in one key) are capped at ``max_bucket`` docs with the
+    cap surfaced in ``truncated`` — pair emission is never O(n^2) in
+    the corpus."""
+    import ray
+
     first = embeddings.take(1)[0]
     dim = len(first["embedding"])
     rng = np.random.RandomState(seed)
@@ -395,25 +489,29 @@ def embedding_dup_pairs(
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("vec_id").to_pylist()
+        n = group.num_rows
+        if n < 2:
+            return _empty_pairs(_EMB_PAIR_SCHEMA)
+        order = pc.sort_indices(group.column("vec_id"))
+        group = group.take(order)
+        truncated = n > max_bucket
+        group = group.slice(0, max_bucket)
+        ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
         vecs = np.asarray(group.column("embedding").to_pylist(), dtype=np.float32)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1
-        sims = (vecs / norms) @ (vecs / norms).T
-        a_col, b_col, s_col = [], [], []
-        order = np.argsort(ids)
-        for i_pos in range(len(order)):
-            for j_pos in range(i_pos + 1, len(order)):
-                i, j = order[i_pos], order[j_pos]
-                if sims[i, j] >= threshold:
-                    a_col.append(ids[i])
-                    b_col.append(ids[j])
-                    s_col.append(float(sims[i, j]))
+        nv = vecs / norms
+        sims = nv @ nv.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        s = sims[ia, ib]
+        keep = s >= threshold
+        ia, ib, s = ia[keep], ib[keep], s[keep]
         return pa.table(
             {
-                "vec_a": pa.array(a_col, pa.int64()),
-                "vec_b": pa.array(b_col, pa.int64()),
-                "cosine": pa.array(s_col, pa.float64()),
+                "vec_a": pa.array(ids[ia]),
+                "vec_b": pa.array(ids[ib]),
+                "cosine": pa.array(s.astype(np.float64)),
+                "truncated": pa.array(np.full(len(ia), truncated), pa.bool_()),
             }
         )
 
@@ -421,16 +519,5 @@ def embedding_dup_pairs(
         embeddings.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .take_all()
     )
-    uniq = {}
-    for r in pairs:
-        uniq[(r["vec_a"], r["vec_b"])] = r["cosine"]
-    keys = sorted(uniq)
-    return pa.table(
-        {
-            "vec_a": pa.array([k[0] for k in keys], pa.int64()),
-            "vec_b": pa.array([k[1] for k in keys], pa.int64()),
-            "cosine": pa.array([uniq[k] for k in keys], pa.float64()),
-        }
-    )
+    return distinct_pairs(pairs, a="vec_a", b="vec_b")

@@ -44,18 +44,85 @@ def broadcast_join(
     return left.map_batches(join_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
+def default_join_partitions() -> int:
+    """CPU-sized partition count for native hash joins.
+
+    The hash-shuffle aggregators are ACTORS that reserve scheduler
+    slots; oversubscribing them starves the map tasks and deadlocks
+    small clusters (measured: num_partitions=32 hangs a 4-CPU session,
+    16 runs).  cpus//2 keeps aggregators and producers co-scheduled at
+    any cluster size; multi-node callers with big keyspaces should pass
+    an explicit count."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(4, cpus // 2)
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
     on: list[str],
     how: str = "inner",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Both-sides-large shuffle join (Ray native hash join)."""
     return left.join(
         right,
         join_type=how,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions or default_join_partitions(),
+        on=tuple(on),
+    )
+
+
+def staged_nonempty(right: rd.Dataset, max_blocks: int = 64) -> rd.Dataset | None:
+    """Stage + compact a join build side; None if it has no rows.
+
+    Ray 2.49's hash-shuffle join broadcasts an input's schema exactly
+    once — on that input's FIRST block.  If that block is empty (a
+    filter-heavy chain commonly yields leading zero-row blocks), the
+    broadcast is consumed without delivering anything, and aggregators
+    whose partitions receive no rows finalize against a schema-less
+    empty table (ArrowInvalid: no match for FieldRef).  Staging
+    (block-distributed ``materialize`` — spillable, never
+    driver-sized) then repartitioning to ``min(max_blocks, rows)``
+    guarantees every block is non-empty, so the first block always
+    carries the schema.  ``count()`` on the staged copy is
+    metadata-only."""
+    staged = right.materialize()
+    n = staged.count()
+    if n == 0:
+        return None
+    return staged.repartition(min(max_blocks, n)).materialize()
+
+
+def shuffle_semi_join(
+    left: rd.Dataset, right: rd.Dataset, on: list[str], num_partitions: int | None = None
+) -> rd.Dataset:
+    """Both-sides-large semi join (native hash-partitioned left_semi).
+    Use when the right side is too big to broadcast — e.g. dropping
+    near-dup losers at web scale."""
+    staged = staged_nonempty(right)
+    if staged is None:
+        return left.limit(0)
+    return left.join(
+        staged,
+        join_type="left_semi",
+        num_partitions=num_partitions or default_join_partitions(),
+        on=tuple(on),
+    )
+
+
+def shuffle_anti_join(
+    left: rd.Dataset, right: rd.Dataset, on: list[str], num_partitions: int | None = None
+) -> rd.Dataset:
+    """Both-sides-large anti join (native hash-partitioned left_anti).
+    An empty right side short-circuits to ``left`` unchanged."""
+    staged = staged_nonempty(right)
+    if staged is None:
+        return left
+    return left.join(
+        staged,
+        join_type="left_anti",
+        num_partitions=num_partitions or default_join_partitions(),
         on=tuple(on),
     )
 
