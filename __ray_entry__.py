@@ -96,8 +96,11 @@ def _kg_eval(sf_dir: str):
     pages = rd.read_parquet(f"{fd}/pages.parquet", columns=["url", "html"])
     dict_ref = ray.put(pq.read_table(f"{fd}/dictionary.parquet"))
     adj_ref = ray.put(pq.read_table(f"{fd}/adjacency.parquet"))
+    # cands feeds TWO consumers (the linker and the eval join) -> stage
+    # it once; links has ONE consumer, so it stays lazy and the linker
+    # runs inside the eval execution (one fewer materialization).
     cands = candidates_dataset(mentions_dataset(pages), dict_ref, cfg).materialize()
-    links = links_view(linked_dataset(cands, adj_ref, cfg)).materialize()
+    links = links_view(linked_dataset(cands, adj_ref, cfg))
     gold = pq.read_table(f"{fd}/gold.parquet")
     m = compute_metrics(eval_records(cands, links, gold))
     return pd.DataFrame([m])
@@ -140,7 +143,7 @@ def _kg_canonical_triples(sf_dir: str):
 
     from reden_ray.pipelines.canonicalize import (
         canonicalize_triples,
-        connected_components,
+        connected_components_join,
         equivalence_pairs,
     )
     from reden_ray.pipelines.kg import run_fixture_pipeline, triples_view
@@ -149,7 +152,10 @@ def _kg_canonical_triples(sf_dir: str):
     adjacency = rd.read_parquet(f"{fd}/adjacency.parquet")
     dictionary = rd.read_parquet(f"{fd}/dictionary.parquet")
     pairs = equivalence_pairs(adjacency, "http://kb.test/sameAs", dictionary)
-    mapping, _ = connected_components(pairs, max_iters=5, prefer_prefix="http://kb.test/")
+    # join variant: nothing entity-sized on the driver per iteration
+    mapping, _ = connected_components_join(
+        pairs, max_iters=5, prefer_prefix="http://kb.test/"
+    )
     triples = triples_view(run_fixture_pipeline(fd))
     return canonicalize_triples(triples, mapping)
 

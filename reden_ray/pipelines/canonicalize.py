@@ -208,7 +208,7 @@ def connected_components_join(
             ),
             batch_format="pyarrow",
         )
-        n_changed = sum(r["changed"] for r in diff.take_all())
+        n_changed = diff.sum("changed") or 0  # distributed aggregate, scalar to driver
         labels = new_labels
         if n_changed == 0:
             converged = True

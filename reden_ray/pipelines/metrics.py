@@ -42,15 +42,52 @@ def pred_frequency(triples: rd.Dataset) -> rd.Dataset:
     return partial_groupby_count(triples, ["pred"], alias="n")
 
 
+class _PropAttacher:
+    """Actor-pool stage: builds the subj -> {prop: value} index ONCE per
+    actor in ``__init__`` from a broadcast PRE-FILTERED adjacency slice
+    (only rows whose predicate is probed ever ship), then serves every
+    batch from the in-memory index — the model-setup-in-__init__
+    pattern, not the per-batch rebuild it replaces."""
+
+    def __init__(self, adj_ref, props: list[str]):
+        import ray
+
+        self.props = props
+        table = ray.get(adj_ref)
+        by_subj: dict[str, dict[str, str]] = {}
+        for s, p, o in zip(
+            table.column("subj").to_pylist(),
+            table.column("pred").to_pylist(),
+            table.column("obj").to_pylist(),
+        ):
+            by_subj.setdefault(s, {}).setdefault(p, o)
+        self.by_subj = by_subj
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {p: [] for p in self.props}
+        for uri in batch.column("uri").to_pylist():
+            found = self.by_subj.get(uri, {})
+            for p in self.props:
+                cols[p].append(found.get(p))
+        out = batch
+        for p in self.props:
+            out = out.append_column(p.rsplit("/", 1)[-1], pa.array(cols[p], pa.string()))
+        return out
+
+
 def enrichment(links: rd.Dataset, adjacency: pa.Table, props: list[str]) -> rd.Dataset:
     """chosen URI -> occurrence count + requested property values.
 
-    The property probe list mirrors ``config/latlong.properties``; the
-    adjacency side table is broadcast (tiny next to links)."""
+    The property probe list mirrors ``config/latlong.properties``; only
+    the prop-matching adjacency rows are broadcast (filtered before
+    ``ray.put``), and the per-subject index is built once per actor."""
+    import pyarrow.compute as pc
     import ray
 
-    adj_ref = ray.put(adjacency)
-    props_set = set(props)
+    pruned = adjacency.filter(
+        pc.is_in(adjacency["pred"], value_set=pa.array(props, pa.string()))
+    )
+    adj_ref = ray.put(pruned)
 
     def explode_chosen(batch: pa.Table) -> pa.Table:
         uris = []
@@ -63,27 +100,12 @@ def enrichment(links: rd.Dataset, adjacency: pa.Table, props: list[str]) -> rd.D
         "uri"
     ).aggregate(Count(alias_name="occurrences"))
 
-    def attach_props(batch: pa.Table) -> pa.Table:
-        table = ray.get(adj_ref)
-        by_subj: dict[str, dict[str, str]] = {}
-        for s, p, o in zip(
-            table.column("subj").to_pylist(),
-            table.column("pred").to_pylist(),
-            table.column("obj").to_pylist(),
-        ):
-            if p in props_set:
-                by_subj.setdefault(s, {}).setdefault(p, o)
-        cols: dict[str, list] = {p: [] for p in props}
-        for uri in batch.column("uri").to_pylist():
-            found = by_subj.get(uri, {})
-            for p in props:
-                cols[p].append(found.get(p))
-        out = batch
-        for p in props:
-            out = out.append_column(p.rsplit("/", 1)[-1], pa.array(cols[p], pa.string()))
-        return out
-
-    return counts.map_batches(attach_props, batch_format="pyarrow")
+    return counts.map_batches(
+        _PropAttacher,
+        fn_constructor_kwargs={"adj_ref": adj_ref, "props": props},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
 
 
 def to_geojson_features(enriched: rd.Dataset, lat_prop: str, lon_prop: str) -> rd.Dataset:

@@ -396,21 +396,15 @@ def knn_dot_topk(sf_dir: str, n_queries: int = 3, k: int = 5) -> pa.Table:
             }
         )
 
-    partials = emb.map_batches(local, batch_format="pyarrow").take_all()
-    by_q: dict[int, list[tuple[float, int]]] = {}
-    for r in partials:
-        by_q.setdefault(r["query_id"], []).append((r["dot"], r["vec_id"]))
-    q_col, r_col, v_col = [], [], []
-    for qi in sorted(by_q):
-        best = sorted(by_q[qi], key=lambda x: (-x[0], x[1]))[:k]
-        for rank, (_, v) in enumerate(best):
-            q_col.append(int(query_ids[qi]))
-            r_col.append(rank + 1)
-            v_col.append(v)
-    return pa.table(
-        {
-            "query_id": pa.array(q_col, pa.int64()),
-            "rank": pa.array(r_col, pa.int64()),
-            "vec_id": pa.array(v_col, pa.int64()),
-        }
+    from ..stages.similarity import global_topk
+
+    partials = emb.map_batches(local, batch_format="pyarrow")
+    merged = global_topk(partials, k, score_col="dot", rank_base=1)
+    # map positional qi back to the real query vec_id (identity here,
+    # since query_id == vec_id for vec_id < n_queries, but keep it
+    # explicit for non-prefix query selections)
+    qids = pa.array(
+        [int(query_ids[qi]) for qi in merged.column("query_id").to_pylist()],
+        pa.int64(),
     )
+    return merged.set_column(0, "query_id", qids).drop_columns("dot")

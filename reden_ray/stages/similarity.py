@@ -26,6 +26,52 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+
+def global_topk(
+    partials: rd.Dataset,
+    k: int,
+    score_col: str = "cosine",
+    rank_base: int = 0,
+) -> pa.Table:
+    """Distributed top-k merge of per-block partial results.
+
+    groupby(query_id) -> per-group vectorized sort-take(k) + rank —
+    the shuffle moves only n_blocks x n_q x k tiny rows and the driver
+    receives exactly n_q x k (never the per-block partials; at 10^6
+    blocks the old driver-side merge was unbounded).  Ties break by
+    vec_id ascending (deterministic)."""
+    import pyarrow.compute as pc
+
+    def topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(score_col, "descending"), ("vec_id", "ascending")],
+        )
+        g = group.take(idx[:k])
+        return g.append_column(
+            "rank", pa.array(np.arange(rank_base, rank_base + g.num_rows), pa.int64())
+        )
+
+    reduced = partials.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+    rows = reduced.take_all()  # n_q x k rows only
+    t = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("vec_id", pa.int64()),
+                (score_col, pa.float64()),
+                ("rank", pa.int64()),
+            ]
+        ),
+    ).select(["query_id", "rank", "vec_id", score_col])
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("query_id", "ascending"), ("rank", "ascending")]
+        )
+    )
+
+
 def knn_brute_force(
     embeddings: rd.Dataset,
     queries: np.ndarray,
@@ -61,26 +107,8 @@ def knn_brute_force(
             }
         )
 
-    partials = embeddings.map_batches(local_topk, batch_format="pyarrow").take_all()
-    by_q: dict[int, list[tuple[float, int]]] = {}
-    for r in partials:
-        by_q.setdefault(r["query_id"], []).append((r["cosine"], r["vec_id"]))
-    q_col, r_col, v_col, s_col = [], [], [], []
-    for qi in sorted(by_q):
-        best = sorted(by_q[qi], key=lambda t: (-t[0], t[1]))[:k]
-        for rank, (s, v) in enumerate(best):
-            q_col.append(qi)
-            r_col.append(rank)
-            v_col.append(v)
-            s_col.append(s)
-    return pa.table(
-        {
-            "query_id": pa.array(q_col, pa.int64()),
-            "rank": pa.array(r_col, pa.int64()),
-            "vec_id": pa.array(v_col, pa.int64()),
-            "cosine": pa.array(s_col, pa.float64()),
-        }
-    )
+    partials = embeddings.map_batches(local_topk, batch_format="pyarrow")
+    return global_topk(partials, k)
 
 
 def train_ivf_centroids(
@@ -158,26 +186,8 @@ def knn_ivf(
             }
         )
 
-    partials = embeddings.map_batches(local, batch_format="pyarrow").take_all()
-    by_q: dict[int, list[tuple[float, int]]] = {}
-    for r in partials:
-        by_q.setdefault(r["query_id"], []).append((r["cosine"], r["vec_id"]))
-    q_col, r_col, v_col, s_col = [], [], [], []
-    for qi in sorted(by_q):
-        best = sorted(by_q[qi], key=lambda t: (-t[0], t[1]))[:k]
-        for rank, (s, v) in enumerate(best):
-            q_col.append(qi)
-            r_col.append(rank)
-            v_col.append(v)
-            s_col.append(s)
-    return pa.table(
-        {
-            "query_id": pa.array(q_col, pa.int64()),
-            "rank": pa.array(r_col, pa.int64()),
-            "vec_id": pa.array(v_col, pa.int64()),
-            "cosine": pa.array(s_col, pa.float64()),
-        }
-    )
+    partials = embeddings.map_batches(local, batch_format="pyarrow")
+    return global_topk(partials, k)
 
 
 def knn_lsh(
@@ -243,23 +253,5 @@ def knn_lsh(
             }
         )
 
-    partials = embeddings.map_batches(local, batch_format="pyarrow").take_all()
-    by_q: dict[int, list[tuple[float, int]]] = {}
-    for r in partials:
-        by_q.setdefault(r["query_id"], []).append((r["cosine"], r["vec_id"]))
-    q_col, r_col, v_col, s_col = [], [], [], []
-    for qi in sorted(by_q):
-        best = sorted(by_q[qi], key=lambda t: (-t[0], t[1]))[:k]
-        for rank, (s, v) in enumerate(best):
-            q_col.append(qi)
-            r_col.append(rank)
-            v_col.append(v)
-            s_col.append(s)
-    return pa.table(
-        {
-            "query_id": pa.array(q_col, pa.int64()),
-            "rank": pa.array(r_col, pa.int64()),
-            "vec_id": pa.array(v_col, pa.int64()),
-            "cosine": pa.array(s_col, pa.float64()),
-        }
-    )
+    partials = embeddings.map_batches(local, batch_format="pyarrow")
+    return global_topk(partials, k)
