@@ -160,6 +160,37 @@ def _kg_canonical_triples(sf_dir: str):
     return canonicalize_triples(triples, mapping)
 
 
+def _kg_annotated_pages(sf_dir: str):
+    """S7 produceResults parity: pages with ref_auto attributes written
+    back into every linked mention's NE tag (golden-tested vs an
+    independent HTMLParser oracle in tests/test_annotate.py)."""
+    import ray.data as rd
+
+    from reden_ray.pipelines.kg import links_view, run_fixture_pipeline
+    from reden_ray.stages.annotate import annotated_pages
+
+    fd = _fixture_for(sf_dir)
+    pages = rd.read_parquet(f"{fd}/pages.parquet", columns=["url", "html"])
+    links = links_view(run_fixture_pipeline(fd))
+    return annotated_pages(pages, links)
+
+
+def _kg_run_diff(sf_dir: str):
+    """Wired run-diff tool (CompareResults.java analogue): per-mention
+    diff of the tagged vs heuristic-NER runs on the same corpus."""
+    from reden_ray.pipelines.evaluate import diff_runs
+    from reden_ray.pipelines.kg import (
+        links_view,
+        run_fixture_pipeline,
+        run_untagged_pipeline,
+    )
+
+    fd = _fixture_for(sf_dir)
+    tagged = links_view(run_fixture_pipeline(fd))
+    untagged = links_view(run_untagged_pipeline(fd))
+    return diff_runs(tagged, untagged)
+
+
 def _kg_pred_frequency(sf_dir: str):
     from reden_ray.pipelines.kg import run_fixture_pipeline, triples_view
     from reden_ray.pipelines.metrics import pred_frequency
@@ -267,6 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pred_frequency": _kg_pred_frequency,
         "kg_links_untagged": _kg_links_untagged,
         "kg_ambiguity_report": _kg_ambiguity_report,
+        "kg_annotated_pages": _kg_annotated_pages,
+        "kg_run_diff": _kg_run_diff,
         # approximate dedup / scoring (algorithmic, rows-only)
         "dedup_minhash_docs": _dedup_minhash,
         "dedup_simhash_docs": _dedup_simhash,

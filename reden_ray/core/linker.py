@@ -21,8 +21,13 @@ group-position order.  Documented deviations from reference accidents:
   URIs would NPE in the reference (CentralityHandler.java:188-193); here a
   missing inverted-index entry falls back to choosing the winner URI itself.
 - the legacy ASCII-re-encoding retry for old DBpedia URIs
-  (GraphHandlerNEL.java:293-330) is not replicated (no such URIs in the
-  target corpora; adjacency lookups are exact).
+  (GraphHandlerNEL.java:293-330) IS replicated: an alias whose adjacency
+  lookup returns no statements is retried once with its last path
+  segment form-encoded (Java URLEncoder semantics — space becomes '+',
+  '*-._' kept).  The reference's ``uriAlias.replace(lastSegment, ...)``
+  replaces every occurrence of the segment string; this engine rewrites
+  only the final path segment (equivalent for real URIs, and immune to
+  a segment that happens to recur earlier in the path).
 """
 
 from __future__ import annotations
@@ -32,7 +37,7 @@ from typing import Protocol
 
 from ..config import LinkerConfig
 from .graph import ContextGraph
-from .normalize import decompose
+from .normalize import decompose, reencode_legacy_ascii
 
 
 class AdjacencyLookup(Protocol):
@@ -111,6 +116,16 @@ def compute_equivalences(
     ``alreadyProcessedURI`` list means an equivalent URI is credited only
     to the FIRST group (in canonical order) that references it.
     """
+    def has_with_retry(uri: str) -> bool:
+        # data-presence gate with the legacy-ASCII retry: a URI whose
+        # statements are stored under the form-encoded key (old DBpedia
+        # dumps) still counts as "has data" — the fuse stage's retry
+        # (GraphHandlerNEL.java:293-330) will find the statements
+        if adjacency.has(uri):
+            return True
+        enc = reencode_legacy_ascii(uri)
+        return enc != uri and adjacency.has(enc)
+
     already: set[str] = set()
     equivalences: dict[str, dict[str, None]] = {}
     for surface in surfaces:
@@ -125,11 +140,11 @@ def compute_equivalences(
                             continue
                         if cfg.crawl_same_as != "ALL" and not obj.startswith(cfg.crawl_same_as):
                             continue
-                        if adjacency.has(decompose(obj)) and obj not in already:
+                        if has_with_retry(decompose(obj)) and obj not in already:
                             same_as[decompose(obj)] = None
                             already.add(obj)
                 else:
-                    if adjacency.has(decompose(uri)) and uri not in already:
+                    if has_with_retry(decompose(uri)) and uri not in already:
                         same_as[decompose(uri)] = None
                         already.add(uri)
             equivalences.setdefault(base_uri, {}).update(same_as)
@@ -182,7 +197,15 @@ def fuse_graph(
             for alias in equivs:
                 if uri_low == alias.lower():  # avoiding loops
                     continue
-                for pred, obj in adjacency.get(alias):
+                stmts = adjacency.get(alias)
+                if not stmts:
+                    # legacy-ASCII retry (GraphHandlerNEL.java:293-299):
+                    # old DBpedia URIs stored form-encoded miss the exact
+                    # lookup; re-encode the last path segment and retry
+                    retry = reencode_legacy_ascii(alias)
+                    if retry != alias:
+                        stmts = adjacency.get(retry)
+                for pred, obj in stmts:
                     if pred == same_as:
                         continue
                     v2 = decompose(obj)

@@ -49,6 +49,21 @@ def decompose(s: str) -> str:
     return s
 
 
+@lru_cache(maxsize=1 << 18)
+def reencode_legacy_ascii(uri: str) -> str:
+    """Form-encode a URI's last path segment — the legacy-ASCII retry
+    key (GraphHandlerNEL.java:294-296 ``URLEncoder.encode(part[last],
+    "UTF-8")``).  Java's URLEncoder implements
+    application/x-www-form-urlencoded: space to '+'; '*', '-', '.', '_'
+    kept; everything else percent-encoded."""
+    from urllib.parse import quote_plus
+
+    head, sep, last = uri.rpartition("/")
+    if not sep or not last:
+        return uri
+    return head + "/" + quote_plus(last, safe="*-._")
+
+
 def normalize_mention_batch(values: list[str]) -> list[str]:
     """Vectorized-enough helper for Arrow string columns (see stages)."""
     sub = _MENTION_STRIP.sub

@@ -210,6 +210,75 @@ def compare_runs(
     return out
 
 
+def diff_runs(
+    links_a: rd.Dataset, links_b: rd.Dataset, num_partitions: int | None = None
+) -> rd.Dataset:
+    """Per-mention diff of two NEL runs' LINKS tables — the wired
+    run-diff tool (extra/CompareResults.java:43-96; the reference
+    intersects two runs' output files mention by mention).
+
+    Full-outer keyed join on (url, context_id, mention_id); emits one
+    row per differing mention with ``status`` in {changed, only_a,
+    only_b} and both chosen strings.  Identical mentions are filtered
+    OUT distributedly — the common case (two near-identical runs at
+    corpus scale) returns a small Dataset.
+    """
+    from ..stages.joins import default_join_partitions
+
+    def proj(tag):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "url": batch.column("url"),
+                    "context_id": pc.cast(batch.column("context_id"), pa.int64()),
+                    "mention_id": pc.cast(batch.column("mention_id"), pa.int64()),
+                    f"chosen_{tag}": pa.array(
+                        [" ".join(c or []) for c in batch.column("chosen_uris").to_pylist()],
+                        pa.string(),
+                    ),
+                }
+            )
+
+        return f
+
+    a = links_a.map_batches(proj("a"), batch_format="pyarrow")
+    b = links_b.map_batches(proj("b"), batch_format="pyarrow")
+    joined = a.join(
+        b,
+        join_type="full_outer",
+        num_partitions=num_partitions or default_join_partitions(),
+        on=("url", "context_id", "mention_id"),
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        cols = {k: [] for k in ("url", "context_id", "mention_id", "chosen_a", "chosen_b", "status")}
+        for r in batch.to_pylist():
+            in_a = r.get("chosen_a") is not None
+            in_b = r.get("chosen_b") is not None
+            if in_a and in_b and r["chosen_a"] == r["chosen_b"]:
+                continue  # identical: drop distributedly
+            cols["url"].append(r["url"])
+            cols["context_id"].append(r["context_id"])
+            cols["mention_id"].append(r["mention_id"])
+            cols["chosen_a"].append(r.get("chosen_a"))
+            cols["chosen_b"].append(r.get("chosen_b"))
+            cols["status"].append(
+                "changed" if in_a and in_b else ("only_a" if in_a else "only_b")
+            )
+        return pa.table(
+            {
+                "url": pa.array(cols["url"], pa.string()),
+                "context_id": pa.array(cols["context_id"], pa.int64()),
+                "mention_id": pa.array(cols["mention_id"], pa.int64()),
+                "chosen_a": pa.array(cols["chosen_a"], pa.string()),
+                "chosen_b": pa.array(cols["chosen_b"], pa.string()),
+                "status": pa.array(cols["status"], pa.string()),
+            }
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
 def score_pairs_export(records_a: rd.Dataset, records_b: rd.Dataset) -> rd.Dataset:
     """Per-mention 0/1 correctness pairs — the significance-test data
     prep (extra/SignificanceTesting.java:23-53 exports these for R)."""
@@ -231,6 +300,87 @@ def score_pairs_export(records_a: rd.Dataset, records_b: rd.Dataset) -> rd.Datas
     b = records_b.map_batches(proj("b"), batch_format="pyarrow")
     return a.join(b, join_type="inner", num_partitions=8,
                   on=("url", "context_id", "mention_id"))
+
+
+def significance_pairs(
+    links_a: rd.Dataset, links_b: rd.Dataset, num_partitions: int | None = None
+) -> rd.Dataset:
+    """Paired per-mention SCORES of two runs — the significance-test
+    data prep (extra/SignificanceTesting.java:55-113: parses
+    ``ref_auto="uri(score)"`` out of two annotated outputs into a
+    paired ``degree\\teigenvector`` TSV for R's paired t-test).
+
+    Here the scores come straight from the links tables (no XML round
+    trip): rows (url, context_id, mention_id, score_a, score_b), with
+    0.0 for a mention the run left unlinked — exactly the reference's
+    null -> 0.0 rule (:81-93)."""
+    from ..stages.joins import default_join_partitions
+
+    def proj(tag):
+        def f(batch: pa.Table) -> pa.Table:
+            scores = [
+                float(s) if (c and s is not None) else 0.0
+                for s, c in zip(
+                    batch.column("score").to_pylist(),
+                    batch.column("chosen_uris").to_pylist(),
+                )
+            ]
+            return pa.table(
+                {
+                    "url": batch.column("url"),
+                    "context_id": pc.cast(batch.column("context_id"), pa.int64()),
+                    "mention_id": pc.cast(batch.column("mention_id"), pa.int64()),
+                    f"score_{tag}": pa.array(scores, pa.float64()),
+                }
+            )
+
+        return f
+
+    a = links_a.map_batches(proj("a"), batch_format="pyarrow")
+    b = links_b.map_batches(proj("b"), batch_format="pyarrow")
+    joined = a.join(
+        b,
+        join_type="full_outer",
+        num_partitions=num_partitions or default_join_partitions(),
+        on=("url", "context_id", "mention_id"),
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "context_id": batch.column("context_id"),
+                "mention_id": batch.column("mention_id"),
+                "score_a": pc.fill_null(batch.column("score_a"), 0.0),
+                "score_b": pc.fill_null(batch.column("score_b"), 0.0),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def paired_t_stats(pairs: rd.Dataset) -> dict[str, float]:
+    """Paired-t summary over the significance pairs, computed as
+    associative aggregates (sum / sum-of-squares of the per-mention
+    score difference) — the distributed stand-in for the reference's
+    R snippet (SignificanceTesting.java:42-52)."""
+    import math
+
+    def diffs(batch: pa.Table) -> pa.Table:
+        d = pc.subtract(batch.column("score_a"), batch.column("score_b"))
+        return pa.table({"d": d, "d2": pc.multiply(d, d)})
+
+    agg = pairs.map_batches(diffs, batch_format="pyarrow").aggregate(
+        Sum("d", alias_name="sum_d"), Sum("d2", alias_name="sum_d2"), Count(alias_name="n")
+    )
+    n = int(agg["n"])
+    if n < 2:
+        return {"n": n, "mean_diff": 0.0, "sd_diff": 0.0, "t": 0.0}
+    mean = agg["sum_d"] / n
+    var = max(0.0, (agg["sum_d2"] - n * mean * mean) / (n - 1))
+    sd = math.sqrt(var)
+    t = mean / (sd / math.sqrt(n)) if sd > 0 else 0.0
+    return {"n": n, "mean_diff": mean, "sd_diff": sd, "t": t}
 
 
 def _indicators(batch: pa.Table) -> pa.Table:

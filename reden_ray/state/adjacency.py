@@ -98,14 +98,24 @@ class ShardedAdjacency:
     def prefetch_for_groups(self, uri_groups_column) -> LocalAdjacency:
         """2-round prefetch for a batch: ``uri_groups_column`` is the
         per-mention list-of-groups column (one entry per mention row)."""
-        from ..core.normalize import decompose
+        from ..core.normalize import decompose, reencode_legacy_ascii
+
+        def with_variants(target: set[str], uri: str) -> None:
+            # each lookup key also prefetches its legacy-ASCII retry
+            # form (GraphHandlerNEL.java:293-299) so the sharded path
+            # answers the fuse stage's retry without an extra RPC and
+            # stays output-identical to the broadcast path
+            target.add(uri)
+            enc = reencode_legacy_ascii(uri)
+            if enc != uri:
+                target.add(enc)
 
         round1: set[str] = set()
         for mention_groups in uri_groups_column:
             for group in mention_groups or []:
                 for uri in group:
-                    round1.add(uri)
-                    round1.add(decompose(uri))
+                    with_variants(round1, uri)
+                    with_variants(round1, decompose(uri))
         fetched = self.fetch_many(round1)
         round2: set[str] = set()
         for uri, stmts in fetched.items():
@@ -113,9 +123,9 @@ class ShardedAdjacency:
                 if pred == self.same_as:
                     dec = decompose(obj)
                     if dec not in fetched:
-                        round2.add(dec)
+                        with_variants(round2, dec)
                     if obj not in fetched:
-                        round2.add(obj)
+                        with_variants(round2, obj)
         if round2:
             fetched.update(self.fetch_many(round2))
         return LocalAdjacency(fetched)

@@ -222,3 +222,34 @@ def test_preferred_uri_substring_selection():
     cand = {"Hugo": [[B1, A1], [B2]], "Paris": [[B2]], "Rouen": [[B4]]}
     res = link_context(mentions, cand, adj, cfg)
     assert {l.mention_id: l.chosen_uris for l in res.links}[0] == [A1]
+
+
+def test_legacy_ascii_reencode_retry():
+    """GraphHandlerNEL.java:293-330: an alias whose exact lookup is
+    empty retries with its last path segment form-encoded (old DBpedia
+    URIs stored ASCII-encoded)."""
+    from reden_ray.core.normalize import reencode_legacy_ascii
+
+    alias = "http://alt.test/ent/Émile Zola"
+    encoded = reencode_legacy_ascii(alias)
+    assert encoded == "http://alt.test/ent/%C3%89mile+Zola"
+
+    base = "http://kb.test/ent/9"
+    adj = FakeAdj(
+        [
+            (base, SAME, alias),
+            # statements stored ONLY under the encoded form
+            (encoded, REL, "http://obj.test/novel"),
+        ]
+    )
+    equivs = compute_equivalences(["zola"], {"zola": [[base]]}, adj, CFG)
+    g = fuse_graph(["zola"], {"zola": [[base]]}, equivs, adj, CFG)
+    assert any("novel" in dst for (_, dst) in g.edges), g.edges
+
+
+def test_reencode_noops_on_plain_ascii():
+    from reden_ray.core.normalize import reencode_legacy_ascii
+
+    assert reencode_legacy_ascii("http://kb.test/ent/Plain_Name") == (
+        "http://kb.test/ent/Plain_Name"
+    )
