@@ -175,8 +175,19 @@ def run_scaling() -> dict:
     # from 8->32 processes (0.61 efficiency ceiling before any framework
     # overhead), and even the 16-worker level throttles intermittently.
     # Set GRAFT_SCALING_PAIR=2,8 for a fully throttle-immune pair.
+    #
+    # Each child process already takes the best of 3 steady-state reps
+    # (run_bench SCALING_MODE).  GRAFT_SCALING_REPS>1 additionally takes
+    # the best across FRESH processes, because the sandbox's throttle
+    # windows can span a whole process (observed best-of-3-internal
+    # t(16cpu) readings of 16.8-32.4s across idle runs at identical
+    # code); BASELINE.md records the multi-process protocol results.
     lo, hi = SCALING_PAIR
-    r_lo, r_hi = run(lo), run(hi)
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "1"))
+    runs_lo = [run(lo) for _ in range(reps)]
+    runs_hi = [run(hi) for _ in range(reps)]
+    r_lo = max(runs_lo, key=lambda r: r["docs_per_sec"])
+    r_hi = max(runs_hi, key=lambda r: r["docs_per_sec"])
     tp_lo, tp_hi = r_lo["docs_per_sec"], r_hi["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
     return {
@@ -191,6 +202,8 @@ def run_scaling() -> dict:
         "docs_per_sec_hi": tp_hi,
         "triples_per_sec_lo": r_lo["triples_per_sec"],
         "triples_per_sec_hi": r_hi["triples_per_sec"],
+        "all_docs_per_sec_lo": [r["docs_per_sec"] for r in runs_lo],
+        "all_docs_per_sec_hi": [r["docs_per_sec"] for r in runs_hi],
         "sf": r_hi["sf"],
     }
 

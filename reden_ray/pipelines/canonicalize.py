@@ -227,7 +227,11 @@ def connected_components_join(
 
 
 def canonicalize_triples(triples: rd.Dataset, mapping: pa.Table) -> rd.Dataset:
-    """Rewrite subj/obj through the canonical map (broadcast lookup)."""
+    """Rewrite subj/obj through the canonical map (broadcast lookup).
+
+    Right-sized for maps that fit a node (typical: entity count <<
+    triple count).  For KB-scale maps use ``canonicalize_triples_join``.
+    """
     ref = ray.put(
         dict(zip(mapping.column("uri").to_pylist(), mapping.column("canonical").to_pylist()))
     )
@@ -241,3 +245,50 @@ def canonicalize_triples(triples: rd.Dataset, mapping: pa.Table) -> rd.Dataset:
         return out
 
     return triples.map_batches(rewrite, batch_format="pyarrow")
+
+
+def canonicalize_triples_join(
+    triples: rd.Dataset, mapping: rd.Dataset, num_partitions: int | None = None
+) -> rd.Dataset:
+    """All-shuffle triple rewrite for ENTITY-SCALE canonical maps (a
+    10^9-entity map doesn't broadcast): two left-outer hash joins —
+    subj then obj — against the (uri, canonical) Dataset, coalescing
+    unmapped URIs to themselves.  Same output as the broadcast variant
+    (tested equal); column order preserved."""
+    from ..stages.joins import default_join_partitions, staged_nonempty
+
+    np_ = num_partitions or default_join_partitions()
+    staged = staged_nonempty(mapping)
+    if staged is None:
+        return triples
+
+    def rekey(cols):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
+
+        return f
+
+    subj_map = staged.map_batches(rekey(["subj", "__subj_canon"]), batch_format="pyarrow")
+    obj_map = staged.map_batches(rekey(["obj", "__obj_canon"]), batch_format="pyarrow")
+
+    # compact between the two joins: a hash-join output keeps one block
+    # per partition and empty partitions yield empty blocks — if one of
+    # those lands FIRST, the next join's left-side schema broadcast is
+    # lost (see joins.staged_nonempty).  Applies to LEFT sides too.
+    out = staged_nonempty(
+        triples.join(
+            subj_map, join_type="left_outer", num_partitions=np_, on=("subj",)
+        )
+    )
+    if out is None:  # no triples at all
+        return triples
+    out = out.join(obj_map, join_type="left_outer", num_partitions=np_, on=("obj",))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        subj = pc.coalesce(t.column("__subj_canon"), t.column("subj"))
+        obj = pc.coalesce(t.column("__obj_canon"), t.column("obj"))
+        t = t.drop_columns(["__subj_canon", "__obj_canon"])
+        t = t.set_column(t.schema.get_field_index("subj"), "subj", subj)
+        return t.set_column(t.schema.get_field_index("obj"), "obj", obj)
+
+    return out.map_batches(finalize, batch_format="pyarrow")

@@ -87,3 +87,47 @@ def test_join_variant_equals_broadcast(ray_session, small_fixture_dir):
     )
     assert c1 and c2
     assert m1.to_pylist() == m2.to_pylist()
+
+
+def test_canonicalize_triples_join_equals_broadcast(ray_session):
+    """The KB-scale join rewrite must equal the broadcast rewrite."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reden_ray.pipelines.canonicalize import (
+        canonicalize_triples,
+        canonicalize_triples_join,
+    )
+
+    triples = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["u"] * 4, pa.string()),
+                "subj": pa.array(["a", "b", "c", "x"], pa.string()),
+                "pred": pa.array(["p"] * 4, pa.string()),
+                "obj": pa.array(["b", "x", "a", "c"], pa.string()),
+            }
+        )
+    )
+    mapping = pa.table(
+        {
+            "uri": pa.array(["a", "b"], pa.string()),
+            "canonical": pa.array(["A", "A"], pa.string()),
+        }
+    )
+    want = sorted(
+        tuple(sorted(r.items()))
+        for r in canonicalize_triples(triples, mapping).take_all()
+    )
+    got = sorted(
+        tuple(sorted(r.items()))
+        for r in canonicalize_triples_join(triples, rd.from_arrow(mapping)).take_all()
+    )
+    assert got == want
+    # empty mapping: triples pass through untouched
+    empty = rd.from_arrow(mapping.slice(0, 0))
+    passthrough = sorted(
+        tuple(sorted(r.items()))
+        for r in canonicalize_triples_join(triples, empty).take_all()
+    )
+    assert passthrough == sorted(tuple(sorted(r.items())) for r in triples.take_all())
