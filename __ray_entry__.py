@@ -191,6 +191,59 @@ def _kg_run_diff(sf_dir: str):
     return diff_runs(tagged, untagged)
 
 
+def _kg_significance_pairs(sf_dir: str):
+    """Significance-test prep (SignificanceTesting.java analogue):
+    paired per-mention scores of the tagged vs heuristic-NER runs."""
+    from reden_ray.pipelines.evaluate import significance_pairs
+    from reden_ray.pipelines.kg import (
+        links_view,
+        run_fixture_pipeline,
+        run_untagged_pipeline,
+    )
+
+    fd = _fixture_for(sf_dir)
+    tagged = links_view(run_fixture_pipeline(fd))
+    untagged = links_view(run_untagged_pipeline(fd))
+    return significance_pairs(tagged, untagged)
+
+
+def _dict_from_sources(sf_dir: str):
+    """Per-source extraction registry (QuerySourceInterface analogue):
+    route the entity dump through two registered sources and build the
+    dictionary; proven equal to the direct dictbuild path in tests."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from reden_ray.sources.registry import build_dictionary_from_sources
+
+    fd = _fixture_for(sf_dir)
+    dump = rd.read_parquet(f"{fd}/entity_dump.parquet")
+    per = dump.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "PER")), batch_format="pyarrow"
+    )
+    loc = dump.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "LOC")), batch_format="pyarrow"
+    )
+    built = build_dictionary_from_sources({"author_bnf": per, "place_bnf": loc})
+    # uri_group is a list column: serialize for a hashable driver view
+    import pyarrow as pa
+
+    def flat(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "alias_norm": t.column("alias_norm"),
+                "alias_raw": t.column("alias_raw"),
+                "kind": t.column("kind"),
+                "uri_group_str": pa.array(
+                    ["\t".join(g) for g in t.column("uri_group").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return built.map_batches(flat, batch_format="pyarrow")
+
+
 def _kg_pred_frequency(sf_dir: str):
     from reden_ray.pipelines.kg import run_fixture_pipeline, triples_view
     from reden_ray.pipelines.metrics import pred_frequency
@@ -300,6 +353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ambiguity_report": _kg_ambiguity_report,
         "kg_annotated_pages": _kg_annotated_pages,
         "kg_run_diff": _kg_run_diff,
+        "kg_significance_pairs": _kg_significance_pairs,
+        "dict_from_sources": _dict_from_sources,
         # approximate dedup / scoring (algorithmic, rows-only)
         "dedup_minhash_docs": _dedup_minhash,
         "dedup_simhash_docs": _dedup_simhash,

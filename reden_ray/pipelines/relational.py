@@ -45,8 +45,19 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
 
 
 def _round_col(t: pa.Table, col: str, digits: int) -> pa.Table:
+    """Round via numpy, NOT pyarrow.compute.round: pc.round leaves
+    1-ulp-off values unchanged (pc.round(122.94999999999999, 4) ==
+    122.94999999999999), so a distributed float sum whose order lands
+    one ulp below the decimal boundary hash-mismatches the DuckDB
+    oracle's ROUND — a latent flake measured live on window_tumbling.
+    np.round normalizes to the same nearest-double as Python/DuckDB."""
+    import numpy as np
+
     i = t.schema.get_field_index(col)
-    return t.set_column(i, col, pc.round(t.column(col), ndigits=digits))
+    rounded = np.round(
+        np.asarray(t.column(col).to_pylist(), dtype=np.float64), digits
+    )
+    return t.set_column(i, col, pa.array(rounded, pa.float64()))
 
 
 # --- J2 analogue: broadcast join (small build side) ----------------------
