@@ -62,7 +62,11 @@ def curate_documents(
     near_dup_threshold: float = 0.9,
     lang: str | None = None,
     checkpoint_dir: str | None = None,
+    near_dup_method: str = "minhash",
 ) -> rd.Dataset:
+    """``near_dup_method``: 'minhash' (Jaccard-style, default),
+    'simhash' (Hamming; threshold interpreted as max Hamming distance
+    when >= 1, else the default distance 3), or 'none'."""
     cols = ["doc_id", "text", "lang", "source"]
     if lang is not None:
         docs = rd.read_parquet(
@@ -96,7 +100,19 @@ def curate_documents(
     else:
         deduped = deduped.materialize()
 
-    pairs = minhash_lsh_pairs(
-        deduped.select_columns(["doc_id", "text"]), threshold=near_dup_threshold
-    )
+    if near_dup_method == "none":
+        return deduped
+    if near_dup_method == "simhash":
+        from ..stages.dedup import simhash_pairs
+
+        max_h = int(near_dup_threshold) if near_dup_threshold >= 1 else 3
+        pairs = simhash_pairs(
+            deduped.select_columns(["doc_id", "text"]), max_hamming=max_h
+        )
+    elif near_dup_method == "minhash":
+        pairs = minhash_lsh_pairs(
+            deduped.select_columns(["doc_id", "text"]), threshold=near_dup_threshold
+        )
+    else:
+        raise ValueError(f"unknown near_dup_method: {near_dup_method!r}")
     return shuffle_anti_join(deduped, near_dup_losers(pairs), on=["doc_id"])

@@ -33,3 +33,24 @@ def test_curation_lang_pushdown(ray_session):
     out = curate_documents(SF, min_quality=0.0, min_tokens=0, lang="fr").take_all()
     assert out
     assert all(r["lang"] == "fr" for r in out)
+
+
+def test_curation_near_dup_methods(ray_session):
+    from reden_ray.pipelines.curation import curate_documents
+
+    base = curate_documents(
+        SF, min_quality=0.2, min_tokens=5, near_dup_method="none"
+    ).count()
+    mh = curate_documents(
+        SF, min_quality=0.2, min_tokens=5, near_dup_method="minhash"
+    ).count()
+    sh = curate_documents(
+        SF, min_quality=0.2, min_tokens=5, near_dup_threshold=3,
+        near_dup_method="simhash",
+    ).count()
+    # near-dup drops only ever REMOVE rows from the exact-dedup base
+    assert mh <= base and sh <= base
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        curate_documents(SF, near_dup_method="bogus")
