@@ -295,6 +295,32 @@ def _dedup_embedding(sf_dir: str):
     return _pairs_table(pairs, _EMB_PAIR_SCHEMA, ["vec_a", "vec_b"])
 
 
+def _knn_ivf_indexed(sf_dir: str):
+    """Disk-backed IVF: centroid-partitioned parquet index built under
+    /tmp (content-addressed by sf), searched with partition pruning —
+    only the probed inverted lists are read."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from reden_ray.stages.similarity import build_ivf_index, knn_ivf_indexed
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/reden_ivf_{tag}"
+    if not os.path.isdir(os.path.join(idx_dir)) or not os.path.exists(
+        os.path.join(idx_dir, "_centroids.parquet")
+    ):
+        build_ivf_index(emb, idx_dir, n_centroids=8, seed=13)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    out = knn_ivf_indexed(idx_dir, vecs[:3], k=5, nprobe=2)
+    return out.drop_columns("cosine")  # rank list is the stable artifact
+
+
 def _curation(sf_dir: str):
     from reden_ray.pipelines.curation import curate_documents
 
@@ -361,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_docs": _dedup_embedding,
         "text_quality_langid": _text_quality,
         "curation_pipeline": _curation,
+        "knn_ivf_indexed": _knn_ivf_indexed,
     }
 
 

@@ -190,6 +190,150 @@ def knn_ivf(
     return global_topk(partials, k)
 
 
+def build_ivf_index(
+    embeddings: rd.Dataset,
+    out_dir: str,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    seed: int = 13,
+    id_column: str = "vec_id",
+) -> np.ndarray:
+    """Persist an IVF index as CENTROID-PARTITIONED parquet.
+
+    The 100-TB ANN shape: assign every vector to its nearest centroid
+    (one streaming map over the corpus), write with
+    ``partition_cols=["centroid"]`` so each inverted list is its own
+    parquet directory, and store the centroid matrix beside it.  A
+    search then reads ONLY the ``nprobe`` probed partitions — partition
+    pruning at the read, the dominant saving at corpus scale (a scan
+    touches nprobe/n_centroids of the bytes).  Returns the centroids.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    cent = train_ivf_centroids(
+        embeddings, n_centroids=n_centroids, sample_size=sample_size, seed=seed,
+        id_column=id_column,
+    )
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        vecs = _normalize(np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32))
+        a = np.argmax(vecs @ c.T, axis=1).astype(np.int64)
+        return batch.append_column("centroid", pa.array(a))
+
+    embeddings.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["centroid"]
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "centroid": pa.array(range(len(cent)), pa.int64()),
+                "vector": pa.array([row.tolist() for row in cent], pa.list_(pa.float32())),
+            }
+        ),
+        os.path.join(out_dir, "_centroids.parquet"),
+    )
+    return cent
+
+
+def knn_ivf_indexed(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_column: str = "vec_id",
+) -> pa.Table:
+    """Search a ``build_ivf_index`` directory: only the probed
+    centroids' partitions are READ (row-group/partition pruning via a
+    partition-column filter), then the usual per-block top-k + grouped
+    global merge.  Output schema matches ``knn_brute_force``; equals
+    ``knn_ivf`` on the same centroids (tested)."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    cent_t = pq.read_table(os.path.join(index_dir, "_centroids.parquet"))
+    cent = np.asarray(cent_t.column("vector").to_pylist(), dtype=np.float32)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_lists = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
+    wanted = sorted({int(c) for row in q_lists for c in row})
+
+    # hive-partitioned layout (centroid=<v>/...): prune by reading ONLY
+    # the probed partitions' directories — the bytes of unprobed
+    # inverted lists never leave storage.  Pruning is explicit paths,
+    # not a read filter: Ray 2.49 binds ``filter=`` against the
+    # fragment's PHYSICAL schema, which lacks the hive partition field
+    # (ArrowInvalid: no match for FieldRef), so partition-column
+    # filters cannot push down; per-directory reads + a constant
+    # column are equivalent and portable.
+    import glob
+
+    parts = []
+    for v in wanted:
+        sub = os.path.join(index_dir, f"centroid={v}")
+        if glob.glob(os.path.join(sub, "*.parquet")):
+            def attach(t: pa.Table, v=v) -> pa.Table:
+                # Ray may or may not resolve the hive field from the
+                # subdir path; normalize to one int64 centroid column
+                if "centroid" in t.column_names:
+                    i = t.schema.get_field_index("centroid")
+                    return t.set_column(
+                        i, "centroid", pa.array([v] * t.num_rows, pa.int64())
+                    )
+                return t.append_column(
+                    "centroid", pa.array([v] * t.num_rows, pa.int64())
+                )
+
+            part = rd.read_parquet(sub).map_batches(attach, batch_format="pyarrow")
+            parts.append(part)
+    if not parts:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    q_ref, lists_ref = ray.put(q), ray.put(q_lists)
+
+    def local(batch: pa.Table) -> pa.Table:
+        qm, ql = ray.get(q_ref), ray.get(lists_ref)
+        ids = np.asarray(batch.column(id_column).to_pylist(), dtype=np.int64)
+        vecs = _normalize(np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32))
+        assign = np.asarray(batch.column("centroid").to_pylist(), dtype=np.int64)
+        sims = qm @ vecs.T
+        qs, vs, ss = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(assign, ql[qi])
+            if not mask.any():
+                continue
+            cand = np.where(mask)[0]
+            kk = min(k, len(cand))
+            idx = cand[np.argpartition(-sims[qi, cand], kk - 1)[:kk]]
+            qs.extend([qi] * kk)
+            vs.extend(ids[idx].tolist())
+            ss.extend(sims[qi, idx].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qs, pa.int64()),
+                "vec_id": pa.array(vs, pa.int64()),
+                "cosine": pa.array(ss, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local, batch_format="pyarrow")
+    return global_topk(partials, k)
+
+
 def knn_lsh(
     embeddings: rd.Dataset,
     queries: np.ndarray,

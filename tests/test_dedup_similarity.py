@@ -257,3 +257,38 @@ def test_knn_ivf_recall_and_full_probe_exact(embeddings):
     for qi in range(3):
         top = [r for r in narrow if r["query_id"] == qi and r["rank"] == 0]
         assert top and top[0]["vec_id"] == [r["vec_id"] for r in exact if r["query_id"] == qi][0]
+
+
+def test_ivf_indexed_search_matches_in_memory(embeddings, tmp_path):
+    """build_ivf_index + knn_ivf_indexed == knn_ivf (same seed =>
+    same centroids); full-probe == exact brute force."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from reden_ray.stages.similarity import (
+        build_ivf_index,
+        knn_brute_force,
+        knn_ivf,
+        knn_ivf_indexed,
+    )
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    q = vecs[:3]
+    idx_dir = str(tmp_path / "ivf")
+    build_ivf_index(embeddings, idx_dir, n_centroids=8, seed=13)
+
+    got = knn_ivf_indexed(idx_dir, q, k=5, nprobe=2).to_pylist()
+    want = knn_ivf(embeddings, q, k=5, n_centroids=8, nprobe=2, seed=13).to_pylist()
+    # ids/ranks exact; cosines only to 1e-5 — BLAS sgemm accumulation
+    # order differs with the batch matrix shape (parquet round trip
+    # re-blocks), shifting the last float32 ulp
+    assert [(r["query_id"], r["rank"], r["vec_id"]) for r in got] == [
+        (r["query_id"], r["rank"], r["vec_id"]) for r in want
+    ]
+    for g, w in zip(got, want):
+        assert abs(g["cosine"] - w["cosine"]) < 1e-5
+
+    full = knn_ivf_indexed(idx_dir, q, k=5, nprobe=8).to_pylist()
+    exact = knn_brute_force(embeddings, q, k=5).to_pylist()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
