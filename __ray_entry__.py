@@ -360,6 +360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m1_normalize": R.m1_normalize,
         "m8_date_filter": R.m8_date_filter,
         "window_tumbling": R.window_tumbling,
+        "window_hopping": R.window_hopping,
+        "a9_rollup": R.a9_rollup,
         "sessionize": R.sessionize,
         "dedup_exact_docs": R.dedup_exact_docs,
         "text_token_stats": R.text_token_stats,
@@ -450,6 +452,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id, "
             "count(*) AS n_events, ROUND(sum(value), 4) AS sum_value "
             "FROM events GROUP BY user_id, window_id"
+        ),
+        "window_hopping": (
+            "SELECT user_id, CAST(floor(epoch(ts) / 900) AS BIGINT) - k.k AS window_id, "
+            "count(*) AS n_events, ROUND(sum(value), 4) AS sum_value "
+            "FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) AS k "
+            "GROUP BY user_id, window_id"
+        ),
+        "a9_rollup": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+            "count(l_quantity) AS n_rows, ROUND(sum(l_quantity), 2) AS sum_qty "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
         "sessionize": (
             "WITH gaps AS (SELECT user_id, event_id, ts, "

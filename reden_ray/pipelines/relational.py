@@ -281,6 +281,93 @@ def window_tumbling(sf_dir: str) -> rd.Dataset:
     return out.map_batches(lambda t: _round_col(t, "sum_value", 4), batch_format="pyarrow")
 
 
+# --- streaming-shaped: hopping window ------------------------------------
+
+def window_hopping(sf_dir: str, size_s: int = 3600, hop_s: int = 900) -> rd.Dataset:
+    """per user per HOPPING window (1 h size, 15 min hop => every event
+    lands in size/hop = 4 overlapping windows): count + value sum.
+
+    The expansion is a vectorized per-batch repeat (np.repeat + tiled
+    hop offsets) — the streaming-window analogue of a flat_map; the
+    groupby stays the only shuffle and moves size/hop x the rows, which
+    is the intrinsic cost of overlapping windows."""
+    import numpy as np
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    n_hops = size_s // hop_s
+
+    def assign(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000).to_numpy(
+            zero_copy_only=False
+        )
+        base = np.floor(epoch / hop_s).astype(np.int64)
+        n = len(base)
+        wid = np.repeat(base, n_hops) - np.tile(np.arange(n_hops, dtype=np.int64), n)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.repeat(t.column("user_id").to_numpy(zero_copy_only=False), n_hops)
+                ),
+                "window_id": pa.array(wid),
+                "value": pa.array(
+                    np.repeat(t.column("value").to_numpy(zero_copy_only=False), n_hops)
+                ),
+            }
+        )
+
+    out = (
+        ev.map_batches(assign, batch_format="pyarrow")
+        .groupby(["user_id", "window_id"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return out.map_batches(lambda t: _round_col(t, "sum_value", 4), batch_format="pyarrow")
+
+
+# --- rollup (grouping sets as a union of aggregates) ----------------------
+
+def a9_rollup(sf_dir: str) -> rd.Dataset:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) — three grouping
+    sets as three independent aggregates union-ed with 'ALL'
+    placeholders; each aggregate pre-combines per block, so the three
+    shuffles move a handful of rows each."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def finish(t: pa.Table, flag_all: bool, status_all: bool) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "l_returnflag": (
+                pa.array(["ALL"] * n, pa.string()) if flag_all else t["l_returnflag"]
+            ),
+            "l_linestatus": (
+                pa.array(["ALL"] * n, pa.string()) if status_all else t["l_linestatus"]
+            ),
+            "n_rows": t["n_rows"],
+            "sum_qty": t["sum_qty"],
+        }
+        return pa.table(cols)
+
+    aggs = (Count(alias_name="n_rows"), Sum("l_quantity", alias_name="sum_qty"))
+    both = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(*aggs).map_batches(
+        lambda t: finish(t, False, False), batch_format="pyarrow"
+    )
+    flag = li.groupby("l_returnflag").aggregate(*aggs).map_batches(
+        lambda t: finish(t, False, True), batch_format="pyarrow"
+    )
+    total_row = li.aggregate(*aggs)  # dict: grand total
+    grand = rd.from_arrow(
+        pa.table(
+            {
+                "l_returnflag": pa.array(["ALL"], pa.string()),
+                "l_linestatus": pa.array(["ALL"], pa.string()),
+                "n_rows": pa.array([total_row["n_rows"]], pa.int64()),
+                "sum_qty": pa.array([float(total_row["sum_qty"])], pa.float64()),
+            }
+        )
+    )
+    out = both.union(flag).union(grand)
+    return out.map_batches(lambda t: _round_col(t, "sum_qty", 2), batch_format="pyarrow")
+
+
 # --- streaming-shaped: sessionization ------------------------------------
 
 def sessionize(sf_dir: str, gap_seconds: int = 1800) -> rd.Dataset:
