@@ -42,10 +42,11 @@ class ContextGraph:
 
     def add_edge(self, src: str, dst: str, label: str, weight: float) -> None:
         """First edge per (src, dst) wins; both endpoints must exist."""
-        key = (src, dst)
-        if key in self.edges:
+        val = (label, weight)
+        # setdefault = one hash probe for the contains-check AND the
+        # insert (add_edge runs ~10^6 times per block — measured hot)
+        if self.edges.setdefault((src, dst), val) is not val:
             return
-        self.edges[key] = (label, weight)
         self.out_adj[src][dst] = None
         self.in_adj[dst][src] = None
         self.wdeg[src] += weight
