@@ -122,6 +122,118 @@ class FrameSampler:
         )
 
 
+class ImageResizer:
+    """Actor-pool stage: decode -> nearest-neighbor resize -> re-emit
+    as a raw RGB payload with updated dimensions.  Same strict/fake
+    contract as ImageFeatures; the resize math itself (integer index
+    grids) is REAL and library-free, so a production decoder slots in
+    without touching the resampling."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16, strict: bool = False):
+        self.out_w = out_w
+        self.out_h = out_h
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "image decode requires an image library not present in this environment"
+            )
+        payloads, widths, heights = [], [], []
+        for payload, w, h in zip(
+            batch.column("payload").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+        ):
+            img = _decode_image_stub(payload, w, h)
+            ys = (np.arange(self.out_h) * img.shape[0] // self.out_h).astype(int)
+            xs = (np.arange(self.out_w) * img.shape[1] // self.out_w).astype(int)
+            resized = img[ys][:, xs]
+            payloads.append(resized.tobytes())
+            widths.append(self.out_w)
+            heights.append(self.out_h)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "mime": pa.array(["image/raw-rgb"] * batch.num_rows, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+            }
+        )
+
+
+def _decode_audio_stub(payload: bytes, n_samples: int) -> np.ndarray:
+    """Deterministic fake PCM decode (float32 in [-1, 1]).  STUB —
+    replace with soundfile/librosa in production."""
+    seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
+    rng = np.random.RandomState(seed % (1 << 32))
+    return (rng.rand(max(1, n_samples)).astype(np.float32) * 2.0) - 1.0
+
+
+class AudioChunker:
+    """Audio analogue: decode/resample -> fixed-length chunks -> per-chunk
+    energy features (RMS + zero-crossing rate, real math over the fake
+    PCM).  One output row per (media_id, chunk)."""
+
+    def __init__(self, sample_rate: int = 16000, chunk_s: float = 1.0, strict: bool = False):
+        self.sample_rate = sample_rate
+        self.chunk = int(sample_rate * chunk_s)
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "audio decode requires an audio library not present in this environment"
+            )
+        ids, chunk_idx, rms, zcr = [], [], [], []
+        for media_id, payload, dur in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("duration_s").to_pylist(),
+        ):
+            pcm = _decode_audio_stub(payload, int((dur or 1.0) * self.sample_rate))
+            n_chunks = max(1, len(pcm) // self.chunk)
+            for c in range(n_chunks):
+                seg = pcm[c * self.chunk : (c + 1) * self.chunk]
+                ids.append(media_id)
+                chunk_idx.append(c)
+                rms.append(float(np.sqrt(np.mean(seg * seg))))
+                zcr.append(float(np.mean(np.signbit(seg[1:]) != np.signbit(seg[:-1]))))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "chunk": pa.array(chunk_idx, pa.int32()),
+                "rms": pa.array(rms, pa.float64()),
+                "zcr": pa.array(zcr, pa.float64()),
+            }
+        )
+
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("mime", pa.string()),
+        ("payload", pa.binary()),
+        ("duration_s", pa.float64()),
+    ]
+)
+
+
+def synth_audio_table(n: int = 16, seed: int = 6) -> pa.Table:
+    """Deterministic fake audio rows for plumbing tests."""
+    rng = np.random.RandomState(seed)
+    return pa.Table.from_arrays(
+        [
+            pa.array(range(n), pa.int64()),
+            pa.array(["audio/fake"] * n, pa.string()),
+            pa.array([rng.bytes(128) for _ in range(n)], pa.binary()),
+            pa.array(rng.uniform(0.5, 3.5, n), pa.float64()),
+        ],
+        schema=AUDIO_SCHEMA,
+    )
+
+
 def synth_media_table(n: int = 32, seed: int = 5) -> pa.Table:
     """Deterministic fake media rows for plumbing tests."""
     rng = np.random.RandomState(seed)

@@ -292,3 +292,43 @@ def test_ivf_indexed_search_matches_in_memory(embeddings, tmp_path):
     full = knn_ivf_indexed(idx_dir, q, k=5, nprobe=8).to_pylist()
     exact = knn_brute_force(embeddings, q, k=5).to_pylist()
     assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+
+
+def test_multimodal_resize_and_audio(ray_session):
+    import ray.data as rd
+
+    from reden_ray.stages.multimodal import (
+        AudioChunker,
+        ImageResizer,
+        synth_audio_table,
+        synth_media_table,
+    )
+
+    ds = rd.from_arrow(synth_media_table(8))
+    out = ds.map_batches(
+        ImageResizer, fn_constructor_kwargs={"out_w": 16, "out_h": 16, "strict": False},
+        batch_format="pyarrow", batch_size=4, concurrency=1,
+    ).take_all()
+    assert len(out) == 8
+    for r in out:
+        assert r["width"] == 16 and r["height"] == 16
+        assert len(r["payload"]) == 16 * 16 * 3
+        assert r["mime"] == "image/raw-rgb"
+
+    audio = rd.from_arrow(synth_audio_table(6))
+    chunks = audio.map_batches(
+        AudioChunker,
+        fn_constructor_kwargs={"sample_rate": 8000, "chunk_s": 0.5, "strict": False},
+        batch_format="pyarrow", batch_size=4, concurrency=1,
+    ).take_all()
+    assert chunks
+    for r in chunks:
+        assert 0.0 <= r["rms"] <= 1.0
+        assert 0.0 <= r["zcr"] <= 1.0
+    # strict mode raises at the decode boundary (documented stub)
+    import pytest as _p
+
+    with _p.raises(NotImplementedError):
+        ImageResizer(strict=True)(synth_media_table(2))
+    with _p.raises(NotImplementedError):
+        AudioChunker(strict=True)(synth_audio_table(2))
