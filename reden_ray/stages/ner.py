@@ -23,18 +23,35 @@ from ..core.normalize import normalize_mention
 from .extract import MENTION_SCHEMA
 
 _PARTICLES = {"de", "du", "des", "d'", "l'", "le", "la", "les", "van", "von", "da"}
+# elisions that ABUT the following capital and belong to the tagged
+# surface in French conventions ("d'Arc", "l'Empereur")
+_ELISIONS = {"d'", "l'"}
+# abbreviations whose trailing period joins the run ("M. Hugo",
+# "E. Éluard"); any SINGLE capital letter (an initial) also qualifies
+_HONORIFICS = {"M", "Mme", "Mlle", "Dr", "Pr", "St", "Ste"}
 # lowercase tokens stop at an apostrophe (keeping it) so elisions like
 # "d'Arc" split into particle "d'" + capitalized "Arc"
 _TOKEN = re.compile(r"[A-ZÀ-Þ][\wÀ-ÿ'-]*|[a-zà-ÿ][a-zà-ÿA-ZÀ-ÿ-]*'?|[^\s\w]")
 _CAP = re.compile(r"^[A-ZÀ-Þ]")
 
 
+def _joins_period(prev_tok: str) -> bool:
+    """Does ``prev_tok + '.'`` read as an initial/honorific (so a
+    following capital continues the name) rather than a sentence end?"""
+    return prev_tok in _HONORIFICS or (len(prev_tok) == 1 and _CAP.match(prev_tok))
+
+
 def detect_mentions_untagged(text: str) -> list[tuple[str, int, int]]:
     """(surface, start, end) spans of capitalized runs.
 
-    A run = >=1 capitalized token, possibly joined by particles; runs
-    starting a sentence count only if >=2 tokens long (drops ordinary
-    sentence-initial words).
+    A run = >=1 capitalized token, joined across mid-name particles
+    (de/du/van/...), abbreviation periods ("M. Hugo", "J. Zola" — only
+    after an honorific or single-letter initial, so real sentence ends
+    never join), and leading elisions ("d'Arc" keeps the particle, as
+    French tagging conventions do).  Runs starting a sentence count
+    only if >=2 tokens long (drops ordinary sentence-initial words;
+    measured: lifting that rule doubles the span count for zero
+    surface-recall gain on the fixture corpus).
     """
     out = []
     tokens = [(m.group(0), m.start(), m.end()) for m in _TOKEN.finditer(text)]
@@ -46,16 +63,44 @@ def detect_mentions_untagged(text: str) -> list[tuple[str, int, int]]:
             i += 1
             continue
         sentence_initial = i == 0 or tokens[i - 1][0] in {".", "!", "?"}
+        # leading elision abutting the capital: "d'" + "Arc" -> "d'Arc"
+        if (
+            i > 0
+            and tokens[i - 1][0].lower() in _ELISIONS
+            and tokens[i - 1][2] == start
+        ):
+            start = tokens[i - 1][1]
+            sentence_initial = False  # an elided name is never a plain
+            # sentence-initial word
         j = i + 1
         last_cap_end = end
+        last_cap_tok = tok
         n_caps = 1
         while j < n:
             nxt = tokens[j][0]
             if _CAP.match(nxt):
                 last_cap_end = tokens[j][2]
+                last_cap_tok = nxt
                 n_caps += 1
                 j += 1
             elif nxt.lower() in _PARTICLES and j + 1 < n and _CAP.match(tokens[j + 1][0]):
+                j += 1
+            elif (
+                nxt == "."
+                and _joins_period(last_cap_tok)
+                and j + 1 < n
+                and (
+                    _CAP.match(tokens[j + 1][0])
+                    # "Mme. d'Arc": a particle right after the period
+                    # still continues the name if a capital follows it
+                    or (
+                        tokens[j + 1][0].lower() in _PARTICLES
+                        and j + 2 < n
+                        and _CAP.match(tokens[j + 2][0])
+                    )
+                )
+            ):
+                last_cap_end = tokens[j][2]  # the period joins the surface
                 j += 1
             else:
                 break
