@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a9_rollup": R.a9_rollup,
         "sessionize": R.sessionize,
         "dedup_exact_docs": R.dedup_exact_docs,
+        "doc_fingerprints": R.doc_fingerprints,
         "text_token_stats": R.text_token_stats,
         "knn_dot_topk": R.knn_dot_topk,
         "json_extract_props": R.json_extract_props,
@@ -477,6 +478,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact_docs": (
             "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
+        ),
+        "doc_fingerprints": (
+            "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
         ),
         "text_token_stats": (
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "

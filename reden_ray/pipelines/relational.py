@@ -393,6 +393,34 @@ def sessionize(sf_dir: str, gap_seconds: int = 1800) -> rd.Dataset:
     return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+# --- documents: content fingerprints --------------------------------------
+
+def doc_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Per-document content fingerprint (md5 hex — DuckDB-oracle-able;
+    the engine's internal 64-bit fp lives in stages.textstats).  A
+    stateless map: the canonical first step of exact dedup / change
+    detection at corpus scale."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "fp_md5": pa.array(
+                    [
+                        hashlib.md5(x.encode("utf-8")).hexdigest()
+                        for x in t.column("text").to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return docs.map_batches(fp, batch_format="pyarrow")
+
+
 # --- documents: exact dedup + token stats --------------------------------
 
 def dedup_exact_docs(sf_dir: str) -> rd.Dataset:
