@@ -50,4 +50,17 @@ print("sample triple:", triples.take(1)[0])
 manifest = run_checkpointed(data_dir, "/tmp/reden_quickstart_out", n_parts=4)
 print("written partitions:", sorted(manifest.done_parts))
 
+# the reference's primary artifact: pages with ref_auto written back
+from reden_ray.stages.annotate import annotated_pages  # noqa: E402
+
+annotated = annotated_pages(pages, links)
+sample = next(r for r in annotated.take(20) if b"ref_auto=" in r["html"])
+i = sample["html"].find(b"ref_auto=")
+print("annotated page snippet:", sample["html"][max(0, i - 60) : i + 70].decode("utf-8", "replace"))
+
+# run-vs-run diff (e.g. after a config change): here, self-diff == empty
+from reden_ray.pipelines.evaluate import diff_runs  # noqa: E402
+
+print("self run-diff rows (expect 0):", diff_runs(links, links).count())
+
 ray.shutdown()
