@@ -187,3 +187,67 @@ def test_link_context_invariants(n_ents, n_mentions, seed):
     # route consistency
     if res.route == "NoAmbiguity":
         assert res.triples == []
+
+
+@given(st.text(alphabet=string.ascii_letters + "àéüß 你好'-_.*", max_size=40))
+@settings(max_examples=200)
+def test_reencode_legacy_ascii_properties(seg):
+    """The legacy-ASCII retry key: decoding the re-encoded last segment
+    recovers the original (Java URLEncoder/URLDecoder round trip), and
+    pure-ASCII-safe segments are fixed points."""
+    from urllib.parse import unquote_plus
+
+    from reden_ray.core.normalize import reencode_legacy_ascii
+
+    uri = "http://kb.test/ent/" + seg
+    enc = reencode_legacy_ascii(uri)
+    head, _, last = enc.rpartition("/")
+    assert head == "http://kb.test/ent"
+    if seg:
+        assert unquote_plus(last) == seg
+        # idempotent for segments already in the encoder's safe set
+        if all(c.isascii() and (c.isalnum() or c in "*-._") for c in seg):
+            assert enc == uri
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["PER", "LOC"]), text_st.filter(lambda s: s.strip())),
+        min_size=1,
+        max_size=5,
+    ),
+    st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_annotate_preserves_text_invariant(mentions, data):
+    """annotate_html only touches bytes inside tags: the tag-stripped
+    text is byte-identical for ANY subset of annotated mentions."""
+    from reden_ray.core.textextract import extract_text
+    from reden_ray.stages.annotate import annotate_html
+
+    inner = " ".join(
+        f'<span class="ne" data-type="{t}">{s}</span>' for t, s in mentions
+    )
+    html = f"<html><body><p>{inner}</p></body></html>".encode()
+    refs = {}
+    for mid in range(len(mentions)):
+        if data.draw(st.booleans()):
+            refs[(0, mid)] = data.draw(
+                st.text(alphabet=string.ascii_letters + ':/."&', min_size=1, max_size=20)
+            )
+    out = annotate_html(html, refs)
+    assert extract_text(out) == extract_text(html)
+
+
+@given(st.lists(st.text(alphabet=string.printable, max_size=30), min_size=0, max_size=8))
+@settings(max_examples=100)
+def test_minhash_exactness_properties(texts):
+    """Identical texts always get identical signatures; signatures are
+    deterministic across hasher instances (distributed-safe)."""
+    from reden_ray.stages.dedup import MinHasher
+
+    m1, m2 = MinHasher(), MinHasher()
+    for t in texts:
+        s1, s2 = m1.signature(t), m2.signature(t)
+        assert (s1 == s2).all()
+        assert s1.shape == (64,)
