@@ -55,13 +55,15 @@ def reencode_legacy_ascii(uri: str) -> str:
     key (GraphHandlerNEL.java:294-296 ``URLEncoder.encode(part[last],
     "UTF-8")``).  Java's URLEncoder implements
     application/x-www-form-urlencoded: space to '+'; '*', '-', '.', '_'
-    kept; everything else percent-encoded."""
+    kept; everything else percent-encoded.  Python's quoter treats '~'
+    as RFC-3986 unreserved and never encodes it, but Java's URLEncoder
+    does (%7E) — post-replace so retry keys match Java semantics."""
     from urllib.parse import quote_plus
 
     head, sep, last = uri.rpartition("/")
     if not sep or not last:
         return uri
-    return head + "/" + quote_plus(last, safe="*-._")
+    return head + "/" + quote_plus(last, safe="*-._").replace("~", "%7E")
 
 
 def normalize_mention_batch(values: list[str]) -> list[str]:

@@ -210,6 +210,18 @@ def compare_runs(
     return out
 
 
+_DIFF_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("context_id", pa.int64()),
+        ("mention_id", pa.int64()),
+        ("chosen_a", pa.string()),
+        ("chosen_b", pa.string()),
+        ("status", pa.string()),
+    ]
+)
+
+
 def diff_runs(
     links_a: rd.Dataset, links_b: rd.Dataset, num_partitions: int | None = None
 ) -> rd.Dataset:
@@ -241,8 +253,37 @@ def diff_runs(
 
         return f
 
-    a = links_a.map_batches(proj("a"), batch_format="pyarrow")
-    b = links_b.map_batches(proj("b"), batch_format="pyarrow")
+    from ..stages.joins import staged_nonempty
+
+    # Full-outer joins hit the same Ray 2.49 first-block schema-broadcast
+    # trap as build sides: an entirely-empty run (or leading empty blocks
+    # off a filter-heavy read) must be staged+compacted, and an empty
+    # side short-circuits to all-only_a / all-only_b rows.
+    a = staged_nonempty(links_a.map_batches(proj("a"), batch_format="pyarrow"))
+    b = staged_nonempty(links_b.map_batches(proj("b"), batch_format="pyarrow"))
+    if a is None and b is None:
+        return rd.from_arrow(_DIFF_SCHEMA.empty_table())
+    if a is None or b is None:
+        side, tag = (b, "b") if a is None else (a, "a")
+
+        def lift(batch: pa.Table, tag=tag) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "url": batch.column("url"),
+                    "context_id": batch.column("context_id"),
+                    "mention_id": batch.column("mention_id"),
+                    "chosen_a": batch.column("chosen_a")
+                    if tag == "a"
+                    else pa.nulls(n, pa.string()),
+                    "chosen_b": batch.column("chosen_b")
+                    if tag == "b"
+                    else pa.nulls(n, pa.string()),
+                    "status": pa.array([f"only_{tag}"] * n, pa.string()),
+                }
+            )
+
+        return side.map_batches(lift, batch_format="pyarrow")
     joined = a.join(
         b,
         join_type="full_outer",
@@ -336,8 +377,45 @@ def significance_pairs(
 
         return f
 
-    a = links_a.map_batches(proj("a"), batch_format="pyarrow")
-    b = links_b.map_batches(proj("b"), batch_format="pyarrow")
+    from ..stages.joins import staged_nonempty
+
+    # Same staging discipline as diff_runs: an empty run short-circuits
+    # to the other side with its score column zero-filled (the null ->
+    # 0.0 rule applied wholesale).
+    a = staged_nonempty(links_a.map_batches(proj("a"), batch_format="pyarrow"))
+    b = staged_nonempty(links_b.map_batches(proj("b"), batch_format="pyarrow"))
+    if a is None and b is None:
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    ("url", pa.string()),
+                    ("context_id", pa.int64()),
+                    ("mention_id", pa.int64()),
+                    ("score_a", pa.float64()),
+                    ("score_b", pa.float64()),
+                ]
+            ).empty_table()
+        )
+    if a is None or b is None:
+        side, have = (b, "b") if a is None else (a, "a")
+        missing = "a" if have == "b" else "b"
+
+        def zero_fill(batch: pa.Table, have=have, missing=missing) -> pa.Table:
+            return pa.table(
+                {
+                    "url": batch.column("url"),
+                    "context_id": batch.column("context_id"),
+                    "mention_id": batch.column("mention_id"),
+                    "score_a": batch.column("score_a")
+                    if have == "a"
+                    else pa.array([0.0] * batch.num_rows, pa.float64()),
+                    "score_b": batch.column("score_b")
+                    if have == "b"
+                    else pa.array([0.0] * batch.num_rows, pa.float64()),
+                }
+            )
+
+        return side.map_batches(zero_fill, batch_format="pyarrow")
     joined = a.join(
         b,
         join_type="full_outer",

@@ -120,9 +120,17 @@ def annotated_pages(
     produceResults sink as a streaming Dataset (write_parquet it).
 
     Pages without any link pass through unmodified (left outer join)."""
-    from .joins import default_join_partitions
+    from .joins import default_join_partitions, staged_nonempty
 
-    blobs = _links_to_blobs(links, add_scores=add_scores)
+    # Build side must be staged+compacted: an all-empty blobs side (no
+    # linked mentions at all) would otherwise hit the Ray 2.49
+    # first-block schema-broadcast trap (see joins.staged_nonempty).
+    blobs = staged_nonempty(_links_to_blobs(links, add_scores=add_scores))
+    if blobs is None:
+        # left_outer identity: no annotations to insert anywhere.
+        return pages.map_batches(
+            lambda b: b.select(["url", "html"]), batch_format="pyarrow"
+        )
     joined = pages.join(
         blobs,
         join_type="left_outer",

@@ -370,9 +370,11 @@ class SimHasher:
     blake2b + bit-unpack for a word runs once per actor lifetime, not
     once per occurrence; repeated words accumulate via a count vector
     matmul.  Outputs are BIT-IDENTICAL to the uncached per-occurrence
-    loop (sum of ±1 contributions is order-free)."""
+    loop (sum of ±1 contributions is order-free).  Cached vectors are
+    packed int8 (64 B each — 1M entries == 64 MiB/actor); the matmul
+    promotes int64 @ int8 -> int64, so no overflow."""
 
-    _CACHE_CAP = 1 << 20  # ~64 MiB of ±1 vectors worst case
+    _CACHE_CAP = 1 << 20  # 64 B/entry packed int8 -> 64 MiB/actor cap
 
     def __init__(self) -> None:
         import re
@@ -385,8 +387,8 @@ class SimHasher:
         if bits is None:
             h = hashlib.blake2b(w.encode(), digest_size=8).digest()
             bits = (
-                np.unpackbits(np.frombuffer(h, dtype=np.uint8)).astype(np.int64) * 2 - 1
-            )
+                np.unpackbits(np.frombuffer(h, dtype=np.uint8)).astype(np.int8) * 2 - 1
+            ).astype(np.int8)
             if len(self._bits) < self._CACHE_CAP:
                 self._bits[w] = bits
         return bits
@@ -397,7 +399,7 @@ class SimHasher:
         counts = Counter(self.word.findall(text.lower()))
         if not counts:
             return 0
-        mat = np.stack([self._word_bits(w) for w in counts])  # (n_uniq, 64)
+        mat = np.stack([self._word_bits(w) for w in counts])  # (n_uniq, 64) int8
         acc = np.asarray(list(counts.values()), dtype=np.int64) @ mat
         out = 0
         for i in np.nonzero(acc > 0)[0]:

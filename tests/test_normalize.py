@@ -30,3 +30,13 @@ def test_decompose_percent_decoding_only_for_http():
 
 def test_decompose_plus_becomes_space_like_urldecoder():
     assert decompose("http://kb.test/a+b") == "http://kb.test/a b"
+
+
+def test_reencode_tilde_matches_java_urlencoder():
+    """Java URLEncoder percent-encodes '~' (%7E); Python's quoter treats
+    it as RFC-3986 unreserved.  Retry keys must follow Java."""
+    from reden_ray.core.normalize import reencode_legacy_ascii
+
+    assert reencode_legacy_ascii("http://kb.test/ent/name~alias") == (
+        "http://kb.test/ent/name%7Ealias"
+    )
