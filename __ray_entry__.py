@@ -142,8 +142,8 @@ def _kg_canonical_triples(sf_dir: str):
     import ray.data as rd
 
     from reden_ray.pipelines.canonicalize import (
-        canonicalize_triples,
-        connected_components_join,
+        canonicalize_triples_join,
+        connected_components_join_ds,
         equivalence_pairs,
     )
     from reden_ray.pipelines.kg import run_fixture_pipeline, triples_view
@@ -152,12 +152,14 @@ def _kg_canonical_triples(sf_dir: str):
     adjacency = rd.read_parquet(f"{fd}/adjacency.parquet")
     dictionary = rd.read_parquet(f"{fd}/dictionary.parquet")
     pairs = equivalence_pairs(adjacency, "http://kb.test/sameAs", dictionary)
-    # join variant: nothing entity-sized on the driver per iteration
-    mapping, _ = connected_components_join(
+    # fully driver-free: labels stay a Dataset and the triple rewrite is
+    # a pair of left-outer hash joins — nothing entity-sized ever lands
+    # on the driver (VERDICT r2 item 1).
+    mapping, _ = connected_components_join_ds(
         pairs, max_iters=5, prefer_prefix="http://kb.test/"
     )
     triples = triples_view(run_fixture_pipeline(fd))
-    return canonicalize_triples(triples, mapping)
+    return canonicalize_triples_join(triples, mapping)
 
 
 def _kg_annotated_pages(sf_dir: str):

@@ -138,17 +138,23 @@ def connected_components(
     return t, converged
 
 
-def connected_components_join(
+def connected_components_join_ds(
     pairs: rd.Dataset,
     max_iters: int = 5,
     prefer_prefix: str | None = None,
     num_partitions: int = 16,
-) -> tuple[pa.Table, bool]:
+) -> tuple[rd.Dataset, bool]:
     """All-shuffle variant of ``connected_components``: the per-iteration
     label lookup is a hash JOIN ``pairs ⨝ labels ON v`` instead of a
     driver-broadcast map — nothing entity-count-sized ever sits on the
     driver, so it holds at 10^9-entity KBs.  Same algebra, same result
     (tested equal); convergence detected via a count of changed labels.
+
+    Returns the (uri, canonical) mapping as a DATASET (rank prefix
+    stripped in a map stage) — feed it straight to
+    ``canonicalize_triples_join`` so the whole canonicalization path is
+    driver-free end to end.  ``connected_components_join`` below wraps
+    this with a driver-side collect for tests / small KBs.
     """
     from ray.data.aggregate import Min
 
@@ -214,12 +220,32 @@ def connected_components_join(
             converged = True
             break
 
-    rows = sorted((r["u"], r["label"]) for r in labels.take_all())
+    def strip_rank(t: pa.Table) -> pa.Table:
+        # "0|uri" / "1|uri" -> uri; vectorized (rank prefix is always 2 chars)
+        canon = pc.utf8_slice_codeunits(t.column("label"), 2)
+        return pa.table({"uri": t.column("u"), "canonical": canon})
+
+    mapping = labels.map_batches(strip_rank, batch_format="pyarrow")
+    return mapping, converged
+
+
+def connected_components_join(
+    pairs: rd.Dataset,
+    max_iters: int = 5,
+    prefer_prefix: str | None = None,
+    num_partitions: int = 16,
+) -> tuple[pa.Table, bool]:
+    """Driver-side collect of ``connected_components_join_ds`` for tests
+    and small KBs; the query path uses the Dataset variant directly."""
+    mapping, converged = connected_components_join_ds(
+        pairs, max_iters=max_iters, prefer_prefix=prefer_prefix, num_partitions=num_partitions
+    )
+    rows = sorted((r["uri"], r["canonical"]) for r in mapping.take_all())
     return (
         pa.table(
             {
                 "uri": pa.array([u for u, _ in rows], pa.string()),
-                "canonical": pa.array([l.split("|", 1)[1] for _, l in rows], pa.string()),
+                "canonical": pa.array([c for _, c in rows], pa.string()),
             }
         ),
         converged,

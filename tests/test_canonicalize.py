@@ -89,6 +89,42 @@ def test_join_variant_equals_broadcast(ray_session, small_fixture_dir):
     assert m1.to_pylist() == m2.to_pylist()
 
 
+def test_driver_free_path_equals_broadcast(ray_session, small_fixture_dir):
+    """The fully driver-free query path (labels Dataset -> join rewrite,
+    __ray_entry__._kg_canonical_triples shape) must produce exactly the
+    triples of the broadcast path — no labels.take_all() anywhere."""
+    import ray.data as rd
+
+    from reden_ray.pipelines.canonicalize import (
+        canonicalize_triples,
+        canonicalize_triples_join,
+        connected_components,
+        connected_components_join_ds,
+        equivalence_pairs,
+    )
+    from reden_ray.pipelines.kg import run_fixture_pipeline, triples_view
+
+    fd = small_fixture_dir
+    adjacency = rd.read_parquet(f"{fd}/adjacency.parquet")
+    dictionary = rd.read_parquet(f"{fd}/dictionary.parquet")
+    pairs = equivalence_pairs(adjacency, "http://kb.test/sameAs", dictionary)
+    triples = triples_view(run_fixture_pipeline(fd)).materialize()
+
+    map_tbl, c1 = connected_components(pairs, max_iters=5, prefer_prefix="http://kb.test/")
+    map_ds, c2 = connected_components_join_ds(
+        pairs, max_iters=5, prefer_prefix="http://kb.test/", num_partitions=4
+    )
+    assert c1 and c2
+    want = sorted(
+        tuple(sorted(r.items())) for r in canonicalize_triples(triples, map_tbl).take_all()
+    )
+    got = sorted(
+        tuple(sorted(r.items()))
+        for r in canonicalize_triples_join(triples, map_ds).take_all()
+    )
+    assert got == want
+
+
 def test_canonicalize_triples_join_equals_broadcast(ray_session):
     """The KB-scale join rewrite must equal the broadcast rewrite."""
     import pyarrow as pa
