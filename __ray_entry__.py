@@ -138,6 +138,15 @@ def _kg_links_untagged(sf_dir: str):
     return links_view(run_untagged_pipeline(_fixture_for(sf_dir)))
 
 
+def _kg_links_dict_tagged(sf_dir: str):
+    """Semi-automatic annotation path (SemiAutomaticTEIAnnotation.java
+    parity): exact dictionary-alias sweep pre-tags the raw text, then the
+    standard NEL pipeline links the tagged mentions."""
+    from reden_ray.pipelines.kg import links_view, run_dict_tagged_pipeline
+
+    return links_view(run_dict_tagged_pipeline(_fixture_for(sf_dir)))
+
+
 def _kg_canonical_triples(sf_dir: str):
     import ray.data as rd
 
@@ -381,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonical_triples": _kg_canonical_triples,
         "kg_pred_frequency": _kg_pred_frequency,
         "kg_links_untagged": _kg_links_untagged,
+        "kg_links_dict_tagged": _kg_links_dict_tagged,
         "kg_ambiguity_report": _kg_ambiguity_report,
         "kg_annotated_pages": _kg_annotated_pages,
         "kg_run_diff": _kg_run_diff,

@@ -140,6 +140,54 @@ def run_untagged_pipeline(
     return linked_dataset(cands, adj_ref, cfg, exec_cfg)
 
 
+def dict_tagged_mentions_dataset(
+    pages: rd.Dataset, dict_ref, exec_cfg: ExecConfig | None = None
+) -> rd.Dataset:
+    """pages -> dictionary-alias-tagged mention rows (the semi-automatic
+    annotation path, stages.dicttag): exact longest-match alias sweep,
+    typed from the dictionary — actor pool so the alias trie is built
+    once per actor."""
+    from ..stages.dicttag import DictionaryTagger
+
+    exec_cfg = exec_cfg or ExecConfig()
+    return pages.map_batches(
+        pages_to_contexts, batch_format="pyarrow", batch_size=None
+    ).map_batches(
+        DictionaryTagger,
+        fn_constructor_args=(dict_ref,),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=exec_cfg.lookup_concurrency,
+        num_cpus=1,
+    )
+
+
+def run_dict_tagged_pipeline(
+    fixture_dir: str,
+    exec_cfg: ExecConfig | None = None,
+) -> rd.Dataset:
+    """Third pipeline variant (SemiAutomaticTEIAnnotation.java parity):
+    untagged corpus pre-tagged by the dictionary-alias sweep instead of
+    heuristic NER; everything downstream identical.
+
+    The tagger types mentions from the dictionary, so the configured
+    type order keeps its usual entries PLUS 'ANY' last — cross-kind
+    homonym aliases are tagged 'ANY' (candidate lookup unions kinds)
+    and must survive rebuild_candidate_map's per-type merge."""
+    import dataclasses
+
+    cfg = fixture_config(fixture_dir)
+    cfg = dataclasses.replace(cfg, ne_types=tuple(cfg.ne_types) + ("ANY",))
+    pages = rd.read_parquet(f"{fixture_dir}/pages.parquet", columns=["url", "html"])
+    dictionary = pq.read_table(f"{fixture_dir}/dictionary.parquet")
+    adjacency = pq.read_table(f"{fixture_dir}/adjacency.parquet")
+    dict_ref = ray.put(dictionary)
+    adj_ref = ray.put(adjacency)
+    ments = dict_tagged_mentions_dataset(pages, dict_ref, exec_cfg)
+    cands = candidates_dataset(ments, dict_ref, cfg, exec_cfg)
+    return linked_dataset(cands, adj_ref, cfg, exec_cfg)
+
+
 def candidates_dataset_join(
     mentions: rd.Dataset,
     dictionary: pa.Table,
