@@ -371,26 +371,90 @@ def a9_rollup(sf_dir: str) -> rd.Dataset:
 # --- streaming-shaped: sessionization ------------------------------------
 
 def sessionize(sf_dir: str, gap_seconds: int = 1800) -> rd.Dataset:
-    """session windows per user (gap > 30 min splits); returns per-session
-    row counts and bounds.  Ordered map_groups over ts within user."""
+    """Session windows per user (gap > 30 min splits): per-session row
+    count + first event id.
+
+    TWO-LEVEL, hot-user-safe shape (no per-user pandas group over raw
+    events): (1) each BLOCK locally sorts by (user, ts, event_id) and
+    collapses its events into per-user PARTIAL SESSIONS — vectorized
+    numpy segment math, one output row per partial; (2) the only
+    shuffle moves those partials (bounded by sessions + block
+    boundaries, NOT events) into a per-user interval merge: sorted by
+    start, a partial starts a new session iff its start is more than
+    ``gap_seconds`` past the running max end.  Gap-closure is
+    partition-invariant (interval endpoints are real events), so the
+    result is exactly the global single-pass sessionization — a hot
+    user with 10^8 events reduces to ~sessions+blocks rows before any
+    grouping.  Property-tested equal to the naive per-user pass."""
+    import numpy as np
+
     ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    gap_us = gap_seconds * 1_000_000
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff().dt.total_seconds().fillna(0.0)
-        sid = (gap > gap_seconds).cumsum()
-        out = (
-            g.assign(session_id=sid)
-            .groupby("session_id", as_index=False)
-            .agg(
-                user_id=("user_id", "first"),
-                n_events=("event_id", "count"),
-                first_event=("event_id", "min"),
+    def block_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "start_ts": pa.array([], pa.int64()),
+                    "end_ts": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "first_event": pa.array([], pa.int64()),
+                }
             )
+        user = t.column("user_id").to_numpy(zero_copy_only=False)
+        # normalize to µs first: a raw int64 cast inherits the column's
+        # stored unit (ns for pandas-written parquet, us for the sf data)
+        ts = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
         )
-        return out[["user_id", "session_id", "n_events", "first_event"]]
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, user))
+        user, ts, eid = user[order], ts[order], eid[order]
+        new_seg = np.empty(len(ts), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = (user[1:] != user[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.flatnonzero(new_seg)
+        ends = np.concatenate([starts[1:], [len(ts)]]) - 1
+        return pa.table(
+            {
+                "user_id": pa.array(user[starts], pa.int64()),
+                "start_ts": pa.array(ts[starts], pa.int64()),
+                "end_ts": pa.array(ts[ends], pa.int64()),
+                "n_events": pa.array(ends - starts + 1, pa.int64()),
+                "first_event": pa.array(np.minimum.reduceat(eid, starts), pa.int64()),
+            }
+        )
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def merge_partials(g: pa.Table) -> pa.Table:
+        start = g.column("start_ts").to_numpy(zero_copy_only=False)
+        end = g.column("end_ts").to_numpy(zero_copy_only=False)
+        n_ev = g.column("n_events").to_numpy(zero_copy_only=False)
+        first = g.column("first_event").to_numpy(zero_copy_only=False)
+        order = np.lexsort((first, end, start))
+        start, end, n_ev, first = start[order], end[order], n_ev[order], first[order]
+        sid = np.zeros(len(start), dtype=np.int64)
+        if len(start) > 1:
+            run_end = np.maximum.accumulate(end)[:-1]
+            sid[1:] = np.cumsum(start[1:] - run_end > gap_us)
+        # per-session reduce (sid ascending, contiguous)
+        seg = np.flatnonzero(np.concatenate([[True], sid[1:] != sid[:-1]]))
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.repeat(g.column("user_id")[0].as_py(), len(seg)), pa.int64()
+                ),
+                "session_id": pa.array(sid[seg], pa.int64()),
+                "n_events": pa.array(np.add.reduceat(n_ev, seg), pa.int64()),
+                "first_event": pa.array(np.minimum.reduceat(first, seg), pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(block_partials, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id")
+        .map_groups(merge_partials, batch_format="pyarrow")
+    )
 
 
 # --- documents: content fingerprints --------------------------------------
