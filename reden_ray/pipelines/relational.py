@@ -216,9 +216,29 @@ def a7_argmax_per_group(sf_dir: str) -> rd.Dataset:
 
 # --- O1: global top-k -----------------------------------------------------
 
-def o1_topk(sf_dir: str) -> rd.Dataset:
+def o1_topk(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Global top-k WITHOUT a global sort: per-block vectorized
+    sort-take(k) partials (each block contributes <= k tiny rows), then
+    one single-task merge over the n_blocks x k partial rows — the
+    ``global_topk`` shape (stages/similarity.py) for the ungrouped case.
+    A ``sort().limit(k)`` here would range-shuffle the whole orders
+    table to keep 10 rows; this plan moves <= k rows per block.  (At
+    10^6+ blocks, add one intermediate repartition level — same
+    combinator, two tiers.)"""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    top = orders.sort(["o_totalprice", "o_orderkey"], descending=[True, True]).limit(10)
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "descending")],
+        )
+        return t.take(idx[:k])
+
+    top = (
+        orders.map_batches(block_topk, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=None)
+    )
     return top.map_batches(lambda t: _round_col(t, "o_totalprice", 2), batch_format="pyarrow")
 
 
