@@ -33,7 +33,98 @@ def _dec(u):
     return unquote(u.replace("+", " ")) if u.startswith("http:") else u
 
 
-def run_oracle(fixture_dir: str, preferred_uri: str = "ALL"):
+def _naive_centrality(vertices, edges, measure):
+    """Independent centrality implementations, structured DIFFERENTLY
+    from reden_ray.core.centrality (pair-counting betweenness instead of
+    Brandes' dependency accumulation; Floyd-Warshall closeness — the
+    jar's own algorithm — instead of per-source Dijkstra)."""
+    verts = list(vertices)
+    n = len(verts)
+    if measure == "DegreeCentrality":
+        deg = dict.fromkeys(verts, 0.0)
+        for (a, b), (_p, w) in edges.items():
+            deg[a] += w
+            deg[b] += w
+        return {v: (deg[v] / (n - 1) if n > 1 else 0.0) for v in verts}
+
+    out_adj = {}
+    for (a, b) in edges:
+        out_adj.setdefault(a, []).append(b)
+
+    if measure == "BrandesBetweennessCentrality":
+        # directed UNWEIGHTED shortest-path counting per source (BFS),
+        # then the raw pair formula: paths s->t through v =
+        # sigma_s[v] * sigma_v[t] iff d_s[v] + d_v[t] == d_s[t]
+        dist, sigma = {}, {}
+        from collections import deque
+
+        for s in verts:
+            d = {s: 0}
+            sg = {s: 1.0}
+            q = deque([s])
+            while q:
+                v = q.popleft()
+                for w_ in out_adj.get(v, ()):
+                    if w_ not in d:
+                        d[w_] = d[v] + 1
+                        sg[w_] = 0.0
+                        q.append(w_)
+                    if d[w_] == d[v] + 1:
+                        sg[w_] += sg[v]
+            dist[s], sigma[s] = d, sg
+        bc = dict.fromkeys(verts, 0.0)
+        for s in verts:
+            for t in verts:
+                if t == s or t not in dist[s]:
+                    continue
+                for v in verts:
+                    if v in (s, t) or v not in dist[s] or t not in dist[v]:
+                        continue
+                    if dist[s][v] + dist[v][t] == dist[s][t]:
+                        bc[v] += sigma[s][v] * sigma[v][t] / sigma[s][t]
+        return bc
+
+    if measure == "FreemanClosenessCentrality":
+        # WEIGHTED directed Floyd-Warshall (the jar's algorithm);
+        # unreachable target -> sum inf -> 0.0; zero sum -> +inf
+        INF = float("inf")
+        idx = {v: i for i, v in enumerate(verts)}
+        dmat = [[INF] * n for _ in range(n)]
+        for i in range(n):
+            dmat[i][i] = 0.0
+        for (a, b), (_p, w) in edges.items():
+            i, j = idx[a], idx[b]
+            if w < dmat[i][j]:
+                dmat[i][j] = w
+        for k in range(n):
+            dk = dmat[k]
+            for i in range(n):
+                dik = dmat[i][k]
+                if dik == INF:
+                    continue
+                di = dmat[i]
+                for j in range(n):
+                    nd = dik + dk[j]
+                    if nd < di[j]:
+                        di[j] = nd
+        out = {}
+        for v in verts:
+            row = dmat[idx[v]]
+            total = 0.0
+            for x in row:
+                total += x
+            if total == INF:
+                out[v] = 0.0
+            elif total > 0:
+                out[v] = 1.0 / total
+            else:
+                out[v] = INF
+        return out
+
+    raise ValueError(measure)
+
+
+def run_oracle(fixture_dir: str, preferred_uri: str = "ALL", measure: str = "DegreeCentrality"):
     """Returns (links, triples): links[(url, ctx, mid)] = (surfaces,
     chosen list, method); triples = set of (url, ctx, subj, pred, obj, weight)."""
     pages = pq.read_table(f"{fixture_dir}/pages.parquet").to_pylist()
@@ -159,15 +250,9 @@ def run_oracle(fixture_dir: str, preferred_uri: str = "ALL"):
                 vertices.pop(v, None)
             edges = {e: lw for e, lw in edges.items() if e[0] in vertices and e[1] in vertices}
 
-            # degree centrality: WEIGHTED incident-edge sum / (n-1)
-            # (jgrapht-sna DegreeCentrality sums getEdgeWeight, verified
-            # from the jar's bytecode)
-            n = len(vertices)
-            deg = dict.fromkeys(vertices, 0.0)
-            for (a, b), (_p, w) in edges.items():
-                deg[a] += w
-                deg[b] += w
-            cent = {v: (deg[v] / (n - 1) if n > 1 else 0.0) for v in vertices}
+            # centrality per configured measure (jgrapht-sna semantics,
+            # verified from the jar's bytecode; see _naive_centrality)
+            cent = _naive_centrality(vertices, edges, measure)
 
             chosen = {}
             for s in surf_order:

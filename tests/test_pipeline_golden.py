@@ -81,6 +81,46 @@ def test_linking_accuracy_vs_gold(pipeline_outputs, small_fixture_dir):
     assert correct / total >= 0.6, (correct, total)
 
 
+@pytest.mark.parametrize(
+    "measure", ["BrandesBetweennessCentrality", "FreemanClosenessCentrality"]
+)
+def test_centrality_config_golden_exact(ray_session, small_fixture_dir, measure):
+    """End-to-end golden for the non-degree centralities (VERDICT r2
+    item 5): a config flip to betweenness/closeness must produce EXACTLY
+    the naive oracle's links+triples, oracle computed with an
+    independently-structured algorithm (pair-counting betweenness,
+    Floyd-Warshall closeness)."""
+    import dataclasses
+
+    from reden_ray.pipelines.kg import (
+        fixture_config,
+        links_view,
+        run_fixture_pipeline,
+        triples_view,
+    )
+
+    fd = small_fixture_dir
+    cfg = dataclasses.replace(fixture_config(fd), measure=measure)
+    combined = run_fixture_pipeline(fd, cfg=cfg).materialize()
+    gold_links, gold_triples = run_oracle(fd, measure=measure)
+    got_triples = {
+        (r["url"], r["context_id"], r["subj"], r["pred"], r["obj"], r["weight"])
+        for r in triples_view(combined).take_all()
+    }
+    assert got_triples == gold_triples
+    got_links = {
+        (r["url"], r["context_id"], r["mention_id"]): (tuple(r["chosen_uris"] or []), r["method"])
+        for r in links_view(combined).take_all()
+    }
+    assert got_links == {k: (tuple(v[1]), v[2]) for k, v in gold_links.items()}
+    # the measure flip must actually CHANGE something vs degree on this
+    # fixture (guards against a dispatch that silently ignores config)
+    deg_links, _ = run_oracle(fd, measure="DegreeCentrality")
+    assert {k: (tuple(v[1]), v[2]) for k, v in gold_links.items()} != {
+        k: (tuple(v[1]), v[2]) for k, v in deg_links.items()
+    }
+
+
 def test_bigger_kb_golden_exact(ray_session):
     """Second golden config: larger KB (600 entities, 40 topics) — the
     pipeline must stay exactly equal to the oracle as candidate density
