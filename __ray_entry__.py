@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract_props": R.json_extract_props,
         "o3_regex_scan": R.o3_regex_scan,
         "distinct_count_per_group": R.distinct_count_per_group,
+        "approx_distinct_count_per_group": R.approx_distinct_count_per_group,
         # KG pipeline (fixture-backed; golden-tested in-repo; rows-only here)
         "kg_links": _kg_links,
         "kg_triples": _kg_triples,

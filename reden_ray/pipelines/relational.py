@@ -591,6 +591,18 @@ def distinct_count_per_group(sf_dir: str) -> rd.Dataset:
     )
 
 
+def approx_distinct_count_per_group(sf_dir: str) -> rd.Dataset:
+    """Sketch variant of ``distinct_count_per_group``: HyperLogLog per
+    key (stages.aggregates.hll_distinct_per_group) — bounded 4 KiB
+    per-key state through the shuffle regardless of key heat; ~1.6%
+    standard error.  No SQL oracle (approximate); accuracy and
+    merge-invariance are pinned by tests/test_hll.py."""
+    from ..stages.aggregates import hll_distinct_per_group
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    return hll_distinct_per_group(li, "l_suppkey", "l_partkey", alias="n_parts_approx")
+
+
 # --- embeddings: exact knn ------------------------------------------------
 
 def knn_dot_topk(sf_dir: str, n_queries: int = 3, k: int = 5) -> pa.Table:

@@ -15,6 +15,12 @@ requirement:
   key with ``hash(row) % S`` sub-keys, aggregate, then unsalt in a
   second, tiny pass.  Included mostly as the documented pattern — the
   partial variant already bounds reducer load for counting.
+- ``hll_distinct_per_group``: approximate count(distinct value) per
+  key with BOUNDED per-key state (a 2^p-register HyperLogLog sketch,
+  ~(2^p) bytes regardless of cardinality) — the honest shape when a
+  hot key's exact distinct-set would be unbounded through the shuffle.
+  Registers merge by elementwise max, so per-batch partial sketches
+  pre-combine exactly like exact counters do.
 """
 
 from __future__ import annotations
@@ -56,3 +62,79 @@ def salted_groupby_count(
         .aggregate(Sum(alias, alias_name=alias))
     )
     return salted.groupby(keys).aggregate(Sum(alias, alias_name=alias))
+
+
+def _hll_registers(values, p: int) -> "np.ndarray":
+    """HLL register array (uint8, length 2^p) for an int64 value array."""
+    import numpy as np
+
+    from .dedup import _fmix64
+
+    assert p >= 11  # keeps the 64-p-bit suffix exactly representable in f64
+    h = _fmix64(np.asarray(values, dtype=np.int64).view(np.uint64))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    # rho = position of the leftmost 1-bit in the (64-p)-bit suffix
+    # (1-based from the top); all-zero suffix -> 64-p+1
+    w = (h & np.uint64((1 << (64 - p)) - 1)).astype(np.float64)
+    rho = np.where(
+        w > 0, (64 - p) - np.floor(np.log2(np.maximum(w, 1.0))), 64 - p + 1
+    ).astype(np.uint8)
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _hll_estimate(regs: "np.ndarray", p: int) -> float:
+    import numpy as np
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:  # small-range linear counting
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct_per_group(
+    ds: rd.Dataset, key: str, value: str, p: int = 12, alias: str = "approx_distinct"
+) -> rd.Dataset:
+    """Approximate count(distinct ``value``) per ``key`` (int64 cols).
+
+    Per-batch: one 2^p-register sketch per key present in the batch
+    (vectorized hash + scatter-max); the shuffle then moves <= one
+    (key, 2^p-byte blob) row per key per batch, and the per-key merge
+    is an elementwise max — state is BOUNDED no matter how hot the key
+    (standard error ~1.04/sqrt(2^p): ~1.6% at p=12).  Use the exact
+    ``distinct_count_per_group`` when per-key cardinality is known to
+    be small."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys_np = batch.column(key).to_numpy(zero_copy_only=False)
+        vals_np = batch.column(value).to_numpy(zero_copy_only=False)
+        out_keys, out_regs = [], []
+        for k in np.unique(keys_np):
+            out_keys.append(int(k))
+            out_regs.append(_hll_registers(vals_np[keys_np == k], p).tobytes())
+        return pa.table(
+            {key: pa.array(out_keys, pa.int64()), "__hll": pa.array(out_regs, pa.binary())}
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        blobs = group.column("__hll").to_pylist()
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        for b in blobs:
+            np.maximum(regs, np.frombuffer(b, dtype=np.uint8), out=regs)
+        return pa.table(
+            {
+                key: pa.array([group.column(key)[0].as_py()], pa.int64()),
+                alias: pa.array([int(round(_hll_estimate(regs, p)))], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(merge, batch_format="pyarrow")
+    )

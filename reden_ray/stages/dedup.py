@@ -296,6 +296,7 @@ def minhash_lsh_pairs(
     n_bands: int = 8,
     shingle_k: int = 5,
     max_bucket: int = 200,
+    checkpoint_dir: str | None = None,
 ) -> rd.Dataset:
     """Near-duplicate pairs (doc_a < doc_b, est_jaccard >= threshold),
     as a streaming Dataset.
@@ -307,6 +308,12 @@ def minhash_lsh_pairs(
     distributed distinct across bands.  Nothing corpus-sized ever
     reaches the driver; write the result with ``write_parquet`` or feed
     it to an anti-join.
+
+    The band rows feed TWO consumers (count prefilter + join probe), so
+    they are staged once: in the object store by default, or — for
+    corpora beyond object-store capacity — as partitioned parquet under
+    ``checkpoint_dir`` (the same contract as
+    ``curation.curate_documents``).
     """
     rows_per_band = n_perm // n_bands
 
@@ -317,15 +324,14 @@ def minhash_lsh_pairs(
             hasher = _HASHER_CACHE[key] = MinHasher(n_perm=n_perm, shingle_k=shingle_k)
         return hasher(batch)
 
-    buckets = (
-        docs.map_batches(sig_batch, batch_format="pyarrow")
-        .map_batches(
-            lambda t: _band_rows(t, n_bands, rows_per_band), batch_format="pyarrow"
-        )
-        # consumed twice (count prefilter + join probe side); at extreme
-        # scale swap for a parquet checkpoint (state/checkpoint.py)
-        .materialize()
+    buckets = docs.map_batches(sig_batch, batch_format="pyarrow").map_batches(
+        lambda t: _band_rows(t, n_bands, rows_per_band), batch_format="pyarrow"
     )
+    if checkpoint_dir is not None:
+        buckets.write_parquet(checkpoint_dir)
+        buckets = rd.read_parquet(checkpoint_dir)
+    else:
+        buckets = buckets.materialize()
     hot = collision_buckets_only(buckets)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:

@@ -36,6 +36,26 @@ def test_exact_dedup_matches_duckdb(docs):
     assert got == want
 
 
+def test_minhash_parquet_checkpoint_equals_default(docs, tmp_path):
+    """The beyond-object-store staging path (checkpoint_dir) must yield
+    exactly the same pairs as the in-memory materialize."""
+    from reden_ray.stages.dedup import minhash_lsh_pairs
+
+    default = {
+        (r["doc_a"], r["doc_b"], round(r["est_jaccard"], 9))
+        for r in minhash_lsh_pairs(docs, threshold=0.9).take_all()
+    }
+    staged = {
+        (r["doc_a"], r["doc_b"], round(r["est_jaccard"], 9))
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.9, checkpoint_dir=str(tmp_path / "bands")
+        ).take_all()
+    }
+    assert staged == default and default
+    # the checkpoint actually landed on disk as parquet
+    assert any(p.suffix == ".parquet" for p in (tmp_path / "bands").iterdir())
+
+
 def test_minhash_finds_exact_duplicates(docs):
     import duckdb
 
