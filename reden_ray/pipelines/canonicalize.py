@@ -158,15 +158,18 @@ def connected_components_join_ds(
     """
     from ray.data.aggregate import Min
 
-    def rank(uri: str) -> str:
-        if prefer_prefix is not None and prefer_prefix in uri:
-            return "0|" + uri
-        return "1|" + uri
-
     def init_labels(batch: pa.Table) -> pa.Table:
-        us = batch.column("u").to_pylist()
+        us = batch.column("u")
+        if prefer_prefix is not None:
+            prefix = pc.if_else(
+                pc.match_substring(us, prefer_prefix),
+                pa.scalar("0|"),
+                pa.scalar("1|"),
+            )
+        else:
+            prefix = pa.array(["1|"] * len(us), pa.string())
         return pa.table(
-            {"u": pa.array(us, pa.string()), "label": pa.array([rank(u) for u in us], pa.string())}
+            {"u": us, "label": pc.binary_join_element_wise(prefix, us, "")}
         )
 
     labels = (
@@ -195,25 +198,15 @@ def connected_components_join_ds(
         old_r = labels.map_batches(
             lambda t: t.rename_columns(["u", "old_label"]), batch_format="pyarrow"
         )
+        def count_changed(t: pa.Table) -> pa.Table:
+            n = pc.sum(
+                pc.cast(pc.invert(pc.equal(t["label"], t["old_label"])), pa.int64())
+            ).as_py() or 0
+            return pa.table({"changed": pa.array([n], pa.int64())})
+
         diff = new_labels.join(
             old_r, join_type="inner", num_partitions=num_partitions, on=("u",)
-        ).map_batches(
-            lambda t: pa.table(
-                {
-                    "changed": pa.array(
-                        [
-                            int(a != b)
-                            for a, b in zip(
-                                t.column("label").to_pylist(),
-                                t.column("old_label").to_pylist(),
-                            )
-                        ],
-                        pa.int64(),
-                    )
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        ).map_batches(count_changed, batch_format="pyarrow")
         n_changed = diff.sum("changed") or 0  # distributed aggregate, scalar to driver
         labels = new_labels
         if n_changed == 0:
