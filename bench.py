@@ -119,7 +119,9 @@ def run_bench() -> dict:
 
         t0 = time.perf_counter()
         docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
-        minhash_lsh_pairs(docs, threshold=0.7)
+        # .count() drives the bucket-verify + distinct tail too (the
+        # round-2 number stopped at the band-row materialize)
+        minhash_lsh_pairs(docs, threshold=0.7).count()
         queries["dedup_minhash_docs"] = time.perf_counter() - t0
 
         # untagged path: heuristic NER instead of pre-tagged spans
@@ -128,6 +130,13 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         run_untagged_pipeline(fd, exec_cfg=exec_cfg).materialize()
         queries["kg_pipeline_untagged"] = time.perf_counter() - t0
+
+        # dictionary-alias pre-tagging path (semi-automatic annotation)
+        from reden_ray.pipelines.kg import run_dict_tagged_pipeline
+
+        t0 = time.perf_counter()
+        run_dict_tagged_pipeline(fd, exec_cfg=exec_cfg).materialize()
+        queries["kg_pipeline_dict_tagged"] = time.perf_counter() - t0
 
         # checkpointed WRITE path (the real consumption mode): full
         # pipeline streamed to partitioned parquet + lineage manifest

@@ -147,12 +147,15 @@ def dict_tagged_mentions_dataset(
     annotation path, stages.dicttag): exact longest-match alias sweep,
     typed from the dictionary — actor pool so the alias trie is built
     once per actor."""
-    from ..stages.dicttag import DictionaryTagger
+    from ..stages.dicttag import DictionaryTagger, make_dict_tagger_fn
 
     exec_cfg = exec_cfg or ExecConfig()
-    return pages.map_batches(
-        pages_to_contexts, batch_format="pyarrow", batch_size=None
-    ).map_batches(
+    contexts = pages.map_batches(pages_to_contexts, batch_format="pyarrow", batch_size=None)
+    if exec_cfg.stateless:
+        return contexts.map_batches(
+            make_dict_tagger_fn(dict_ref), batch_format="pyarrow", batch_size=None
+        )
+    return contexts.map_batches(
         DictionaryTagger,
         fn_constructor_args=(dict_ref,),
         batch_format="pyarrow",

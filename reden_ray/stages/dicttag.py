@@ -96,6 +96,33 @@ def tag_text(
     return out
 
 
+# worker-global trie cache for the stateless-task variant (see
+# stages.candidates._WORKER_INDEX_CACHE for the rationale: task pools
+# are fully elastic, worker processes persist, at most one dictionary
+# per worker)
+_TRIE_CACHE: dict = {}
+
+
+def _cached_trie(dict_ref):
+    key = getattr(dict_ref, "hex", lambda: id(dict_ref))()
+    trie = _TRIE_CACHE.get(key)
+    if trie is None:
+        table = ray.get(dict_ref) if not isinstance(dict_ref, pa.Table) else dict_ref
+        trie = build_alias_trie(table)
+        _TRIE_CACHE.clear()
+        _TRIE_CACHE[key] = trie
+    return trie
+
+
+def make_dict_tagger_fn(dict_ref):
+    """Stateless-task variant of DictionaryTagger (worker-global cache)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return _tag_batch(batch, _cached_trie(dict_ref))
+
+    return tag
+
+
 class DictionaryTagger:
     """map_batches(DictionaryTagger, fn_constructor_args=(dict_ref,),
     concurrency=N) over context rows — trie built once per actor."""
@@ -105,13 +132,17 @@ class DictionaryTagger:
         self.trie = build_alias_trie(table)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return _tag_batch(batch, self.trie)
+
+
+def _tag_batch(batch: pa.Table, trie) -> pa.Table:
         cols: dict[str, list] = {k: [] for k in MENTION_SCHEMA.names}
         for url, cid, text in zip(
             batch.column("url").to_pylist(),
             batch.column("context_id").to_pylist(),
             batch.column("text").to_pylist(),
         ):
-            for mid, (surface, start, end, ne_type) in enumerate(tag_text(text, self.trie)):
+            for mid, (surface, start, end, ne_type) in enumerate(tag_text(text, trie)):
                 cols["url"].append(url)
                 cols["context_id"].append(cid)
                 cols["mention_id"].append(mid)
