@@ -63,4 +63,11 @@ from reden_ray.pipelines.evaluate import diff_runs  # noqa: E402
 
 print("self run-diff rows (expect 0):", diff_runs(links, links).count())
 
+# untagged corpus? pre-tag it from the dictionary (semi-automatic
+# annotation) instead of heuristic NER:
+from reden_ray.pipelines.kg import run_dict_tagged_pipeline  # noqa: E402
+
+dt_links = links_view(run_dict_tagged_pipeline(data_dir, ExecConfig(stateless=True)))
+print("dict-tagged links:", dt_links.count())
+
 ray.shutdown()

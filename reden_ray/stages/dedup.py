@@ -82,22 +82,48 @@ def _empty_pairs(schema: pa.Schema) -> pa.Table:
     return schema.empty_table()
 
 
-def distinct_pairs(pairs: rd.Dataset, a: str = "doc_a", b: str = "doc_b") -> rd.Dataset:
+def distinct_pairs(
+    pairs: rd.Dataset, a: str = "doc_a", b: str = "doc_b", num_partitions: int | None = None
+) -> rd.Dataset:
     """One row per (a, b) pair — a pair found in several LSH bands keeps
-    its first row, with ``truncated`` OR-ed across bands (a cap in ANY
-    contributing bucket marks the pair).  Distributed groupby; duplicate
-    pairs are rare (only docs colliding in >1 band), so the per-group
-    Python call is off the hot path."""
+    one row, with ``truncated`` OR-ed across bands (a cap in ANY
+    contributing bucket marks the pair; the score columns are identical
+    across bands — both sigs are, so ``min`` is a no-op tiebreak).
 
-    def first(group: pa.Table) -> pa.Table:
-        row = group.slice(0, 1)
-        if "truncated" in group.column_names:
-            i = row.column_names.index("truncated")
-            any_trunc = pc.any(group.column("truncated")).as_py() or False
-            row = row.set_column(i, "truncated", pa.array([any_trunc], pa.bool_()))
-        return row
+    Vectorized: pairs hash into coarse partitions, each partition
+    dedupes with ONE Arrow ``group_by`` call — one Python call per
+    partition instead of one per pair (a corpus with 10^8 near-dup
+    pairs would otherwise pay 10^8 map_groups invocations)."""
+    from .joins import default_join_partitions
 
-    return pairs.groupby([a, b]).map_groups(first, batch_format="pyarrow")
+    n_parts = num_partitions or default_join_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        av = t.column(a).to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        bv = t.column(b).to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        part = ((av * np.uint64(0x9E3779B97F4A7C15) ^ bv) % np.uint64(n_parts)).astype(
+            np.int64
+        )
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
+    def dedupe(group: pa.Table) -> pa.Table:
+        cols = [c for c in group.column_names if c != "__part"]
+        aggs = [
+            (c, "any" if c == "truncated" else "min") for c in cols if c not in (a, b)
+        ]
+        out = group.group_by([a, b]).aggregate(aggs)
+        # arrow names aggregates "<col>_<agg>" and puts keys first;
+        # restore the original names and column order
+        out = out.rename_columns(
+            [a, b] + [c for c in cols if c not in (a, b)]
+        )
+        return out.select(cols)
+
+    return (
+        pairs.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(dedupe, batch_format="pyarrow")
+    )
 
 
 def collision_buckets_only(
