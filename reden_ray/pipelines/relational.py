@@ -288,15 +288,22 @@ def window_tumbling(sf_dir: str) -> rd.Dataset:
     is the only shuffle.  Oracle: GROUP BY user, floor(epoch/3600)."""
     ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
-    def assign(t: pa.Table) -> pa.Table:
-        epoch = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+    def assign_and_combine(t: pa.Table) -> pa.Table:
+        # per-batch COMBINER before the exchange: one output row per
+        # (user, window) per block, so the shuffle moves partials (a
+        # window's hot traffic shrinks from events to blocks)
+        epoch = pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 1_000_000)
         win = pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()), 3600.0)), pa.int64())
-        return t.append_column("window_id", win)
+        t = t.append_column("window_id", win)
+        agg = t.group_by(["user_id", "window_id"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return agg.rename_columns(["user_id", "window_id", "pn", "psum"])
 
     out = (
-        ev.map_batches(assign, batch_format="pyarrow")
+        ev.map_batches(assign_and_combine, batch_format="pyarrow")
         .groupby(["user_id", "window_id"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("pn", alias_name="n_events"), Sum("psum", alias_name="sum_value"))
     )
     return out.map_batches(lambda t: _round_col(t, "sum_value", 4), batch_format="pyarrow")
 
@@ -316,14 +323,14 @@ def window_hopping(sf_dir: str, size_s: int = 3600, hop_s: int = 900) -> rd.Data
     ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
     n_hops = size_s // hop_s
 
-    def assign(t: pa.Table) -> pa.Table:
-        epoch = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000).to_numpy(
-            zero_copy_only=False
-        )
+    def assign_and_combine(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 1_000_000
+        ).to_numpy(zero_copy_only=False)
         base = np.floor(epoch / hop_s).astype(np.int64)
         n = len(base)
         wid = np.repeat(base, n_hops) - np.tile(np.arange(n_hops, dtype=np.int64), n)
-        return pa.table(
+        expanded = pa.table(
             {
                 "user_id": pa.array(
                     np.repeat(t.column("user_id").to_numpy(zero_copy_only=False), n_hops)
@@ -334,11 +341,17 @@ def window_hopping(sf_dir: str, size_s: int = 3600, hop_s: int = 900) -> rd.Data
                 ),
             }
         )
+        # combiner: collapse the size/hop expansion back to one partial
+        # row per (user, window) per block before the exchange
+        agg = expanded.group_by(["user_id", "window_id"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return agg.rename_columns(["user_id", "window_id", "pn", "psum"])
 
     out = (
-        ev.map_batches(assign, batch_format="pyarrow")
+        ev.map_batches(assign_and_combine, batch_format="pyarrow")
         .groupby(["user_id", "window_id"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("pn", alias_name="n_events"), Sum("psum", alias_name="sum_value"))
     )
     return out.map_batches(lambda t: _round_col(t, "sum_value", 4), batch_format="pyarrow")
 
