@@ -138,9 +138,20 @@ def a1_collect_groups(sf_dir: str) -> rd.Dataset:
 # --- A3: frequency count --------------------------------------------------
 
 def a3_pred_frequency(sf_dir: str) -> rd.Dataset:
-    """events by type — the triple predicate-frequency pattern (S10)."""
+    """events by type — the triple predicate-frequency pattern (S10).
+    Per-block combiner first: the exchange moves one row per type per
+    block, so a hot predicate never floods its reducer."""
     ev = _read(sf_dir, "events", ["event_type"])
-    return ev.groupby("event_type").aggregate(Count(alias_name="n"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["event_type"]).aggregate([("event_type", "count")])
+        return agg.rename_columns(["event_type", "pn"])
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
 
 
 # --- A5: multi-aggregate (TPC-H Q1 shape) ---------------------------------
@@ -152,19 +163,42 @@ def a5_aggregate_metrics(sf_dir: str) -> rd.Dataset:
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def revenue(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
+        # per-block combiner: revenue column + one partial row per
+        # (flag, status) per block before the exchange (TPC-H Q1 has 6
+        # groups — without the combiner every lineitem row shuffles)
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("revenue", rev)
+        t = t.append_column("revenue", rev)
+        agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("revenue", "sum"),
+                ("l_extendedprice", "sum"),
+                ("l_quantity", "count"),
+            ]
+        )
+        return agg.rename_columns(
+            ["l_returnflag", "l_linestatus", "pqty", "prev", "pprice", "pn"]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "avg_price", pc.divide(t["sum_price"], pc.cast(t["n_rows"], pa.float64()))
+        )
+        return t.select(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_revenue", "avg_price", "n_rows"]
+        )
 
     out = (
-        li.map_batches(revenue, batch_format="pyarrow")
+        li.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("revenue", alias_name="sum_revenue"),
-            Mean("l_extendedprice", alias_name="avg_price"),
-            Count(alias_name="n_rows"),
+            Sum("pqty", alias_name="sum_qty"),
+            Sum("prev", alias_name="sum_revenue"),
+            Sum("pprice", alias_name="sum_price"),
+            Sum("pn", alias_name="n_rows"),
         )
+        .map_batches(finish, batch_format="pyarrow")
     )
     return out.map_batches(
         lambda t: _round_col(_round_col(_round_col(t, "sum_qty", 2), "sum_revenue", 2), "avg_price", 2),
@@ -245,11 +279,28 @@ def o1_topk(sf_dir: str, k: int = 10) -> rd.Dataset:
 # --- D2: distinct ---------------------------------------------------------
 
 def d2_distinct(sf_dir: str) -> rd.Dataset:
+    """DISTINCT (user_id, event_type): per-block Arrow distinct, then a
+    coarse hash-partition groupby with ONE vectorized distinct per
+    partition — no per-group Python call (10^8 distinct pairs would pay
+    10^8 map_groups invocations in the naive shape)."""
+    from ..stages.joins import default_join_partitions
+
     ev = _read(sf_dir, "events", ["user_id", "event_type"])
-    return ev.map_batches(
-        lambda t: t.group_by(["user_id", "event_type"]).aggregate([]), batch_format="pyarrow"
-    ).groupby(["user_id", "event_type"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    n_parts = default_join_partitions()
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        t = t.group_by(["user_id", "event_type"]).aggregate([])
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (uid.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_parts)
+        return t.append_column("__part", pa.array(part.astype(np.int64), pa.int64()))
+
+    def part_distinct(g: pa.Table) -> pa.Table:
+        return g.drop_columns("__part").group_by(["user_id", "event_type"]).aggregate([])
+
+    return (
+        ev.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_distinct, batch_format="pyarrow")
     )
 
 
