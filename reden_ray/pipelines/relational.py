@@ -116,23 +116,55 @@ def j6_anti_join(sf_dir: str) -> rd.Dataset:
 # --- A1: per-group list collection ---------------------------------------
 
 def a1_collect_groups(sf_dir: str) -> rd.Dataset:
-    """per order: sorted distinct part keys (candidate-set collection)."""
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    """per order: sorted distinct part keys (candidate-set collection).
 
-    def collect(group: pa.Table) -> pa.Table:
-        parts = sorted(set(group.column("l_partkey").to_pylist()))
+    Two-level: per-block Arrow distinct + orderkey-hash partition tag,
+    then ONE vectorized call per coarse partition (lexsort + segment
+    boundaries) instead of one Python map_groups call per order — same
+    rows, 10^9 orders cost num_partitions calls, not 10^9.  partkeys is
+    a CSV string, not list<int64>: engine-portable value hashing (list
+    columns convert differently across pandas/duckdb/numpy)."""
+    from ..stages.joins import default_join_partitions
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    n_parts = default_join_partitions()
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (ok.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_parts)
+        return t.append_column("__part", pa.array(part.astype(np.int64), pa.int64()))
+
+    def collect_part(g: pa.Table) -> pa.Table:
+        ok = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        keep = np.empty(len(ok), dtype=bool)
+        keep[0] = True
+        keep[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])  # cross-block dups
+        ok, pk = ok[keep], pk[keep]
+        new = np.empty(len(ok), dtype=bool)
+        new[0] = True
+        new[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(ok)]])
+        pk_str = pk.astype(str)
         return pa.table(
             {
-                "l_orderkey": pa.array([group.column("l_orderkey")[0].as_py()], pa.int64()),
-                # CSV string, not list<int64>: engine-portable value
-                # hashing (list columns convert differently across
-                # pandas/duckdb/numpy)
-                "partkeys": pa.array([",".join(map(str, parts))], pa.string()),
-                "n_parts": pa.array([len(parts)], pa.int64()),
+                "l_orderkey": pa.array(ok[starts], pa.int64()),
+                "partkeys": pa.array(
+                    [",".join(pk_str[s:e]) for s, e in zip(starts, ends)], pa.string()
+                ),
+                "n_parts": pa.array(ends - starts, pa.int64()),
             }
         )
 
-    return li.groupby("l_orderkey").map_groups(collect, batch_format="pyarrow")
+    return (
+        li.map_batches(local, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(collect_part, batch_format="pyarrow")
+    )
 
 
 # --- A3: frequency count --------------------------------------------------
