@@ -49,10 +49,29 @@ import ray.data as rd
 def exact_dedup(docs: rd.Dataset, column: str = "text", id_column: str = "doc_id") -> rd.Dataset:
     """First (min id) document per distinct ``column`` value.
 
-    hash-partition + per-group first — D2 of SURVEY.md §2.7 generalized.
+    D2 of SURVEY.md §2.7 generalized, two-level vectorized: each block
+    keeps its local min-id row per content hash (one lexsort, no
+    per-group calls), then a coarse hash-partition groupby repeats the
+    same segment sweep once per PARTITION — 10^10 docs cost
+    num_partitions Python calls, not one per distinct document.  Min-id
+    is associative, so local-then-global first is exact.
     """
+    from .joins import default_join_partitions
 
-    def add_hash(batch: pa.Table) -> pa.Table:
+    n_parts = default_join_partitions()
+
+    def _first_per_fp(t: pa.Table) -> pa.Table:
+        fp = t.column("__fp").to_numpy(zero_copy_only=False)
+        ids = t.column(id_column).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, fp))
+        fp_s = fp[order]
+        new = np.empty(len(fp_s), dtype=bool)
+        if len(fp_s):
+            new[0] = True
+            new[1:] = fp_s[1:] != fp_s[:-1]
+        return t.take(pa.array(order[new]))
+
+    def local_first(batch: pa.Table) -> pa.Table:
         fps = pa.array(
             [
                 int.from_bytes(
@@ -62,16 +81,21 @@ def exact_dedup(docs: rd.Dataset, column: str = "text", id_column: str = "doc_id
             ],
             pa.int64(),
         )
-        return batch.append_column("__fp", fps)
+        batch = batch.append_column("__fp", fps)
+        batch = _first_per_fp(batch)
+        part = (
+            batch.column("__fp").to_numpy(zero_copy_only=False).view(np.uint64)
+            % np.uint64(n_parts)
+        ).astype(np.int64)
+        return batch.append_column("__part", pa.array(part, pa.int64()))
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group.column(id_column))
-        return group.take(idx[:1]).drop_columns("__fp")
+    def part_first(g: pa.Table) -> pa.Table:
+        return _first_per_fp(g).drop_columns(["__fp", "__part"])
 
     return (
-        docs.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("__fp")
-        .map_groups(keep_first, batch_format="pyarrow")
+        docs.map_batches(local_first, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_first, batch_format="pyarrow")
     )
 
 
