@@ -42,16 +42,26 @@ from ..stages.textstats import LangId, QualityScore, TokenStats
 
 def near_dup_losers(pairs: rd.Dataset) -> rd.Dataset:
     """Pair table -> distinct loser doc_ids (the larger id of each
-    near-dup pair; the smaller survives).  Stays a Dataset end to end."""
+    near-dup pair; the smaller survives).  Stays a Dataset end to end;
+    two-level distinct (block-local, then one vectorized call per
+    coarse partition — never one Python call per loser)."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    n_parts = default_join_partitions()
 
     def losers(batch: pa.Table) -> pa.Table:
         keep = pc.max_element_wise(batch["doc_a"], batch["doc_b"])
-        return pa.table({"doc_id": keep})
+        t = pa.table({"doc_id": keep}).group_by(["doc_id"]).aggregate([])
+        return t.append_column("__part", part_column(t, ["doc_id"], n_parts))
 
-    ids = pairs.map_batches(losers, batch_format="pyarrow")
-    # one row per loser id (a doc can lose several pairs)
-    return ids.groupby("doc_id").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    def dedupe(g: pa.Table) -> pa.Table:
+        return g.drop_columns("__part").group_by(["doc_id"]).aggregate([])
+
+    return (
+        pairs.map_batches(losers, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(dedupe, batch_format="pyarrow")
     )
 
 

@@ -268,14 +268,25 @@ def a7_argmax_per_group(sf_dir: str) -> rd.Dataset:
         first = np.concatenate(([True], keys[1:] != keys[:-1]))
         return t.filter(pa.array(first))
 
-    def best(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=_A7_SORT)
-        return group.take(idx[:1])
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    n_parts = default_join_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["o_custkey"], n_parts))
+
+    def best_part(group: pa.Table) -> pa.Table:
+        # same boundary-mask argmax as partial_best, once per coarse
+        # partition — no per-customer Python call
+        group = group.drop_columns("__part")
+        return partial_best(group)
 
     out = (
         orders.map_batches(partial_best, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .map_groups(best, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(best_part, batch_format="pyarrow")
     )
     return out.map_batches(lambda t: _round_col(t, "o_totalprice", 2), batch_format="pyarrow")
 
@@ -542,34 +553,57 @@ def sessionize(sf_dir: str, gap_seconds: int = 1800) -> rd.Dataset:
             }
         )
 
-    def merge_partials(g: pa.Table) -> pa.Table:
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    n_parts = default_join_partitions()
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        # ONE call per coarse user-hash partition; the per-user work
+        # operates on PARTIALS (~sessions + touched blocks per user),
+        # so the inner loop is tiny even for a 10^8-event hot user
+        user = g.column("user_id").to_numpy(zero_copy_only=False)
         start = g.column("start_ts").to_numpy(zero_copy_only=False)
         end = g.column("end_ts").to_numpy(zero_copy_only=False)
         n_ev = g.column("n_events").to_numpy(zero_copy_only=False)
         first = g.column("first_event").to_numpy(zero_copy_only=False)
-        order = np.lexsort((first, end, start))
-        start, end, n_ev, first = start[order], end[order], n_ev[order], first[order]
-        sid = np.zeros(len(start), dtype=np.int64)
-        if len(start) > 1:
-            run_end = np.maximum.accumulate(end)[:-1]
-            sid[1:] = np.cumsum(start[1:] - run_end > gap_us)
-        # per-session reduce (sid ascending, contiguous)
-        seg = np.flatnonzero(np.concatenate([[True], sid[1:] != sid[:-1]]))
+        order = np.lexsort((first, end, start, user))
+        user, start, end = user[order], start[order], end[order]
+        n_ev, first = n_ev[order], first[order]
+        u_new = np.empty(len(user), dtype=bool)
+        u_new[0] = True
+        u_new[1:] = user[1:] != user[:-1]
+        u_starts = np.flatnonzero(u_new)
+        u_ends = np.concatenate([u_starts[1:], [len(user)]])
+        out_user, out_sid, out_n, out_first = [], [], [], []
+        for us, ue in zip(u_starts, u_ends):
+            s, e2, nv, fv = start[us:ue], end[us:ue], n_ev[us:ue], first[us:ue]
+            sid = np.zeros(len(s), dtype=np.int64)
+            if len(s) > 1:
+                run_end = np.maximum.accumulate(e2)[:-1]
+                sid[1:] = np.cumsum(s[1:] - run_end > gap_us)
+            seg = np.flatnonzero(np.concatenate([[True], sid[1:] != sid[:-1]]))
+            out_user.append(np.full(len(seg), user[us], dtype=np.int64))
+            out_sid.append(sid[seg])
+            out_n.append(np.add.reduceat(nv, seg))
+            out_first.append(np.minimum.reduceat(fv, seg))
         return pa.table(
             {
-                "user_id": pa.array(
-                    np.repeat(g.column("user_id")[0].as_py(), len(seg)), pa.int64()
-                ),
-                "session_id": pa.array(sid[seg], pa.int64()),
-                "n_events": pa.array(np.add.reduceat(n_ev, seg), pa.int64()),
-                "first_event": pa.array(np.minimum.reduceat(first, seg), pa.int64()),
+                "user_id": pa.array(np.concatenate(out_user), pa.int64()),
+                "session_id": pa.array(np.concatenate(out_sid), pa.int64()),
+                "n_events": pa.array(np.concatenate(out_n), pa.int64()),
+                "first_event": pa.array(np.concatenate(out_first), pa.int64()),
             }
         )
 
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
     return (
         ev.map_batches(block_partials, batch_format="pyarrow", batch_size=None)
-        .groupby("user_id")
-        .map_groups(merge_partials, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(merge_part, batch_format="pyarrow")
     )
 
 
@@ -654,36 +688,36 @@ def o3_regex_scan(sf_dir: str) -> rd.Dataset:
 
 
 def distinct_count_per_group(sf_dir: str) -> rd.Dataset:
-    """count(distinct) per group — partial sets union per batch, then a
-    small merge (the mergeable-sketch pattern with exact sets)."""
+    """count(distinct l_partkey) per supplier — EXACT, two-level: each
+    block emits its distinct (key, value) pairs (Arrow group_by, the
+    combiner), the shuffle moves pairs not rows, and each coarse
+    key-hash partition counts per-key uniques with one vectorized
+    segment sweep.  For hot keys with unbounded cardinality use the
+    HLL variant (``approx_distinct_count_per_group``)."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column, sorted_segments
+
     li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    n_parts = default_join_partitions()
 
-    def partial(t: pa.Table) -> pa.Table:
-        seen: dict[int, set[int]] = {}
-        for s, p in zip(t.column("l_suppkey").to_pylist(), t.column("l_partkey").to_pylist()):
-            seen.setdefault(s, set()).add(p)
+    def local(t: pa.Table) -> pa.Table:
+        t = t.group_by(["l_suppkey", "l_partkey"]).aggregate([])
+        return t.append_column("__part", part_column(t, ["l_suppkey"], n_parts))
+
+    def count_part(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__part").group_by(["l_suppkey", "l_partkey"]).aggregate([])
+        t, starts, ends = sorted_segments(g, ["l_suppkey"])
         return pa.table(
             {
-                "l_suppkey": pa.array(list(seen), pa.int64()),
-                "parts": pa.array([sorted(v) for v in seen.values()], pa.list_(pa.int64())),
-            }
-        )
-
-    def merge(group: pa.Table) -> pa.Table:
-        acc: set[int] = set()
-        for lst in group.column("parts").to_pylist():
-            acc.update(lst)
-        return pa.table(
-            {
-                "l_suppkey": pa.array([group.column("l_suppkey")[0].as_py()], pa.int64()),
-                "n_parts": pa.array([len(acc)], pa.int64()),
+                "l_suppkey": t.column("l_suppkey").take(pa.array(starts)),
+                "n_parts": pa.array(ends - starts, pa.int64()),
             }
         )
 
     return (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_suppkey")
-        .map_groups(merge, batch_format="pyarrow")
+        li.map_batches(local, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(count_part, batch_format="pyarrow")
     )
 
 

@@ -121,20 +121,41 @@ def hll_distinct_per_group(
             {key: pa.array(out_keys, pa.int64()), "__hll": pa.array(out_regs, pa.binary())}
         )
 
-    def merge(group: pa.Table) -> pa.Table:
-        blobs = group.column("__hll").to_pylist()
-        regs = np.zeros(1 << p, dtype=np.uint8)
-        for b in blobs:
-            np.maximum(regs, np.frombuffer(b, dtype=np.uint8), out=regs)
+    from .joins import default_join_partitions
+    from .partition import part_column, sorted_segments
+
+    n_parts = default_join_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, [key], n_parts))
+
+    def merge_part(group: pa.Table) -> pa.Table:
+        # ONE call per coarse key-hash partition; register merge is a
+        # segmented elementwise max (np.maximum.reduceat over the
+        # stacked sketch matrix), estimates vectorized across keys
+        t, starts, ends = sorted_segments(group, [key])
+        regs = np.frombuffer(
+            b"".join(t.column("__hll").to_pylist()), dtype=np.uint8
+        ).reshape(t.num_rows, 1 << p)
+        merged = np.maximum.reduceat(regs, starts, axis=0)
+        m = 1 << p
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.power(2.0, -merged.astype(np.float64)), axis=1)
+        zeros = np.count_nonzero(merged == 0, axis=1)
+        small = (est <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            lin = m * np.log(np.where(zeros > 0, m / np.maximum(zeros, 1), 1.0))
+        est = np.where(small, lin, est)
         return pa.table(
             {
-                key: pa.array([group.column(key)[0].as_py()], pa.int64()),
-                alias: pa.array([int(round(_hll_estimate(regs, p)))], pa.int64()),
+                key: t.column(key).take(pa.array(starts)),
+                alias: pa.array(np.rint(est).astype(np.int64), pa.int64()),
             }
         )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(key)
-        .map_groups(merge, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(merge_part, batch_format="pyarrow")
     )

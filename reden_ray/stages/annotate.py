@@ -42,8 +42,13 @@ def _links_to_blobs(links: rd.Dataset, add_scores: bool = False) -> rd.Dataset:
     control-character separators — a plain string column, so it rides
     Ray's hash join (which rejects list payloads)."""
 
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column, sorted_segments
+
+    n_parts = default_join_partitions()
+
     def flatten(batch: pa.Table) -> pa.Table:
-        urls, recs = [], []
+        urls, cids, mids, recs = [], [], [], []
         for url, cid, mid, chosen, score in zip(
             batch.column("url").to_pylist(),
             batch.column("context_id").to_pylist(),
@@ -57,27 +62,42 @@ def _links_to_blobs(links: rd.Dataset, add_scores: bool = False) -> rd.Dataset:
             if add_scores:
                 ref = f"{ref}({score})"
             urls.append(url)
+            cids.append(cid)
+            mids.append(mid)
             recs.append(f"{cid}{_FIELD_SEP}{mid}{_FIELD_SEP}{ref}")
-        return pa.table(
-            {"url": pa.array(urls, pa.string()), "rec": pa.array(recs, pa.string())}
+        t = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "cid": pa.array(cids, pa.int64()),
+                "mid": pa.array(mids, pa.int64()),
+                "rec": pa.array(recs, pa.string()),
+            }
         )
+        return t.append_column("__part", part_column(t, ["url"], n_parts))
 
-    def pack(group: pa.Table) -> pa.Table:
-        recs = sorted(
-            group.column("rec").to_pylist(),
-            key=lambda r: tuple(int(x) for x in r.split(_FIELD_SEP)[:2]),
+    def pack_part(group: pa.Table) -> pa.Table:
+        # ONE call per coarse url-hash partition (a 10^12-page corpus
+        # would pay 10^12 per-url map_groups calls in the naive shape):
+        # vectorized sort + url segment boundaries, then a string join
+        # per url
+        t, starts, ends = sorted_segments(
+            group, ["url"], extra_sort=[("cid", "ascending"), ("mid", "ascending")]
         )
+        recs = t.column("rec").to_pylist()
+        url_col = t.column("url")
         return pa.table(
             {
-                "url": group.column("url").slice(0, 1),
-                "ann_blob": pa.array([_REC_SEP.join(recs)], pa.string()),
+                "url": url_col.take(pa.array(starts)),
+                "ann_blob": pa.array(
+                    [_REC_SEP.join(recs[s:e]) for s, e in zip(starts, ends)], pa.string()
+                ),
             }
         )
 
     return (
         links.map_batches(flatten, batch_format="pyarrow")
-        .groupby("url")
-        .map_groups(pack, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pack_part, batch_format="pyarrow")
     )
 
 
