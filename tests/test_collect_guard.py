@@ -1,0 +1,50 @@
+"""Static guard: driver-side Dataset collects are a reviewed whitelist.
+
+Every ``.take_all(`` in the package must be one of the known BOUNDED
+collects below (per-block scalars, n_q x k top-k rows, documented
+small/test paths).  A new occurrence fails this test until it is
+reviewed for corpus-sized-ness and added here — the round-1 lesson
+(driver-side dedup/kNN collects) encoded as a permanent check.
+"""
+
+import pathlib
+import re
+
+PKG = pathlib.Path(__file__).resolve().parent.parent / "reden_ray"
+
+# file (relative to reden_ray/) -> max allowed occurrences, reason
+WHITELIST = {
+    "stages/joins.py": (1, "broadcast key-set helper for SMALL sides (doc'd)"),
+    "stages/similarity.py": (2, "n_q x k top-k rows; bounded IVF training sample"),
+    "pipelines/kg.py": (1, "per-block invariant scalars"),
+    "pipelines/canonicalize.py": (3, "broadcast CC variant (small/test path) + test wrapper"),
+    "pipelines/evaluate.py": (2, "per-block partial metric scalars"),
+    "state/checkpoint.py": (1, "per-partition manifest counts"),
+}
+
+
+def test_take_all_whitelist():
+    found: dict[str, int] = {}
+    for py in PKG.rglob("*.py"):
+        rel = str(py.relative_to(PKG))
+        n = 0
+        for line in py.read_text().splitlines():
+            code = line.split("#", 1)[0]
+            if ".take_all(" in code:
+                n += 1
+        if n:
+            found[rel] = n
+    for rel, n in found.items():
+        assert rel in WHITELIST, f"new driver collect in {rel}: review for scale"
+        cap, _ = WHITELIST[rel]
+        assert n <= cap, f"{rel} has {n} take_all calls (whitelisted {cap})"
+
+
+def test_no_per_row_iteration():
+    """No ``iter_rows()`` / ``.to_pandas()`` on package Datasets — the
+    hot paths stay Arrow-batch."""
+    pat = re.compile(r"\.iter_rows\(|\.to_pandas\(\)")
+    for py in PKG.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            assert not pat.search(code), f"{py.relative_to(PKG)}:{i}: {line.strip()}"
