@@ -286,6 +286,29 @@ def _dedup_minhash(sf_dir: str):
     return _pairs_table(pairs, _MINHASH_PAIR_SCHEMA, ["doc_a", "doc_b"])
 
 
+def _dedup_minhash_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: minhash pairs -> connected components, each
+    doc labeled by its cluster's min id (keep-one dedup view).  Pinned
+    by a union-find equality test (tests/test_curation.py); no SQL
+    oracle (transitive closure over LSH output)."""
+    import ray.data as rd
+
+    from reden_ray.pipelines.curation import near_dup_clusters
+    from reden_ray.stages.dedup import minhash_lsh_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = near_dup_clusters(minhash_lsh_pairs(docs, threshold=0.7))
+    import pyarrow as pa
+
+    rows = sorted((r["doc_id"], r["cluster"]) for r in out.take_all())
+    return pa.table(
+        {
+            "doc_id": pa.array([a for a, _ in rows], pa.int64()),
+            "cluster": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
+
+
 def _dedup_simhash(sf_dir: str):
     import ray.data as rd
 
@@ -399,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_from_sources": _dict_from_sources,
         # approximate dedup / scoring (algorithmic, rows-only)
         "dedup_minhash_docs": _dedup_minhash,
+        "dedup_minhash_clusters": _dedup_minhash_clusters,
         "dedup_simhash_docs": _dedup_simhash,
         "dedup_embedding_docs": _dedup_embedding,
         "text_quality_langid": _text_quality,

@@ -142,7 +142,7 @@ def connected_components_join_ds(
     pairs: rd.Dataset,
     max_iters: int = 5,
     prefer_prefix: str | None = None,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> tuple[rd.Dataset, bool]:
     """All-shuffle variant of ``connected_components``: the per-iteration
     label lookup is a hash JOIN ``pairs ⨝ labels ON v`` instead of a
@@ -158,6 +158,12 @@ def connected_components_join_ds(
     """
     from ray.data.aggregate import Min
 
+    from ..stages.joins import default_join_partitions
+
+    # CPU-sized partitions (a fixed count larger than the session's
+    # CPUs deadlocks/loses the first-block schema broadcast — CLAUDE.md)
+    num_partitions = num_partitions or default_join_partitions()
+
     def init_labels(batch: pa.Table) -> pa.Table:
         us = batch.column("u")
         if prefer_prefix is not None:
@@ -172,13 +178,22 @@ def connected_components_join_ds(
             {"u": us, "label": pc.binary_join_element_wise(prefix, us, "")}
         )
 
-    labels = (
+    from ..stages.joins import staged_nonempty
+
+    def _staged(ds: rd.Dataset) -> rd.Dataset:
+        # EVERY join input is compacted first: an empty first block on
+        # either side loses the hash-join schema broadcast (CLAUDE.md;
+        # reproduced here with tiny label tables whose groupby emits
+        # leading empty partitions)
+        out = staged_nonempty(ds)
+        return ds.materialize() if out is None else out
+
+    labels = _staged(
         pairs.map_batches(init_labels, batch_format="pyarrow")
         .groupby("u")
         .aggregate(Min("label", alias_name="label"))
-        .materialize()
     )
-    pairs = pairs.materialize()
+    pairs = _staged(pairs)
     converged = False
     for _ in range(max_iters):
         # neighbor labels: join pair (u, v) with v's current label
@@ -188,11 +203,10 @@ def connected_components_join_ds(
         neigh = pairs.join(
             v_labels, join_type="inner", num_partitions=num_partitions, on=("v",)
         ).select_columns(["u", "label"])
-        new_labels = (
+        new_labels = _staged(
             labels.union(neigh)
             .groupby("u")
             .aggregate(Min("label", alias_name="label"))
-            .materialize()
         )
         # changed-label count via join of old/new (small aggregate)
         old_r = labels.map_batches(
@@ -226,7 +240,7 @@ def connected_components_join(
     pairs: rd.Dataset,
     max_iters: int = 5,
     prefer_prefix: str | None = None,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> tuple[pa.Table, bool]:
     """Driver-side collect of ``connected_components_join_ds`` for tests
     and small KBs; the query path uses the Dataset variant directly."""

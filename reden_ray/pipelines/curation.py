@@ -65,6 +65,51 @@ def near_dup_losers(pairs: rd.Dataset) -> rd.Dataset:
     )
 
 
+def near_dup_clusters(
+    pairs: rd.Dataset, a: str = "doc_a", b: str = "doc_b", max_iters: int = 8
+) -> rd.Dataset:
+    """Near-dup PAIR table -> (doc_id, cluster) rows: connected
+    components over the similarity graph, each component labeled by its
+    MINIMUM member id (the doc that survives a keep-one policy).
+
+    Reuses the all-shuffle min-label propagation
+    (``canonicalize.connected_components_join_ds``): ids are
+    zero-padded to strings so lexicographic min == numeric min, and
+    unpadded on the way out.  Components of near-dups are tiny (chains
+    of transitive similarity), so the default iteration bound converges
+    on any real corpus; non-convergence is reported by the underlying
+    primitive and simply leaves distinct labels.  Only docs appearing
+    in >=1 pair are emitted — singletons are their own cluster by
+    definition and would double corpus traffic for no information."""
+    from .canonicalize import connected_components_join_ds
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        av = t.column(a).to_numpy(zero_copy_only=False)
+        bv = t.column(b).to_numpy(zero_copy_only=False)
+        au = [f"{x:020d}" for x in av]
+        bu = [f"{x:020d}" for x in bv]
+        return pa.table(
+            {
+                "u": pa.array(au + bu, pa.string()),
+                "v": pa.array(bu + au, pa.string()),
+            }
+        )
+
+    mapping, _ = connected_components_join_ds(
+        pairs.map_batches(to_edges, batch_format="pyarrow"), max_iters=max_iters
+    )
+
+    def unpad(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["uri"], pa.int64()),
+                "cluster": pc.cast(t["canonical"], pa.int64()),
+            }
+        )
+
+    return mapping.map_batches(unpad, batch_format="pyarrow")
+
+
 def curate_documents(
     sf_dir: str,
     min_quality: float = 0.3,

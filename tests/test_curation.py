@@ -54,3 +54,41 @@ def test_curation_near_dup_methods(ray_session):
 
     with _p.raises(ValueError):
         curate_documents(SF, near_dup_method="bogus")
+
+
+def test_near_dup_clusters_equal_union_find(ray_session):
+    """Cluster labels must equal a naive union-find over the same pairs
+    (min-id representative)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reden_ray.pipelines.curation import near_dup_clusters
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 3), (30, 31), (31, 32), (32, 30)]
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+                "doc_b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    got = {r["doc_id"]: r["cluster"] for r in near_dup_clusters(pairs).take_all()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for x in parent:
+        want[x] = find(x)
+    assert got == want
