@@ -204,7 +204,7 @@ def partitioned_bucket_pairs(
     buckets: rd.Dataset,
     bucket_fn,
     empty_schema: pa.Schema,
-    on: tuple[str, str] = ("band", "band_key"),
+    on: tuple[str, ...] = ("band", "band_key"),
     num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Run ``bucket_fn`` over every >=2-doc bucket with ONE shuffle.
@@ -222,27 +222,26 @@ def partitioned_bucket_pairs(
     bucket still lands in one partition, but ``bucket_fn`` caps work at
     ``max_bucket`` docs, so partition cost is bounded."""
     from .joins import default_join_partitions
+    from .partition import part_column
 
     n_parts = num_partitions or default_join_partitions()
-    a, b = on
+    cols = list(on)
 
     def add_part(t: pa.Table) -> pa.Table:
-        band = t.column(a).to_numpy(zero_copy_only=False).astype(np.int64)
-        key = t.column(b).to_numpy(zero_copy_only=False).astype(np.int64)
-        part = ((key.view(np.uint64) ^ (band.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(n_parts)).astype(np.int64)
-        return t.append_column("__part", pa.array(part, pa.int64()))
+        return t.append_column("__part", part_column(t, cols, n_parts))
 
     def process(group: pa.Table) -> pa.Table:
-        band = group.column(a).to_numpy(zero_copy_only=False)
-        key = group.column(b).to_numpy(zero_copy_only=False)
-        order = np.lexsort((key, band))
+        keys = [group.column(c).to_numpy(zero_copy_only=False) for c in cols]
+        order = np.lexsort(tuple(reversed(keys)))
         t = group.take(pa.array(order))
-        band, key = band[order], key[order]
-        new = np.empty(len(band), dtype=bool)
+        keys = [k[order] for k in keys]
+        new = np.empty(len(order), dtype=bool)
         new[0] = True
-        new[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        new[1:] = False
+        for k in keys:
+            new[1:] |= k[1:] != k[:-1]
         starts = np.flatnonzero(new)
-        ends = np.concatenate([starts[1:], [len(band)]])
+        ends = np.concatenate([starts[1:], [len(order)]])
         outs = [
             bucket_fn(t.slice(s, e - s))
             for s, e in zip(starts, ends)
@@ -701,9 +700,8 @@ def embedding_dup_pairs(
             }
         )
 
-    pairs = (
-        embeddings.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+    buckets = embeddings.map_batches(bucketize, batch_format="pyarrow")
+    pairs = partitioned_bucket_pairs(
+        buckets, bucket_pairs, _EMB_PAIR_SCHEMA, on=("bucket",)
     )
     return distinct_pairs(pairs, a="vec_a", b="vec_b")
