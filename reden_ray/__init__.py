@@ -32,6 +32,7 @@ def __getattr__(name):
         "run_pipeline",
         "run_fixture_pipeline",
         "run_untagged_pipeline",
+        "run_dict_tagged_pipeline",
         "links_view",
         "triples_view",
         "use_hash_shuffle",
@@ -39,4 +40,12 @@ def __getattr__(name):
         from .pipelines import kg
 
         return getattr(kg, name)
+    if name in ("read_tei_pages", "read_tei_gold"):
+        from .sources import tei
+
+        return getattr(tei, name)
+    if name == "read_warc_pages":
+        from .sources import warc
+
+        return getattr(warc, name)
     raise AttributeError(name)
