@@ -1,9 +1,9 @@
 """Driver contract for the graft builder (Ray Data target).
 
 ``entry()`` runs the flagship KG pipeline on /root/testdata/sf0.001-scale
-synthetic fixtures; ``queries()`` exposes 33 callables covering the
+synthetic fixtures; ``queries()`` exposes 46 callables covering the
 SURVEY.md §2 operator families plus the training-data extras;
-``oracle_sql()`` gives the DuckDB equivalent for the 20 SQL-expressible
+``oracle_sql()`` gives the DuckDB equivalent for the 24 SQL-expressible
 queries (same column names — the driver hash-compares values with
 columns sorted by name; floats rounded identically on both sides).
 
@@ -396,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": R.window_tumbling,
         "window_hopping": R.window_hopping,
         "a9_rollup": R.a9_rollup,
+        "a10_cube": R.a10_cube,
         "sessionize": R.sessionize,
         "dedup_exact_docs": R.dedup_exact_docs,
         "doc_fingerprints": R.doc_fingerprints,
@@ -502,6 +503,12 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
             "count(l_quantity) AS n_rows, ROUND(sum(l_quantity), 2) AS sum_qty "
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "a10_cube": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+            "count(l_quantity) AS n_rows, ROUND(sum(l_quantity), 2) AS sum_qty "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
         ),
         "sessionize": (
             "WITH gaps AS (SELECT user_id, event_id, ts, "

@@ -499,6 +499,53 @@ def a9_rollup(sf_dir: str) -> rd.Dataset:
     return out.map_batches(lambda t: _round_col(t, "sum_qty", 2), batch_format="pyarrow")
 
 
+def a10_cube(sf_dir: str) -> rd.Dataset:
+    """GROUP BY CUBE(l_returnflag, l_linestatus) — all four grouping
+    sets as independent pre-combined aggregates union-ed with 'ALL'
+    placeholders (the a9_rollup shape plus the status-only set); each
+    aggregate's shuffle moves a handful of partial rows."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def finish(t: pa.Table, flag_all: bool, status_all: bool) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "l_returnflag": (
+                    pa.array(["ALL"] * n, pa.string()) if flag_all else t["l_returnflag"]
+                ),
+                "l_linestatus": (
+                    pa.array(["ALL"] * n, pa.string()) if status_all else t["l_linestatus"]
+                ),
+                "n_rows": t["n_rows"],
+                "sum_qty": t["sum_qty"],
+            }
+        )
+
+    aggs = (Count(alias_name="n_rows"), Sum("l_quantity", alias_name="sum_qty"))
+    both = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(*aggs).map_batches(
+        lambda t: finish(t, False, False), batch_format="pyarrow"
+    )
+    flag = li.groupby("l_returnflag").aggregate(*aggs).map_batches(
+        lambda t: finish(t, False, True), batch_format="pyarrow"
+    )
+    status = li.groupby("l_linestatus").aggregate(*aggs).map_batches(
+        lambda t: finish(t, True, False), batch_format="pyarrow"
+    )
+    total_row = li.aggregate(*aggs)
+    grand = rd.from_arrow(
+        pa.table(
+            {
+                "l_returnflag": pa.array(["ALL"], pa.string()),
+                "l_linestatus": pa.array(["ALL"], pa.string()),
+                "n_rows": pa.array([total_row["n_rows"]], pa.int64()),
+                "sum_qty": pa.array([float(total_row["sum_qty"])], pa.float64()),
+            }
+        )
+    )
+    out = both.union(flag).union(status).union(grand)
+    return out.map_batches(lambda t: _round_col(t, "sum_qty", 2), batch_format="pyarrow")
+
+
 # --- streaming-shaped: sessionization ------------------------------------
 
 def sessionize(sf_dir: str, gap_seconds: int = 1800) -> rd.Dataset:
