@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hopping": R.window_hopping,
         "a9_rollup": R.a9_rollup,
         "a10_cube": R.a10_cube,
+        "a11_median_price": R.a11_median_price,
         "sessionize": R.sessionize,
         "dedup_exact_docs": R.dedup_exact_docs,
         "doc_fingerprints": R.doc_fingerprints,
@@ -509,6 +510,11 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
             "count(l_quantity) AS n_rows, ROUND(sum(l_quantity), 2) AS sum_qty "
             "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+        ),
+        "a11_median_price": (
+            "SELECT o_orderpriority, "
+            "ROUND(quantile_disc(o_totalprice, 0.5), 2) AS median_price "
+            "FROM orders GROUP BY o_orderpriority"
         ),
         "sessionize": (
             "WITH gaps AS (SELECT user_id, event_id, ts, "

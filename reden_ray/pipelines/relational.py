@@ -546,6 +546,62 @@ def a10_cube(sf_dir: str) -> rd.Dataset:
     return out.map_batches(lambda t: _round_col(t, "sum_qty", 2), batch_format="pyarrow")
 
 
+def a11_median_price(sf_dir: str, q: float = 0.5) -> rd.Dataset:
+    """EXACT per-group discrete quantile at scale: per-block value
+    HISTOGRAMS (group_by (key, value) count — the combiner), one
+    shuffle of (key, value, count) partials, then a vectorized
+    cumulative-count scan per key segment.  Never collects a group's
+    raw values anywhere — state is bounded by the value domain (prices
+    have cent resolution), the honest exact-quantile shape when the
+    domain is discrete.  Matches DuckDB ``quantile_disc`` (lower
+    discrete quantile: element at 0-based rank floor((n-1)*q))."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column, sorted_segments
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    n_parts = default_join_partitions()
+
+    def local_hist(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["o_orderpriority", "o_totalprice"]).aggregate(
+            [("o_totalprice", "count")]
+        )
+        agg = agg.rename_columns(["o_orderpriority", "o_totalprice", "pn"])
+        return agg.append_column(
+            "__part", part_column(agg, ["o_orderpriority"], n_parts)
+        )
+
+    def quantile_part(g: pa.Table) -> pa.Table:
+        g = (
+            g.drop_columns("__part")
+            .group_by(["o_orderpriority", "o_totalprice"])
+            .aggregate([("pn", "sum")])
+            .rename_columns(["o_orderpriority", "o_totalprice", "n"])
+        )
+        t, starts, ends = sorted_segments(
+            g, ["o_orderpriority"], extra_sort=[("o_totalprice", "ascending")]
+        )
+        counts = t.column("n").to_numpy(zero_copy_only=False)
+        prices = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        keys, medians = [], []
+        for s, e in zip(starts, ends):
+            cum = np.cumsum(counts[s:e])
+            target = int(np.floor((cum[-1] - 1) * q))  # 0-based rank
+            keys.append(s)
+            medians.append(prices[s + int(np.searchsorted(cum, target + 1))])
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority").take(pa.array(keys)),
+                "median_price": pa.array(np.round(np.asarray(medians), 2), pa.float64()),
+            }
+        )
+
+    return (
+        orders.map_batches(local_hist, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(quantile_part, batch_format="pyarrow")
+    )
+
+
 # --- streaming-shaped: sessionization ------------------------------------
 
 def sessionize(sf_dir: str, gap_seconds: int = 1800) -> rd.Dataset:
