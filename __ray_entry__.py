@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a9_rollup": R.a9_rollup,
         "a10_cube": R.a10_cube,
         "a11_median_price": R.a11_median_price,
+        "o5_rank_per_group": R.o5_rank_per_group,
         "sessionize": R.sessionize,
         "dedup_exact_docs": R.dedup_exact_docs,
         "doc_fingerprints": R.doc_fingerprints,
@@ -515,6 +516,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, "
             "ROUND(quantile_disc(o_totalprice, 0.5), 2) AS median_price "
             "FROM orders GROUP BY o_orderpriority"
+        ),
+        "o5_rank_per_group": (
+            "SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rank "
+            "FROM (SELECT o_custkey, o_orderkey, o_totalprice, "
+            "CAST(row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey DESC) AS BIGINT) AS rank "
+            "FROM orders) WHERE rank <= 3"
         ),
         "sessionize": (
             "WITH gaps AS (SELECT user_id, event_id, ts, "

@@ -602,6 +602,58 @@ def a11_median_price(sf_dir: str, q: float = 0.5) -> rd.Dataset:
     )
 
 
+def o5_rank_per_group(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """ROW_NUMBER window per customer, top-k kept: per-block partial
+    top-k per key (vectorized segment ranks — argmax's generalization),
+    one key-hash shuffle of <= k rows per key per block, identical
+    sweep at the partition level with the final rank emitted.  The
+    all-to-all a SQL window function implies never moves more than k
+    rows per key per block."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    n_parts = default_join_partitions()
+
+    def topk_ranks(t: pa.Table, emit_rank: bool) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("o_custkey", "ascending"),
+                ("o_totalprice", "descending"),
+                ("o_orderkey", "descending"),
+            ],
+        )
+        t = t.take(idx)
+        keys = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        seg_id = np.cumsum(new) - 1
+        rank = np.arange(n, dtype=np.int64) - starts[seg_id]
+        t = t.filter(pa.array(rank < k))
+        if emit_rank:
+            t = t.append_column("rank", pa.array(rank[rank < k] + 1, pa.int64()))
+        return t
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = topk_ranks(t, emit_rank=False)
+        return t.append_column("__part", part_column(t, ["o_custkey"], n_parts))
+
+    def final(g: pa.Table) -> pa.Table:
+        return topk_ranks(g.drop_columns("__part"), emit_rank=True)
+
+    out = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+    return out.map_batches(lambda t: _round_col(t, "o_totalprice", 2), batch_format="pyarrow")
+
+
 # --- streaming-shaped: sessionization ------------------------------------
 
 def sessionize(sf_dir: str, gap_seconds: int = 1800) -> rd.Dataset:
