@@ -399,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a10_cube": R.a10_cube,
         "a11_median_price": R.a11_median_price,
         "o5_rank_per_group": R.o5_rank_per_group,
+        "o6_lag_delta": R.o6_lag_delta,
         "sessionize": R.sessionize,
         "dedup_exact_docs": R.dedup_exact_docs,
         "doc_fingerprints": R.doc_fingerprints,
@@ -523,6 +524,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (PARTITION BY o_custkey "
             "ORDER BY o_totalprice DESC, o_orderkey DESC) AS BIGINT) AS rank "
             "FROM orders) WHERE rank <= 3"
+        ),
+        "o6_lag_delta": (
+            "SELECT user_id, event_id, "
+            "ROUND(value - lag(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id), 4) AS delta FROM events"
         ),
         "sessionize": (
             "WITH gaps AS (SELECT user_id, event_id, ts, "

@@ -654,6 +654,51 @@ def o5_rank_per_group(sf_dir: str, k: int = 3) -> rd.Dataset:
     return out.map_batches(lambda t: _round_col(t, "o_totalprice", 2), batch_format="pyarrow")
 
 
+def o6_lag_delta(sf_dir: str) -> rd.Dataset:
+    """LAG window: per user, each event's value delta vs the previous
+    event (ts, event_id order); first event per user -> NULL.  Lag has
+    no combiner (every row depends on its neighbor), so the plan is the
+    minimal one: ONE user-hash shuffle, then a vectorized sort + segment
+    diff per partition — no per-user Python call, no global sort."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column, sorted_segments
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    n_parts = default_join_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    def lag_part(g: pa.Table) -> pa.Table:
+        t, starts, _ends = sorted_segments(
+            g.drop_columns("__part"),
+            ["user_id"],
+            extra_sort=[("ts", "ascending"), ("event_id", "ascending")],
+        )
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        delta = np.empty(len(vals), dtype=np.float64)
+        delta[1:] = vals[1:] - vals[:-1]
+        mask = np.zeros(len(vals), dtype=bool)
+        mask[starts] = True  # segment firsts -> NULL
+        delta[starts] = 0.0  # masked; keep the buffer finite for round
+        out = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "delta": pa.array(
+                    np.round(delta, 4), pa.float64(), mask=mask
+                ),
+            }
+        )
+        return out
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(lag_part, batch_format="pyarrow")
+    )
+
+
 # --- streaming-shaped: sessionization ------------------------------------
 
 def sessionize(sf_dir: str, gap_seconds: int = 1800) -> rd.Dataset:
