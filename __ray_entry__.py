@@ -400,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a11_median_price": R.a11_median_price,
         "o5_rank_per_group": R.o5_rank_per_group,
         "o6_lag_delta": R.o6_lag_delta,
+        "o7_running_total": R.o7_running_total,
         "sessionize": R.sessionize,
         "dedup_exact_docs": R.dedup_exact_docs,
         "doc_fingerprints": R.doc_fingerprints,
@@ -529,6 +530,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, "
             "ROUND(value - lag(value) OVER (PARTITION BY user_id "
             "ORDER BY ts, event_id), 4) AS delta FROM events"
+        ),
+        "o7_running_total": (
+            "SELECT user_id, event_id, "
+            "ROUND(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING), 4) AS running_total FROM events"
         ),
         "sessionize": (
             "WITH gaps AS (SELECT user_id, event_id, ts, "

@@ -654,6 +654,49 @@ def o5_rank_per_group(sf_dir: str, k: int = 3) -> rd.Dataset:
     return out.map_batches(lambda t: _round_col(t, "o_totalprice", 2), batch_format="pyarrow")
 
 
+def o7_running_total(sf_dir: str) -> rd.Dataset:
+    """Cumulative SUM window per user (ts, event_id order): one
+    user-hash shuffle, vectorized per-partition segmented cumsum (the
+    global cumsum minus each segment's starting offset — no per-user
+    Python call)."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column, sorted_segments
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    n_parts = default_join_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    def cumsum_part(g: pa.Table) -> pa.Table:
+        t, starts, _ends = sorted_segments(
+            g.drop_columns("__part"),
+            ["user_id"],
+            extra_sort=[("ts", "ascending"), ("event_id", "ascending")],
+        )
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(vals)
+        # reset per segment: subtract the cumsum just before each start
+        seg_id = np.zeros(len(vals), dtype=np.int64)
+        seg_id[starts] = 1
+        seg_id = np.cumsum(seg_id) - 1
+        offsets = np.concatenate([[0.0], cum[:-1]])[starts]
+        running = cum - offsets[seg_id]
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "running_total": pa.array(np.round(running, 4), pa.float64()),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(cumsum_part, batch_format="pyarrow")
+    )
+
+
 def o6_lag_delta(sf_dir: str) -> rd.Dataset:
     """LAG window: per user, each event's value delta vs the previous
     event (ts, event_id order); first event per user -> NULL.  Lag has
