@@ -987,13 +987,18 @@ def knn_dot_topk(sf_dir: str, n_queries: int = 3, k: int = 5) -> pa.Table:
     (query_id, rank, vec_id).  Dot product (not cosine) keeps the oracle
     comparison integer-rank-only and float-rounding-proof; ties broken
     by vec_id."""
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    # query vectors only (row-group-pruned read; n_queries rows reach
+    # the driver, never the corpus — query_id == vec_id < n_queries)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
     all_ids = np.asarray(t.column("vec_id").to_pylist())
     vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
-    sel = all_ids < n_queries  # query_id == vec_id for vec_id < n_queries
-    order = np.argsort(all_ids[sel])
-    queries = vecs[sel][order]
-    query_ids = all_ids[sel][order].tolist()
+    order = np.argsort(all_ids)
+    queries = vecs[order]
+    query_ids = all_ids[order].tolist()
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
