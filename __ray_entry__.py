@@ -1,7 +1,7 @@
 """Driver contract for the graft builder (Ray Data target).
 
 ``entry()`` runs the flagship KG pipeline on /root/testdata/sf0.001-scale
-synthetic fixtures; ``queries()`` exposes 50 callables covering the
+synthetic fixtures; ``queries()`` exposes 52 callables covering the
 SURVEY.md §2 operator families plus the training-data extras;
 ``oracle_sql()`` gives the DuckDB equivalent for the 28 SQL-expressible
 queries (same column names — the driver hash-compares values with
@@ -276,6 +276,40 @@ def _pairs_table(ds, schema, sort_cols):
     return t.take(pc.sort_indices(t, sort_keys=[(c, "ascending") for c in sort_cols]))
 
 
+def _multimodal_image_features(sf_dir: str):
+    """Multimodal plumbing surfaced as a driver query: deterministic
+    synthetic media table -> actor-pool decode(stub)+feature stage ->
+    per-image feature rows.  Schema/actor wiring is real; the decode is
+    the documented sandbox stub (stages/multimodal.py)."""
+    import ray.data as rd
+
+    from reden_ray.stages.multimodal import ImageFeatures, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(n=64, seed=5))
+    return media.map_batches(
+        ImageFeatures, batch_format="pyarrow", concurrency=(1, 2), num_cpus=1
+    )
+
+
+def _kg_significance_t(sf_dir: str):
+    """Paired-t summary over the tagged-vs-NER significance pairs
+    (SignificanceTesting.java analogue) as a one-row table."""
+    import pandas as pd
+
+    from reden_ray.pipelines.evaluate import paired_t_stats, significance_pairs
+    from reden_ray.pipelines.kg import (
+        links_view,
+        run_fixture_pipeline,
+        run_untagged_pipeline,
+    )
+
+    fd = _fixture_for(sf_dir)
+    a = links_view(run_fixture_pipeline(fd))
+    b = links_view(run_untagged_pipeline(fd))
+    stats = paired_t_stats(significance_pairs(a, b))
+    return pd.DataFrame([{k: round(v, 6) for k, v in stats.items()}])
+
+
 def _dedup_minhash(sf_dir: str):
     import ray.data as rd
 
@@ -424,6 +458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_annotated_pages": _kg_annotated_pages,
         "kg_run_diff": _kg_run_diff,
         "kg_significance_pairs": _kg_significance_pairs,
+        "kg_significance_t": _kg_significance_t,
+        "multimodal_image_features": _multimodal_image_features,
         "dict_from_sources": _dict_from_sources,
         # approximate dedup / scoring (algorithmic, rows-only)
         "dedup_minhash_docs": _dedup_minhash,
