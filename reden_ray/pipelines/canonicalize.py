@@ -180,20 +180,25 @@ def connected_components_join_ds(
 
     from ..stages.joins import staged_nonempty
 
-    def _staged(ds: rd.Dataset) -> rd.Dataset:
-        # EVERY join input is compacted first: an empty first block on
-        # either side loses the hash-join schema broadcast (CLAUDE.md;
-        # reproduced here with tiny label tables whose groupby emits
-        # leading empty partitions)
-        out = staged_nonempty(ds)
-        return ds.materialize() if out is None else out
-
-    labels = _staged(
+    # EVERY join input is compacted first: an empty first block on
+    # either side loses the hash-join schema broadcast (CLAUDE.md;
+    # reproduced here with tiny label tables whose groupby emits
+    # leading empty partitions).  An ENTIRELY empty pairs input cannot
+    # be staged at all — short-circuit to the identity mapping (zero
+    # pairs = zero components), the case the joins below would crash on.
+    staged_pairs = staged_nonempty(pairs)
+    if staged_pairs is None:
+        empty = rd.from_arrow(
+            pa.table({"uri": pa.array([], pa.string()), "canonical": pa.array([], pa.string())})
+        )
+        return empty, True
+    pairs = staged_pairs
+    labels = staged_nonempty(
         pairs.map_batches(init_labels, batch_format="pyarrow")
         .groupby("u")
         .aggregate(Min("label", alias_name="label"))
     )
-    pairs = _staged(pairs)
+    assert labels is not None  # nonempty pairs always yield labels
     converged = False
     for _ in range(max_iters):
         # neighbor labels: join pair (u, v) with v's current label
@@ -203,11 +208,12 @@ def connected_components_join_ds(
         neigh = pairs.join(
             v_labels, join_type="inner", num_partitions=num_partitions, on=("v",)
         ).select_columns(["u", "label"])
-        new_labels = _staged(
+        new_labels = staged_nonempty(
             labels.union(neigh)
             .groupby("u")
             .aggregate(Min("label", alias_name="label"))
         )
+        assert new_labels is not None  # labels is nonempty, union only grows
         # changed-label count via join of old/new (small aggregate)
         old_r = labels.map_batches(
             lambda t: t.rename_columns(["u", "old_label"]), batch_format="pyarrow"

@@ -97,8 +97,15 @@ def parse_warc_batch(batch: pa.Table) -> pa.Table:
             tss.append(headers.get("warc-date"))
             htmls.append(html)
             texts.append(extract_text(html))
+    # WARC 1.1 permits fractional seconds in WARC-Date; strip them to
+    # second resolution, and a still-unparseable or missing date yields
+    # a NULL timestamp rather than aborting the task (skip the record's
+    # field, not the job)
+    raw = pa.compute.replace_substring_regex(
+        pa.array(tss, pa.string()), pattern=r"\.\d+", replacement=""
+    )
     ts = pa.compute.cast(
-        pa.compute.strptime(pa.array(tss, pa.string()), format="%Y-%m-%dT%H:%M:%SZ", unit="us"),
+        pa.compute.strptime(raw, format="%Y-%m-%dT%H:%M:%SZ", unit="us", error_is_null=True),
         pa.timestamp("us"),
     )
     return pa.table(

@@ -111,14 +111,26 @@ def hll_distinct_per_group(
     import numpy as np
 
     def partial(batch: pa.Table) -> pa.Table:
-        keys_np = batch.column(key).to_numpy(zero_copy_only=False)
-        vals_np = batch.column(value).to_numpy(zero_copy_only=False)
-        out_keys, out_regs = [], []
-        for k in np.unique(keys_np):
-            out_keys.append(int(k))
-            out_regs.append(_hll_registers(vals_np[keys_np == k], p).tobytes())
+        # ONE vectorized scatter-max over (key-index, register-index)
+        # pairs — no per-key Python loop, no per-key O(N) mask scan
+        from .dedup import _fmix64
+
+        keys_np = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals_np = batch.column(value).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(keys_np, return_inverse=True)
+        h = _fmix64(vals_np.view(np.uint64))
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = (h & np.uint64((1 << (64 - p)) - 1)).astype(np.float64)
+        rho = np.where(
+            w > 0, (64 - p) - np.floor(np.log2(np.maximum(w, 1.0))), 64 - p + 1
+        ).astype(np.uint8)
+        regs = np.zeros((len(uniq), 1 << p), dtype=np.uint8)
+        np.maximum.at(regs, (inv, idx), rho)
         return pa.table(
-            {key: pa.array(out_keys, pa.int64()), "__hll": pa.array(out_regs, pa.binary())}
+            {
+                key: pa.array(uniq, pa.int64()),
+                "__hll": pa.array([regs[i].tobytes() for i in range(len(uniq))], pa.binary()),
+            }
         )
 
     from .joins import default_join_partitions

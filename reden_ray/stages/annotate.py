@@ -151,6 +151,13 @@ def annotated_pages(
         return pages.map_batches(
             lambda b: b.select(["url", "html"]), batch_format="pyarrow"
         )
+    # the LEFT side hits the same trap (a filter-emptied leading pages
+    # block loses the broadcast — canonicalize_triples_join's rule)
+    pages = staged_nonempty(pages)
+    if pages is None:  # no pages at all -> nothing to annotate
+        return rd.from_arrow(
+            pa.table({"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())})
+        )
     joined = pages.join(
         blobs,
         join_type="left_outer",

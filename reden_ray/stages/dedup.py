@@ -119,16 +119,13 @@ def distinct_pairs(
     partition instead of one per pair (a corpus with 10^8 near-dup
     pairs would otherwise pay 10^8 map_groups invocations)."""
     from .joins import default_join_partitions
+    from .partition import part_column
 
     n_parts = num_partitions or default_join_partitions()
 
     def add_part(t: pa.Table) -> pa.Table:
-        av = t.column(a).to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-        bv = t.column(b).to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-        part = ((av * np.uint64(0x9E3779B97F4A7C15) ^ bv) % np.uint64(n_parts)).astype(
-            np.int64
-        )
-        return t.append_column("__part", pa.array(part, pa.int64()))
+        # shared helper: process-stable for int AND string pair ids
+        return t.append_column("__part", part_column(t, [a, b], n_parts))
 
     def dedupe(group: pa.Table) -> pa.Table:
         cols = [c for c in group.column_names if c != "__part"]

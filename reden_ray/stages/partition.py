@@ -25,10 +25,19 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _col_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Process-stable uint64 hash of an int-like or string column."""
+    """Process-stable uint64 hash of an int-like or string column.
+    Null keys hash like a sentinel value (all nulls co-partition; a
+    harmless collision with that value's partition)."""
     typ = col.type if hasattr(col, "type") else col.chunk(0).type
     if pa.types.is_integer(typ):
-        v = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        # fill nulls FIRST: to_numpy on a nullable int column yields
+        # float NaNs whose int64 cast is undefined
+        v = (
+            pc.fill_null(col, 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
         # fmix-style avalanche so consecutive ids spread across parts
         v = v * _MIX
         v ^= v >> np.uint64(29)
@@ -46,12 +55,24 @@ def _col_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     dict_vals = enc.dictionary.to_pylist()
     uniq = np.array(
         [
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+            int.from_bytes(
+                hashlib.blake2b(
+                    s.encode() if s is not None else b"\x00<null>", digest_size=8
+                ).digest(),
+                "big",
+            )
             for s in dict_vals
         ],
         dtype=np.uint64,
     )
-    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # null VALUES arrive as null indices (not dictionary entries): route
+    # them to a sentinel slot appended after the real hashes
+    uniq = np.concatenate([uniq, [np.uint64(0x9E3779B97F4A7C15)]])
+    idx = (
+        pc.fill_null(enc.indices, len(uniq) - 1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
     return uniq[idx]
 
 

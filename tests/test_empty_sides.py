@@ -135,3 +135,46 @@ def test_significance_pairs_both_empty(ray_session):
     assert pairs.count() == 0
     stats = paired_t_stats(pairs)
     assert stats["n"] == 0 and stats["t"] == 0.0
+
+
+def test_near_dup_clusters_empty_pairs(ray_session):
+    """Zero near-dup pairs (clean corpus) -> empty mapping, no crash
+    (reproduced ArrowInvalid before the round-3 short-circuit)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reden_ray.pipelines.curation import near_dup_clusters
+
+    empty = rd.from_arrow(
+        pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    )
+    assert near_dup_clusters(empty).take_all() == []
+
+
+def test_annotated_pages_filter_emptied_left_block(ray_session):
+    """A leading EMPTY pages block (e.g. a lang/parse_ok filter) must
+    not lose the join schema broadcast (reproduced before the fix)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reden_ray.stages.annotate import annotated_pages
+
+    html = b'<html><body><p><span class="ne" data-type="PER">X</span></p></body></html>'
+    block1 = pa.table({"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())})
+    block2 = pa.table({"url": ["u1"], "html": [html]})
+    pages = rd.from_arrow(block1).union(rd.from_arrow(block2))
+    links = rd.from_arrow(
+        pa.table(
+            {
+                "url": ["u1"],
+                "context_id": pa.array([0], pa.int32()),
+                "mention_id": pa.array([0], pa.int32()),
+                "chosen_uris": pa.array([["http://kb.test/e"]], pa.list_(pa.string())),
+                "score": pa.array([1.0], pa.float64()),
+            }
+        )
+    )
+    rows = annotated_pages(pages, links).take_all()
+    assert len(rows) == 1 and b'ref_auto="http://kb.test/e"' in rows[0]["html"]

@@ -91,3 +91,19 @@ def test_tag_text_spans_valid_and_nonoverlapping(aliases, text):
         assert text[start:end] == surface
         assert start >= prev_end  # non-overlapping, left to right
         prev_end = end
+
+
+def test_part_column_null_keys():
+    """Null keys co-partition and never crash (ints go through fill,
+    strings through the sentinel index slot)."""
+    t = pa.table(
+        {
+            "k": pa.array([1, None, 2, None], pa.int64()),
+            "s": pa.array(["a", None, None, "b"], pa.string()),
+        }
+    )
+    for cols in (["k"], ["s"], ["k", "s"]):
+        parts = part_column(t, cols, 5).to_pylist()
+        assert all(0 <= p < 5 for p in parts)
+    sp = part_column(t, ["s"], 5).to_pylist()
+    assert sp[1] == sp[2]  # both null strings -> same partition

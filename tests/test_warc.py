@@ -65,3 +65,20 @@ def test_warc_feeds_pipeline(ray_session, warc_dir, small_fixture_dir):
         linked_dataset(candidates_dataset(mentions_dataset(pages), dict_ref, cfg), adj_ref, cfg)
     ).take_all()
     assert any(r["surface"] == "Paris" for r in links)
+
+
+def test_warc_fractional_seconds_and_bad_dates(ray_session, tmp_path):
+    """WARC 1.1 fractional-second dates parse (truncated to seconds);
+    an unparseable date yields a NULL warc_ts, not a dead task."""
+    from reden_ray.sources.warc import read_warc_pages
+
+    raw = (
+        _record("http://c.test/1", "2024-07-01T10:00:00.123456Z", HTML2)
+        + _record("http://c.test/2", "not-a-date", HTML2)
+    )
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "f.warc").write_bytes(raw)
+    rows = {r["url"]: r for r in read_warc_pages(str(d)).take_all()}
+    assert str(rows["http://c.test/1"]["warc_ts"]).startswith("2024-07-01 10:00:00")
+    assert rows["http://c.test/2"]["warc_ts"] is None
