@@ -93,7 +93,7 @@ def run_bench() -> dict:
     # any transient CPU contention on this shared sandbox).
     headline = float("inf")
     combined = None
-    for _ in range(3 if SCALING_MODE else 1):
+    for _ in range(3 if SCALING_MODE else 2):
         combined = None  # free the previous rep's blocks first
         t0 = time.perf_counter()
         combined = run_fixture_pipeline(fd, exec_cfg=exec_cfg).materialize()
