@@ -435,6 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o5_rank_per_group": R.o5_rank_per_group,
         "o6_lag_delta": R.o6_lag_delta,
         "o7_running_total": R.o7_running_total,
+        "o8_asof_join": R.o8_asof_join,
+        "o9_range_count": R.o9_range_count,
         "sessionize": R.sessionize,
         "dedup_exact_docs": R.dedup_exact_docs,
         "doc_fingerprints": R.doc_fingerprints,
@@ -571,6 +573,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, "
             "ROUND(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING), 4) AS running_total FROM events"
+        ),
+        "o8_asof_join": (
+            "SELECT event_id, user_id, click_id, click_ts FROM ("
+            "SELECT e.event_id, e.user_id, c.event_id AS click_id, c.ts AS click_ts, "
+            "row_number() OVER (PARTITION BY e.event_id "
+            "ORDER BY c.ts DESC, c.event_id DESC) AS rn "
+            "FROM events e LEFT JOIN "
+            "(SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c "
+            "ON c.user_id = e.user_id AND c.ts <= e.ts) WHERE rn = 1"
+        ),
+        "o9_range_count": (
+            "SELECT o.o_orderkey, count(l.l_shipdate) AS n_shipped "
+            "FROM orders o LEFT JOIN lineitem l "
+            "ON l.l_shipdate >= o.o_orderdate "
+            "AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY "
+            "GROUP BY o.o_orderkey"
         ),
         "sessionize": (
             "WITH gaps AS (SELECT user_id, event_id, ts, "

@@ -742,6 +742,64 @@ def o6_lag_delta(sf_dir: str) -> rd.Dataset:
     )
 
 
+def o8_asof_join(sf_dir: str) -> rd.Dataset:
+    """Backward as-of join (event attribution): every event gets its
+    user's most recent click — greatest click ts <= event ts, ties on
+    the timestamp broken by max click event_id; events with no prior
+    click keep null payload.  ONE key-hash shuffle; the per-partition
+    merge is a single vectorized searchsorted (stages/temporal.py) —
+    the Ray-native shape of the operator Ray Data has no primitive for."""
+    from ..stages.temporal import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def only_clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "click"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "click_ts": t.column("ts"),
+                "click_id": t.column("event_id"),
+            }
+        )
+
+    clicks = ev.map_batches(only_clicks, batch_format="pyarrow")
+    left = ev.select_columns(["event_id", "user_id", "ts"])
+    return asof_join(
+        left,
+        clicks,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        left_cols=["event_id", "user_id"],
+        right_cols=["click_id", "click_ts"],
+        right_tie="click_id",
+    )
+
+
+def o9_range_count(sf_dir: str) -> rd.Dataset:
+    """Pure range join (NO equality key): per order, how many lineitem
+    ship-dates fall inside [o_orderdate, o_orderdate + 7 days).
+    Co-location comes from 7-day time buckets (each window covers <= 2,
+    each point exactly 1), so the all-to-all is one bucket-hash
+    shuffle plus a <=2-rows-per-key sum — never the O(n*m) inequality
+    join a naive plan would run."""
+    from ..stages.temporal import interval_count
+
+    li = _read(sf_dir, "lineitem", ["l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    return interval_count(
+        li,
+        orders,
+        point_ts="l_shipdate",
+        interval_start="o_orderdate",
+        width_us=7 * 86_400_000_000,
+        interval_key="o_orderkey",
+        out_count="n_shipped",
+    )
+
+
 # --- streaming-shaped: sessionization ------------------------------------
 
 def sessionize(sf_dir: str, gap_seconds: int = 1800) -> rd.Dataset:
