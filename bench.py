@@ -112,6 +112,7 @@ def run_bench() -> dict:
             ("window_tumbling", R.window_tumbling),
             ("dedup_exact_docs", R.dedup_exact_docs),
             ("sessionize", R.sessionize),
+            ("o8_asof_join", R.o8_asof_join),
         ]:
             best = float("inf")
             for _ in range(2):
