@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o9_range_count": R.o9_range_count,
         "sessionize": R.sessionize,
         "dedup_exact_docs": R.dedup_exact_docs,
+        "dedup_ngram_pairs": R.dedup_ngram_pairs,
         "doc_fingerprints": R.doc_fingerprints,
         "text_token_stats": R.text_token_stats,
         "knn_dot_topk": R.knn_dot_topk,
@@ -602,6 +603,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact_docs": (
             "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
+        ),
+        "dedup_ngram_pairs": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), x -> x <> '') AS w FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g "
+            "FROM toks, unnest(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3), "
+            "counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+            "shr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared "
+            "FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, shared, "
+            "ROUND(shared * 1.0 / (ca.n + cb.n - shared), 6) AS jaccard "
+            "FROM shr JOIN counts ca ON ca.doc_id = doc_a "
+            "JOIN counts cb ON cb.doc_id = doc_b "
+            "WHERE shared * 1.0 / (ca.n + cb.n - shared) >= 0.8"
         ),
         "doc_fingerprints": (
             "SELECT doc_id, md5(text) AS fp_md5 FROM documents"

@@ -949,6 +949,16 @@ def dedup_exact_docs(sf_dir: str) -> rd.Dataset:
     return exact_dedup(docs).select_columns(["doc_id", "text"])
 
 
+def dedup_ngram_pairs(sf_dir: str) -> rd.Dataset:
+    """Exact word-trigram Jaccard near-dup pairs over documents —
+    the DuckDB-oracled exact sibling of the MinHash path (inverted
+    index, two coarse shuffles, no all-pairs)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+
+
 def text_token_stats(sf_dir: str) -> rd.Dataset:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 

@@ -20,6 +20,10 @@ the driver never holds a corpus-sized structure.
                             in-bucket Hamming verify -> pairs Dataset
 - ``ngram_jaccard``       — exact n-gram Jaccard for a given pair list
                             (the verification primitive)
+- ``ngram_jaccard_pairs`` — EXACT corpus-wide word-n-gram Jaccard via
+                            an inverted-index join (gram groupby ->
+                            candidate pairs -> shared-count groupby);
+                            DuckDB-oracled, ``max_df`` scale cap
 - ``embedding_dup_pairs`` — random-hyperplane LSH buckets over an
                             embedding column, in-bucket exact cosine
                             verify -> pairs Dataset
@@ -37,6 +41,7 @@ alternative shape.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -620,6 +625,162 @@ def ngram_jaccard(texts_a: list[str], texts_b: list[str], k: int = 5) -> list[fl
             sb.add(tb[i : i + k])
         out.append(len(sa & sb) / max(1, len(sa | sb)))
     return out
+
+
+# --- exact word-n-gram Jaccard over the whole corpus ---------------------
+
+_TOKEN_SPLIT_RE = re.compile(r"[^a-z0-9]+")
+
+_NGRAM_PAIR_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("shared", pa.int64()),
+        ("jaccard", pa.float64()),
+    ]
+)
+
+_NGRAM_CAND_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("n_a", pa.int64()),
+        ("n_b", pa.int64()),
+        ("ps", pa.int64()),
+    ]
+)
+
+
+def _doc_word_ngrams(text: str, n: int) -> set[str]:
+    """Distinct word n-grams: lowercase, split on non-alphanumeric runs,
+    join n consecutive tokens with a single space (mirrors the DuckDB
+    oracle: string_split_regex(lower(text), '[^a-z0-9]+'))."""
+    words = [w for w in _TOKEN_SPLIT_RE.split(text.lower()) if w]
+    if len(words) < n:
+        return set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def ngram_jaccard_pairs(
+    docs: rd.Dataset,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    max_df: int | None = None,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """EXACT n-gram Jaccard near-dup pairs as a streaming Dataset —
+    the non-approximate sibling of ``minhash_lsh_pairs``, built as an
+    inverted-index join so no pair of documents is ever compared
+    directly and nothing is O(corpus^2):
+
+      1. ``map_batches``: each doc -> distinct word-n-gram rows
+         ``(gram, doc_id, n_grams)``; the doc's distinct-gram count
+         rides on every row, so no per-doc side table or join is needed.
+      2. ONE coarse-partition gram shuffle (``partitioned_bucket_pairs``
+         keyed on the gram): each >=2-doc gram segment emits its
+         candidate pairs ``(doc_a < doc_b, n_a, n_b)``, then a per-block
+         Arrow pre-count collapses repeats BEFORE the pair shuffle
+         (partial-combiner pattern).
+      3. ONE coarse-partition pair shuffle summing shared-gram counts;
+         jaccard = shared / (n_a + n_b - shared), filtered at
+         ``threshold`` — the only rows that survive are true near-dups.
+
+    Exactness caveat at scale: a gram with document frequency D emits
+    D*(D-1)/2 candidate rows.  ``max_df`` (default None = exact) skips
+    grams hotter than the cap — for near-dup detection a gram shared by
+    thousands of docs carries ~no signal, and the MinHash path is the
+    intended recall-oriented filter; this operator is the exact verify.
+    """
+    from .joins import default_join_partitions
+    from .partition import part_column
+
+    n_parts = num_partitions or default_join_partitions()
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column).to_pylist()
+        texts = t.column(text_column).to_pylist()
+        out_g: list[str] = []
+        out_id: list[int] = []
+        out_n: list[int] = []
+        for d, tx in zip(ids, texts):
+            gs = _doc_word_ngrams(tx or "", n)
+            out_g.extend(gs)
+            out_id.extend([d] * len(gs))
+            out_n.extend([len(gs)] * len(gs))
+        return pa.table(
+            {
+                "gram": pa.array(out_g, pa.string()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_grams": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        d = group.num_rows
+        if max_df is not None and d > max_df:
+            return _NGRAM_CAND_SCHEMA.empty_table()
+        order = pc.sort_indices(group.column("doc_id"))
+        group = group.take(order)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = group.column("n_grams").to_numpy(zero_copy_only=False).astype(np.int64)
+        ia, ib = np.triu_indices(d, k=1)
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia]),
+                "doc_b": pa.array(ids[ib]),
+                "n_a": pa.array(ns[ia]),
+                "n_b": pa.array(ns[ib]),
+                "ps": pa.array(np.ones(len(ia), dtype=np.int64)),
+            }
+        )
+
+    cands = partitioned_bucket_pairs(
+        docs.map_batches(gram_rows, batch_format="pyarrow"),
+        bucket_fn,
+        _NGRAM_CAND_SCHEMA,
+        on=("gram",),
+        num_partitions=n_parts,
+    )
+
+    def partial_count(t: pa.Table) -> pa.Table:
+        # collapse same-pair rows within the block before the shuffle
+        # (the repo's standard pre-shuffle combiner)
+        if t.num_rows == 0:
+            return _NGRAM_CAND_SCHEMA.empty_table()
+        agg = t.group_by(["doc_a", "doc_b", "n_a", "n_b"]).aggregate([("ps", "sum")])
+        return agg.rename_columns(["doc_a", "doc_b", "n_a", "n_b", "ps"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["doc_a", "doc_b"], n_parts))
+
+    def reduce(group: pa.Table) -> pa.Table:
+        agg = group.group_by(["doc_a", "doc_b", "n_a", "n_b"]).aggregate([("ps", "sum")])
+        s = agg.column("ps_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        na = agg.column("n_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = agg.column("n_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        jac = s / (na + nb - s)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(
+                    agg.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+                ),
+                "doc_b": pa.array(
+                    agg.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+                ),
+                "shared": pa.array(s[keep]),
+                "jaccard": pa.array(np.round(jac[keep], 6)),
+            }
+        )
+
+    return (
+        cands.map_batches(partial_count, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce, batch_format="pyarrow")
+    )
 
 
 # --- embedding near-dup --------------------------------------------------

@@ -352,3 +352,71 @@ def test_multimodal_resize_and_audio(ray_session):
         ImageResizer(strict=True)(synth_media_table(2))
     with _p.raises(NotImplementedError):
         AudioChunker(strict=True)(synth_audio_table(2))
+
+
+def _naive_ngram_pairs(rows, n=3, threshold=0.8):
+    """All-pairs set-based reference (test-only; quadratic)."""
+    import itertools
+    import re
+
+    split = re.compile(r"[^a-z0-9]+")
+    grams = {}
+    for r in rows:
+        w = [x for x in split.split((r["text"] or "").lower()) if x]
+        grams[r["doc_id"]] = (
+            {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+            if len(w) >= n
+            else set()
+        )
+    out = set()
+    for a, b in itertools.combinations(sorted(grams), 2):
+        sa, sb = grams[a], grams[b]
+        s = len(sa & sb)
+        if s and s / (len(sa) + len(sb) - s) >= threshold:
+            out.add((a, b, s))
+    return out
+
+
+def test_ngram_jaccard_pairs_matches_naive(docs):
+    from reden_ray.stages.dedup import ngram_jaccard_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["shared"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.8).take_all()
+    }
+    want = _naive_ngram_pairs(docs.take_all(), n=3, threshold=0.8)
+    assert got == want and got  # non-empty: the fixture plants near-dups
+
+
+def test_ngram_jaccard_pairs_max_df_drops_hot_grams(ray_session):
+    import ray.data as rd
+
+    from reden_ray.stages.dedup import ngram_jaccard_pairs
+
+    # every doc shares the hot trigram "the hot gram"; pairs exist only
+    # through it, so capping df below the corpus size drops them all
+    rows = [
+        {"doc_id": i, "text": f"the hot gram unique{i} word{i} tail{i}"}
+        for i in range(20)
+    ]
+    ds = rd.from_items(rows)
+    exact = ngram_jaccard_pairs(ds, n=3, threshold=0.05).take_all()
+    assert exact  # the hot gram links pairs at a low threshold
+    capped = ngram_jaccard_pairs(ds, n=3, threshold=0.05, max_df=5).take_all()
+    assert capped == []
+
+
+def test_ngram_jaccard_pairs_short_and_empty_docs(ray_session):
+    import ray.data as rd
+
+    from reden_ray.stages.dedup import ngram_jaccard_pairs
+
+    rows = [
+        {"doc_id": 1, "text": "only two"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "a b c d"},
+        {"doc_id": 4, "text": "a b c d"},
+    ]
+    got = ngram_jaccard_pairs(rd.from_items(rows), n=3, threshold=0.5).take_all()
+    assert [(r["doc_a"], r["doc_b"], r["shared"]) for r in got] == [(3, 4, 2)]
+    assert got[0]["jaccard"] == 1.0
