@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j2_broadcast_join": R.j2_broadcast_join,
         "j5_semi_join": R.j5_semi_join,
         "j6_anti_join": R.j6_anti_join,
+        "j8_multiway_revenue": R.j8_multiway_revenue,
         "a1_collect_groups": R.a1_collect_groups,
         "a3_pred_frequency": R.a3_pred_frequency,
         "a5_aggregate_metrics": R.a5_aggregate_metrics,
@@ -493,6 +494,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name FROM customer "
             "WHERE c_custkey NOT IN "
             "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"
+        ),
+        "j8_multiway_revenue": (
+            "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY n_name"
         ),
         "a1_collect_groups": (
             "SELECT l_orderkey, "

@@ -113,6 +113,7 @@ def run_bench() -> dict:
             ("dedup_exact_docs", R.dedup_exact_docs),
             ("sessionize", R.sessionize),
             ("o8_asof_join", R.o8_asof_join),
+            ("j8_multiway_revenue", R.j8_multiway_revenue),
         ]:
             best = float("inf")
             for _ in range(2):

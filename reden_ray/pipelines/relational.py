@@ -90,6 +90,137 @@ def j1_hash_join(sf_dir: str) -> rd.Dataset:
     )
 
 
+# --- J8: multiway join (TPC-H Q5 shape) ----------------------------------
+
+def j8_multiway_revenue(sf_dir: str) -> rd.Dataset:
+    """Regional supplier volume — the classic 6-table chain
+    (region x nation x customer x orders x lineitem x supplier) that
+    exercises every physical join strategy in one plan:
+
+    - region/nation: driver-side tiny dims -> broadcast ``is_in``
+      filter + dict lookup (never shuffled);
+    - customer, supplier: column-pruned reads, region-filtered early,
+      staged (``staged_nonempty``) because they come off filter chains;
+    - orders: date-filtered + projected BEFORE its shuffle;
+    - lineitem: revenue computed per-row at the read so only
+      (orderkey, suppkey, revenue) ride through the two hash joins;
+    - final aggregate: per-block Arrow partial sums, then a 25-key
+      groupby — the all-to-all moves one row per (block, nation).
+    """
+    import datetime as _dt
+
+    import ray
+
+    from ..stages.joins import staged_nonempty
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    asia = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    nation = nation.filter(pc.is_in(nation["n_regionkey"], value_set=asia))
+    nation_keys = nation["n_nationkey"]
+    name_by_key = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    nk_ref = ray.put(nation_keys)
+
+    def in_region(key_col: str):
+        def filt(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.fill_null(pc.is_in(t[key_col], value_set=ray.get(nk_ref)), False)
+            )
+
+        return filt
+
+    cust = staged_nonempty(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            in_region("c_nationkey"), batch_format="pyarrow"
+        )
+    )
+    supp = staged_nonempty(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .map_batches(in_region("s_nationkey"), batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.rename_columns(["l_suppkey", "s_nationkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    if cust is None or supp is None:
+        return rd.from_arrow(
+            pa.schema([("n_name", pa.string()), ("revenue", pa.float64())]).empty_table()
+        )
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1))
+    hi = pa.scalar(_dt.datetime(1998, 1, 1))
+
+    def date_window(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi)
+        )
+        return t.filter(pc.fill_null(keep, False)).select(["o_orderkey", "o_custkey"])
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(date_window, batch_format="pyarrow")
+    # orders x customer: attach the buyer's nation, keep only region rows
+    oc = staged_nonempty(
+        hash_join(
+            orders.map_batches(
+                lambda t: t.rename_columns(["l_orderkey", "c_custkey"]),
+                batch_format="pyarrow",
+            ),
+            cust,
+            on=["c_custkey"],
+        ).map_batches(
+            lambda t: t.select(["l_orderkey", "c_nationkey"]), batch_format="pyarrow"
+        )
+    )
+    if oc is None:
+        return rd.from_arrow(
+            pa.schema([("n_name", pa.string()), ("revenue", pa.float64())]).empty_table()
+        )
+
+    def li_project(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "revenue": rev,
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_project, batch_format="pyarrow")
+
+    joined = hash_join(hash_join(li, oc, on=["l_orderkey"]), supp, on=["l_suppkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # local-supplier constraint + nation-name lookup + block partial sum
+        t = t.filter(pc.equal(t["c_nationkey"], t["s_nationkey"]))
+        if t.num_rows == 0:
+            return pa.table(
+                {"n_name": pa.array([], pa.string()), "revenue": pa.array([], pa.float64())}
+            )
+        names = pa.array(
+            [name_by_key[k] for k in t["c_nationkey"].to_pylist()], pa.string()
+        )
+        t = pa.table({"n_name": names, "revenue": t["revenue"]})
+        agg = t.group_by(["n_name"]).aggregate([("revenue", "sum")])
+        return agg.rename_columns(["n_name", "revenue"])
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    return out.map_batches(lambda t: _round_col(t, "revenue", 2), batch_format="pyarrow")
+
+
 # --- J5/J6/J7: semi / anti joins -----------------------------------------
 
 def j5_semi_join(sf_dir: str) -> rd.Dataset:
