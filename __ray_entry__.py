@@ -448,6 +448,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o3_regex_scan": R.o3_regex_scan,
         "distinct_count_per_group": R.distinct_count_per_group,
         "approx_distinct_count_per_group": R.approx_distinct_count_per_group,
+        # webtext curation (Gopher rules / PII / decontamination)
+        "wq_repetition_stats": R.wq_repetition_stats,
+        "wq_source_quality": R.wq_source_quality,
+        "decontaminate_docs": R.decontaminate_docs,
+        "pii_redact_docs": R.pii_redact_docs,
+        "gopher_filter_docs": R.gopher_filter_docs,
         # KG pipeline (fixture-backed; golden-tested in-repo; rows-only here)
         "kg_links": _kg_links,
         "kg_triples": _kg_triples,
@@ -629,6 +635,35 @@ def oracle_sql() -> dict[str, str]:
             "FROM shr JOIN counts ca ON ca.doc_id = doc_a "
             "JOIN counts cb ON cb.doc_id = doc_b "
             "WHERE shared * 1.0 / (ca.n + cb.n - shared) >= 0.8"
+        ),
+        "wq_repetition_stats": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), x -> x <> '') AS w FROM documents) "
+            "SELECT doc_id, len(w) AS n_words, "
+            "CASE WHEN len(w) = 0 THEN 0.0 ELSE "
+            "ROUND(len(list_distinct(w)) * 1.0 / len(w), 6) END AS distinct_word_ratio, "
+            "CASE WHEN len(w) = 0 THEN 0.0 ELSE "
+            "ROUND(list_aggregate(list_transform(w, x -> length(x)), 'sum') * 1.0 "
+            "/ len(w), 6) END AS mean_word_len FROM toks"
+        ),
+        "wq_source_quality": (
+            "WITH toks AS (SELECT source, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), x -> x <> '') AS w FROM documents) "
+            "SELECT source, count(*) AS n_docs, "
+            "ROUND(avg(CASE WHEN len(w) = 0 THEN 0.0 ELSE "
+            "len(list_distinct(w)) * 1.0 / len(w) END), 6) AS avg_distinct_ratio "
+            "FROM toks GROUP BY source"
+        ),
+        "decontaminate_docs": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), x -> x <> '') AS w FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g "
+            "FROM toks, unnest(range(1, len(w)-2)) AS t(i) WHERE len(w) >= 4), "
+            "eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0), "
+            "hits AS (SELECT DISTINCT grams.doc_id AS doc_id FROM grams "
+            "JOIN eval_g USING (g) WHERE doc_id % 50 <> 0) "
+            "SELECT d.doc_id, CAST(h.doc_id IS NOT NULL AS BIGINT) AS contaminated "
+            "FROM documents d LEFT JOIN hits h USING (doc_id) WHERE d.doc_id % 50 <> 0"
         ),
         "doc_fingerprints": (
             "SELECT doc_id, md5(text) AS fp_md5 FROM documents"

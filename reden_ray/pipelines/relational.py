@@ -1238,3 +1238,115 @@ def knn_dot_topk(sf_dir: str, n_queries: int = 3, k: int = 5) -> pa.Table:
         pa.int64(),
     )
     return merged.set_column(0, "query_id", qids).drop_columns("dot")
+
+
+# --- webtext curation queries (stages/webtext.py) -------------------------
+
+def wq_repetition_stats(sf_dir: str) -> rd.Dataset:
+    """Per-doc word-repetition metrics (the SQL-checkable subset of the
+    Gopher rules: distinct-word ratio + mean word length)."""
+    from ..stages.webtext import RepetitionStats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(
+        RepetitionStats, batch_format="pyarrow", batch_size=None,
+        concurrency=(1, 8),
+    ).select_columns(["doc_id", "n_words", "distinct_word_ratio", "mean_word_len"])
+
+    def rnd(t: pa.Table) -> pa.Table:
+        t = _round_col(t, "distinct_word_ratio", 6)
+        return _round_col(t, "mean_word_len", 6)
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def decontaminate_docs(sf_dir: str) -> rd.Dataset:
+    """GPT-3-style n-gram decontamination flags: docs with
+    ``doc_id % 50 == 0`` play the benchmark; every other doc is flagged
+    iff it shares a word 4-gram with any benchmark doc.  Eval grams are
+    broadcast once (``ray.put``); the corpus side streams."""
+    from ..stages.webtext import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(keep_eval: bool):
+        def f(t: pa.Table) -> pa.Table:
+            is_eval = t.column("doc_id").to_numpy() % 50 == 0
+            return t.filter(pa.array(is_eval if keep_eval else ~is_eval))
+
+        return f
+
+    eval_ds = docs.map_batches(split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    return decontaminate(corpus, eval_ds, n=4).select_columns(
+        ["doc_id", "contaminated"]
+    )
+
+
+def pii_redact_docs(sf_dir: str) -> rd.Dataset:
+    """PII scrub over documents (emails / phones / IPv4 -> tokens +
+    per-kind counts).  Rows-only here (the synthetic corpus carries no
+    PII; the stage's redaction math is pinned by tests/test_webtext.py
+    on injected fixtures)."""
+    from ..stages.webtext import PIIRedactor
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        PIIRedactor, batch_format="pyarrow", batch_size=None, concurrency=(1, 8)
+    )
+
+
+def gopher_filter_docs(sf_dir: str) -> rd.Dataset:
+    """Docs surviving the full Gopher repetition ruleset (rows-only;
+    per-metric math is pinned by the naive reference in tests)."""
+    from ..stages.webtext import gopher_filter
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return gopher_filter(docs)
+
+
+def wq_source_quality(sf_dir: str) -> rd.Dataset:
+    """Per-source (domain-level) quality rollup: doc count + mean
+    distinct-word ratio — block-partial sums, then a 20-key groupby."""
+    from ..stages.webtext import _words
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ratios = []
+        for x in t.column("text").to_pylist():
+            ws = _words(x or "")
+            ratios.append(len(set(ws)) / len(ws) if ws else 0.0)
+        part = pa.table(
+            {
+                "source": t.column("source"),
+                "sum_ratio": pa.array(ratios, pa.float64()),
+                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        agg = part.group_by(["source"]).aggregate(
+            [("sum_ratio", "sum"), ("n_docs", "sum")]
+        )
+        return agg.rename_columns(["source", "sum_ratio", "n_docs"])
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("sum_ratio", alias_name="sum_ratio"), Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = np.round(
+            np.asarray(t.column("sum_ratio").to_pylist())
+            / np.asarray(t.column("n_docs").to_pylist()),
+            6,
+        )
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": t.column("n_docs"),
+                "avg_distinct_ratio": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,392 @@
+"""Webtext curation stages: repetition/quality filters, PII redaction,
+and benchmark decontamination.
+
+All three are standard published webtext-pipeline components
+(repetition fractions follow the Gopher rules, Rae et al. 2021,
+arXiv:2112.11446 Table A1; the stopword/length heuristics echo C4,
+Raffel et al. 2020; decontamination is the GPT-3-style n-gram overlap
+check, Brown et al. 2020 Appendix C).  The reference engine has no
+equivalent — these extend its curation surface for training-data work.
+
+Ray shape:
+- ``RepetitionStats`` / ``PIIRedactor`` are callable classes for
+  ``map_batches(..., concurrency=(1, N))`` — compiled regexes live in
+  ``__init__`` (once per actor), per-batch work is Counter/regex over
+  each doc's text (text is opaque; the per-doc loop IS the kernel, and
+  it runs distributed inside the batch).
+- ``decontaminate`` broadcasts the eval-side n-gram hash set via
+  ``ray.put`` (eval benchmarks are small by definition — MBs, not TBs)
+  and flags the corpus in one embarrassingly parallel ``map_batches``
+  pass; ``decontaminate_join`` is the no-small-side variant (inverted
+  gram-hash inner join, same machinery as ``dedup.ngram_jaccard_pairs``)
+  for eval sets too big to broadcast.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+# Same tokenization as dedup._doc_word_ngrams and its DuckDB oracle:
+# lowercase, split on non-alphanumeric runs, drop empties.
+_TOKEN_RE = re.compile(r"[^a-z0-9]+")
+
+
+def _words(text: str) -> list[str]:
+    return [w for w in _TOKEN_RE.split(text.lower()) if w]
+
+
+def _gram_hashes(words: list[str], n: int) -> np.ndarray:
+    """Distinct word-n-gram blake2b-64 hashes (process-stable; Python
+    ``hash()`` is salted and must never cross workers)."""
+    if len(words) < n:
+        return np.empty(0, dtype=np.uint64)
+    grams = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+            for g in grams
+        ),
+        dtype=np.uint64,
+        count=len(grams),
+    )
+
+
+# --- Gopher-style repetition / quality metrics ----------------------------
+
+#: default keep-thresholds (Gopher Table A1, word-fraction variants)
+GOPHER_DEFAULTS = {
+    "max_top_2gram_frac": 0.20,
+    "max_top_3gram_frac": 0.18,
+    "max_top_4gram_frac": 0.16,
+    "max_dup_5gram_frac": 0.30,
+    "min_distinct_word_ratio": 0.20,
+    "min_words": 5,
+    "max_words": 1_000_000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+    "max_symbol_word_ratio": 0.5,
+}
+
+
+class RepetitionStats:
+    """Per-document repetition/quality metrics + a ``keep`` verdict.
+
+    Emits (id, n_words, distinct_word_ratio, top_{2,3,4}gram_frac,
+    dup_5gram_frac, mean_word_len, symbol_word_ratio, keep):
+
+    - ``top_Ngram_frac``: fraction of the doc's words covered by the
+      single most frequent word N-gram (count * N / n_words);
+    - ``dup_5gram_frac``: fraction of words covered by 5-grams that
+      occur more than once;
+    - ``symbol_word_ratio``: '#'/'...'/symbol characters per word.
+
+    Thresholds are constructor kwargs (defaults = ``GOPHER_DEFAULTS``).
+    """
+
+    def __init__(
+        self,
+        id_column: str = "doc_id",
+        text_column: str = "text",
+        **thresholds,
+    ) -> None:
+        unknown = set(thresholds) - set(GOPHER_DEFAULTS)
+        if unknown:
+            raise ValueError(f"unknown thresholds: {sorted(unknown)}")
+        self.th = {**GOPHER_DEFAULTS, **thresholds}
+        self.id_column = id_column
+        self.text_column = text_column
+        self._symbol_re = re.compile(r"[#@\\{}<>^~|]|\.\.\.")
+
+    @staticmethod
+    def _top_frac(words: list[str], n: int) -> float:
+        """Fraction of words covered by the most frequent n-gram —
+        0.0 when the top gram occurs only once (no repetition to
+        penalize; the raw Gopher char-fraction is calibrated for long
+        web documents where a singleton gram is negligible, but the
+        word-fraction floor n/len(words) would wrongly trip short
+        docs)."""
+        if len(words) < n:
+            return 0.0
+        counts = Counter(tuple(words[i : i + n]) for i in range(len(words) - n + 1))
+        c = counts.most_common(1)[0][1]
+        if c == 1:
+            return 0.0
+        return min(1.0, c * n / len(words))
+
+    @staticmethod
+    def _dup_frac(words: list[str], n: int) -> float:
+        if len(words) < n:
+            return 0.0
+        counts = Counter(tuple(words[i : i + n]) for i in range(len(words) - n + 1))
+        dup = sum(c * n for c in counts.values() if c > 1)
+        return min(1.0, dup / len(words))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column)
+        texts = batch.column(self.text_column).to_pylist()
+        cols: dict[str, list] = {
+            "n_words": [], "distinct_word_ratio": [], "top_2gram_frac": [],
+            "top_3gram_frac": [], "top_4gram_frac": [], "dup_5gram_frac": [],
+            "mean_word_len": [], "symbol_word_ratio": [], "keep": [],
+        }
+        th = self.th
+        for text in texts:
+            ws = _words(text or "")
+            nw = len(ws)
+            if nw == 0:
+                row = dict.fromkeys(cols, 0.0)
+                row["n_words"] = 0
+                row["keep"] = False
+            else:
+                row = {
+                    "n_words": nw,
+                    "distinct_word_ratio": len(set(ws)) / nw,
+                    "top_2gram_frac": self._top_frac(ws, 2),
+                    "top_3gram_frac": self._top_frac(ws, 3),
+                    "top_4gram_frac": self._top_frac(ws, 4),
+                    "dup_5gram_frac": self._dup_frac(ws, 5),
+                    "mean_word_len": sum(map(len, ws)) / nw,
+                    "symbol_word_ratio": len(self._symbol_re.findall(text)) / nw,
+                }
+                row["keep"] = (
+                    th["min_words"] <= nw <= th["max_words"]
+                    and row["distinct_word_ratio"] >= th["min_distinct_word_ratio"]
+                    and row["top_2gram_frac"] <= th["max_top_2gram_frac"]
+                    and row["top_3gram_frac"] <= th["max_top_3gram_frac"]
+                    and row["top_4gram_frac"] <= th["max_top_4gram_frac"]
+                    and row["dup_5gram_frac"] <= th["max_dup_5gram_frac"]
+                    and th["min_mean_word_len"] <= row["mean_word_len"] <= th["max_mean_word_len"]
+                    and row["symbol_word_ratio"] <= th["max_symbol_word_ratio"]
+                )
+            for k, v in row.items():
+                cols[k].append(v)
+        out = {self.id_column: ids, "n_words": pa.array(cols["n_words"], pa.int64())}
+        for k in ("distinct_word_ratio", "top_2gram_frac", "top_3gram_frac",
+                  "top_4gram_frac", "dup_5gram_frac", "mean_word_len",
+                  "symbol_word_ratio"):
+            out[k] = pa.array(cols[k], pa.float64())
+        out["keep"] = pa.array(cols["keep"], pa.bool_())
+        return pa.table(out)
+
+
+def gopher_filter(docs: rd.Dataset, text_column: str = "text",
+                  id_column: str = "doc_id", **thresholds) -> rd.Dataset:
+    """Keep only docs passing the repetition rules — original columns
+    preserved (metrics computed inline, rows filtered, stats dropped)."""
+    stats = RepetitionStats(id_column=id_column, text_column=text_column, **thresholds)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        keep = stats(batch).column("keep")
+        return batch.filter(keep)
+
+    return docs.map_batches(flt, batch_format="pyarrow", batch_size=None)
+
+
+# --- PII redaction ---------------------------------------------------------
+
+class PIIRedactor:
+    """Redacts emails / phone-like digit runs / IPv4 addresses, emitting
+    the scrubbed text plus per-kind match counts.  Patterns are the
+    standard conservative published shapes; compiled once per actor."""
+
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+    PHONE = r"(?<!\d)(?:\+?\d[\s().-]?){7,14}\d(?!\d)"
+
+    def __init__(self, id_column: str = "doc_id", text_column: str = "text") -> None:
+        self.id_column = id_column
+        self.text_column = text_column
+        # order matters: emails contain dots/digits; scrub them first,
+        # then IPs (dotted digits), then bare phone runs.
+        self._subs = [
+            ("n_emails", re.compile(self.EMAIL), "<EMAIL>"),
+            ("n_ips", re.compile(self.IPV4), "<IP>"),
+            ("n_phones", re.compile(self.PHONE), "<PHONE>"),
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        counts = {k: [] for k, _, _ in self._subs}
+        redacted = []
+        for text in texts:
+            t = text or ""
+            for key, rx, token in self._subs:
+                t, n = rx.subn(token, t)
+                counts[key].append(n)
+            redacted.append(t)
+        out = {
+            self.id_column: batch.column(self.id_column),
+            "text": pa.array(redacted, pa.string()),
+        }
+        for k in counts:
+            out[k] = pa.array(counts[k], pa.int64())
+        return pa.table(out)
+
+
+# --- decontamination -------------------------------------------------------
+
+def decontaminate(
+    corpus: rd.Dataset,
+    eval_ds: rd.Dataset,
+    n: int = 13,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    drop: bool = False,
+) -> rd.Dataset:
+    """Flag (or drop) corpus docs sharing any word ``n``-gram with the
+    eval set — the GPT-3 decontamination rule (13-gram overlap).
+
+    Eval benchmarks are small (≤ millions of grams): the distinct gram
+    hashes are reduced on the driver and broadcast ONCE via ``ray.put``;
+    every corpus task then runs a vectorized ``np.isin`` per doc.  The
+    corpus side streams — no shuffle, no materialization.  For an eval
+    side too large to broadcast use :func:`decontaminate_join`.
+
+    Returns corpus rows + int64 ``contaminated`` (0/1), or the clean
+    subset when ``drop=True``.
+    """
+    import ray
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        hs: list[np.ndarray] = [
+            _gram_hashes(_words(x or ""), n) for x in t.column(text_column).to_pylist()
+        ]
+        merged = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
+        return pa.table({"g": pa.array(merged, pa.uint64())})
+
+    # per-block distinct gram hashes -> one small driver reduce (the
+    # eval set is the SMALL side by contract; corpus never collects).
+    # take_all yields ROWS (one uint64 per row), not blocks.
+    rows = eval_ds.map_batches(eval_grams, batch_format="pyarrow",
+                               batch_size=None).take_all()
+    all_h = np.unique(
+        np.fromiter((r["g"] for r in rows), dtype=np.uint64, count=len(rows))
+    )
+    href = ray.put(all_h)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bank = ray.get(href)
+        flags = []
+        for x in batch.column(text_column).to_pylist():
+            hs = _gram_hashes(_words(x or ""), n)
+            # bank is sorted -> searchsorted membership, no set build
+            if hs.size and bank.size:
+                idx = np.searchsorted(bank, hs)
+                idx[idx == bank.size] = 0
+                hit = bool(np.any(bank[idx] == hs))
+            else:
+                hit = False
+            flags.append(1 if hit else 0)
+        col = pa.array(flags, pa.int64())
+        if drop:
+            return batch.filter(pc.equal(col, 0))
+        return batch.append_column("contaminated", col)
+
+    return corpus.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+
+def decontaminate_join(
+    corpus: rd.Dataset,
+    eval_ds: rd.Dataset,
+    n: int = 13,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """No-broadcast decontamination: inverted gram-hash inner join.
+
+    Both sides emit distinct ``(g, id)`` rows; one hash join on ``g``
+    + a distinct on the corpus id yields the contaminated-id Dataset;
+    the flag rides back onto the corpus via a left join.  This is the
+    eval-side-also-huge path (e.g. decontaminating against another
+    corpus); at normal benchmark sizes prefer :func:`decontaminate`.
+    """
+    from .joins import default_join_partitions, hash_join, staged_nonempty
+    from .partition import part_column
+
+    n_parts = num_partitions or default_join_partitions()
+
+    def gram_rows(col_id: str):
+        def f(t: pa.Table) -> pa.Table:
+            ids, gs = [], []
+            id_vals = t.column(id_column).to_pylist()
+            for i, x in enumerate(t.column(text_column).to_pylist()):
+                hs = _gram_hashes(_words(x or ""), n)
+                gs.append(hs)
+                ids.extend([id_vals[i]] * hs.size)
+            merged = np.concatenate(gs) if gs else np.empty(0, np.uint64)
+            return pa.table(
+                {
+                    # uint64 -> int64 bitcast: Ray joins want signed keys
+                    "g": pa.array(merged.view(np.int64), pa.int64()),
+                    col_id: pa.array(ids, pa.int64()),
+                }
+            )
+
+        return f
+
+    cg = staged_nonempty(
+        corpus.map_batches(gram_rows("corpus_id"), batch_format="pyarrow",
+                           batch_size=None)
+    )
+    eg = staged_nonempty(
+        eval_ds.map_batches(gram_rows("eval_id"), batch_format="pyarrow",
+                            batch_size=None).map_batches(
+            lambda t: t.select(["g"]), batch_format="pyarrow"
+        )
+    )
+    ids_only = corpus.map_batches(
+        lambda t: t.select([id_column]), batch_format="pyarrow"
+    )
+    if cg is None or eg is None:
+        return ids_only.map_batches(
+            lambda t: t.append_column(
+                "contaminated", pa.array([0] * t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    hits = (
+        hash_join(cg, eg, on=["g"], num_partitions=n_parts)
+        .map_batches(
+            lambda t: t.select(["corpus_id"]).rename_columns([id_column]),
+            batch_format="pyarrow",
+        )
+        .groupby(id_column)
+        .count()
+        .map_batches(lambda t: t.select([id_column]), batch_format="pyarrow")
+    )
+    hits = staged_nonempty(hits)
+    if hits is None:
+        return ids_only.map_batches(
+            lambda t: t.append_column(
+                "contaminated", pa.array([0] * t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    joined = hash_join(
+        ids_only,
+        hits.map_batches(
+            lambda t: t.append_column(
+                "contaminated", pa.array([1] * t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        ),
+        on=[id_column],
+        how="left_outer",
+        num_partitions=n_parts,
+    )
+    return joined.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("contaminated"),
+            "contaminated",
+            pc.fill_null(t.column("contaminated"), 0),
+        ),
+        batch_format="pyarrow",
+    )

@@ -20,6 +20,7 @@ WHITELIST = {
     "pipelines/canonicalize.py": (3, "broadcast CC variant (small/test path) + test wrapper"),
     "pipelines/evaluate.py": (2, "per-block partial metric scalars"),
     "state/checkpoint.py": (1, "per-partition manifest counts"),
+    "stages/webtext.py": (1, "eval-side gram hashes (small by contract; join variant exists)"),
 }
 
 
