@@ -454,6 +454,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": R.decontaminate_docs,
         "pii_redact_docs": R.pii_redact_docs,
         "gopher_filter_docs": R.gopher_filter_docs,
+        "c4_span_dedup": R.c4_span_dedup,
+        "a12_corr": R.a12_corr,
         # KG pipeline (fixture-backed; golden-tested in-repo; rows-only here)
         "kg_links": _kg_links,
         "kg_triples": _kg_triples,
@@ -664,6 +666,23 @@ def oracle_sql() -> dict[str, str]:
             "JOIN eval_g USING (g) WHERE doc_id % 50 <> 0) "
             "SELECT d.doc_id, CAST(h.doc_id IS NOT NULL AS BIGINT) AS contaminated "
             "FROM documents d LEFT JOIN hits h USING (doc_id) WHERE d.doc_id % 50 <> 0"
+        ),
+        "c4_span_dedup": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), x -> x <> '') AS w FROM documents), "
+            "chunks AS (SELECT doc_id, i AS chunk_idx, "
+            "array_to_string(w[(i*5+1):(i*5+5)], ' ') AS g "
+            "FROM toks, unnest(range(0, (len(w)+4)//5)) AS t(i)), "
+            "hot AS (SELECT g FROM chunks GROUP BY g "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "kept AS (SELECT doc_id, chunk_idx, g FROM chunks "
+            "WHERE g NOT IN (SELECT g FROM hot)) "
+            "SELECT d.doc_id, coalesce(string_agg(k.g, ' ' ORDER BY k.chunk_idx), '') "
+            "AS text FROM documents d LEFT JOIN kept k USING (doc_id) GROUP BY d.doc_id"
+        ),
+        "a12_corr": (
+            "SELECT l_returnflag, ROUND(corr(l_extendedprice, l_quantity), 6) "
+            "AS corr_price_qty FROM lineitem GROUP BY l_returnflag"
         ),
         "doc_fingerprints": (
             "SELECT doc_id, md5(text) AS fp_md5 FROM documents"

@@ -1350,3 +1350,74 @@ def wq_source_quality(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def c4_span_dedup(sf_dir: str, n: int = 5) -> rd.Dataset:
+    """C4-style repeated-span removal over the document corpus: every
+    occurrence of a non-overlapping ``n``-word span shared by >= 2
+    distinct docs is deleted; spans re-joined in order (lowercase
+    token-normalized text, matching the oracle's reconstruction)."""
+    from ..stages.webtext import span_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return span_dedup(docs, n=n, min_docs=2)
+
+
+def a12_corr(sf_dir: str) -> rd.Dataset:
+    """Per-group Pearson correlation (price vs quantity) from six-sum
+    block partials — the no-second-pass combinable moment plan."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "k": t.column("l_returnflag").to_pylist(),
+                "x": t.column("l_extendedprice").to_numpy(zero_copy_only=False),
+                "y": t.column("l_quantity").to_numpy(zero_copy_only=False),
+            }
+        )
+        df["xx"] = df.x * df.x
+        df["yy"] = df.y * df.y
+        df["xy"] = df.x * df.y
+        df["n"] = 1
+        g = df.groupby("k", as_index=False).sum()
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g.k, pa.string()),
+                "sx": pa.array(g.x, pa.float64()),
+                "sy": pa.array(g.y, pa.float64()),
+                "sxx": pa.array(g.xx, pa.float64()),
+                "syy": pa.array(g.yy, pa.float64()),
+                "sxy": pa.array(g.xy, pa.float64()),
+                "n": pa.array(g.n, pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"), Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy().astype(np.float64)
+        sx, sy = t.column("sx").to_numpy(), t.column("sy").to_numpy()
+        sxx, syy = t.column("sxx").to_numpy(), t.column("syy").to_numpy()
+        sxy = t.column("sxy").to_numpy()
+        num = n * sxy - sx * sy
+        den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        corr = np.round(np.where(den > 0, num / np.maximum(den, 1e-300), 0.0), 6)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "corr_price_qty": pa.array(corr, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -390,3 +390,137 @@ def decontaminate_join(
         ),
         batch_format="pyarrow",
     )
+
+
+# --- repeated-span removal (C4/CCNet-style) --------------------------------
+
+def hot_span_hashes(
+    docs: rd.Dataset,
+    n: int = 5,
+    min_docs: int = 2,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> np.ndarray:
+    """Corpus-wide repeated-span discovery: chunk every doc into
+    consecutive non-overlapping ``n``-word spans (tail kept as a short
+    final span) and return the blake2b-64 hashes of spans appearing in
+    ``>= min_docs`` DISTINCT documents.
+
+    Plan: per-block doc-distinct (hash, 1) partials -> one corpus-wide
+    ``groupby(g).sum`` (docs are single rows, so per-block distinct is
+    per-doc distinct) -> filter ``>= min_docs``.  The survivor set is
+    boilerplate by definition (repeated across documents) — orders of
+    magnitude smaller than the corpus — and is the only thing reduced
+    to the driver.
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        hs: list[np.ndarray] = []
+        for x in t.column(text_column).to_pylist():
+            ws = _words(x or "")
+            if not ws:
+                continue
+            spans = {
+                " ".join(ws[i * n : (i + 1) * n])
+                for i in range((len(ws) + n - 1) // n)
+            }
+            hs.append(
+                np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                        )
+                        for s in spans
+                    ),
+                    dtype=np.uint64,
+                    count=len(spans),
+                )
+            )
+        merged = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        # block-local combine: same span in many docs of this block
+        # collapses to one row carrying its doc count
+        u, c = np.unique(merged, return_counts=True)
+        return pa.table(
+            {
+                "g": pa.array(u.view(np.int64), pa.int64()),
+                "nd": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby("g")
+        .aggregate(Sum("nd", alias_name="nd"))
+    )
+    hot = counts.filter(expr=f"nd >= {int(min_docs)}")
+    # boilerplate-sized by contract; collected once for the broadcast
+    rows = hot.take_all()
+    return np.sort(
+        np.fromiter((r["g"] for r in rows), dtype=np.int64, count=len(rows)).view(
+            np.uint64
+        )
+    )
+
+
+def span_dedup(
+    docs: rd.Dataset,
+    n: int = 5,
+    min_docs: int = 2,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> rd.Dataset:
+    """C4/CCNet-style repeated-content removal: every occurrence of a
+    span repeated across ``>= min_docs`` documents is deleted from every
+    document; surviving spans are re-joined in order (C4 §2.2 removes
+    repeated three-sentence spans; CCNet drops duplicated paragraphs —
+    same shape, word-window units here since the corpus carries no
+    sentence/line structure).
+
+    The hot-span hash bank is broadcast once via ``ray.put`` and the
+    rewrite is one embarrassingly parallel ``map_batches`` pass — no
+    shuffle touches document bodies.  For a corpus where boilerplate
+    volume itself exceeds broadcast capacity, the flag-and-join shape of
+    :func:`decontaminate_join` applies verbatim (hot spans stay a
+    Dataset, chunk rows join on ``g``, drop-lists ride back by doc id).
+    """
+    import ray
+
+    bank = hot_span_hashes(
+        docs, n=n, min_docs=min_docs, id_column=id_column, text_column=text_column
+    )
+    bref = ray.put(bank)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        hot = ray.get(bref)
+        out = []
+        for x in t.column(text_column).to_pylist():
+            ws = _words(x or "")
+            if not ws:
+                out.append("")
+                continue
+            spans = [
+                " ".join(ws[i * n : (i + 1) * n])
+                for i in range((len(ws) + n - 1) // n)
+            ]
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                    )
+                    for s in spans
+                ),
+                dtype=np.uint64,
+                count=len(spans),
+            )
+            if hot.size:
+                idx = np.searchsorted(hot, hs)
+                idx[idx == hot.size] = 0
+                keep = hot[idx] != hs
+            else:
+                keep = np.ones(len(spans), dtype=bool)
+            out.append(" ".join(s for s, k in zip(spans, keep) if k))
+        i = t.schema.get_field_index(text_column)
+        return t.set_column(i, text_column, pa.array(out, pa.string()))
+
+    return docs.map_batches(rewrite, batch_format="pyarrow", batch_size=None)

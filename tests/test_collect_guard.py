@@ -20,7 +20,7 @@ WHITELIST = {
     "pipelines/canonicalize.py": (3, "broadcast CC variant (small/test path) + test wrapper"),
     "pipelines/evaluate.py": (2, "per-block partial metric scalars"),
     "state/checkpoint.py": (1, "per-partition manifest counts"),
-    "stages/webtext.py": (1, "eval-side gram hashes (small by contract; join variant exists)"),
+    "stages/webtext.py": (2, "eval-side gram hashes + hot-span bank (both small by contract; join variant exists)"),
 }
 
 

@@ -198,3 +198,75 @@ def test_decontaminate_join_variant_equal():
     out = decontaminate_join(_mk(CORPUS), empty, n=4).take_all()
     assert sorted(r["doc_id"] for r in out) == [10, 11, 12, 13]
     assert all(r["contaminated"] == 0 for r in out)
+
+
+# --- repeated-span removal -------------------------------------------------
+
+SPAN_DOCS = [
+    # docs 20/21 share the 3-word span "call us now"; doc 22 repeats a
+    # span internally only (kept); 23 is clean; 24 empty.
+    (20, "call us now unique tail for twenty"),
+    (21, "other words here call us now and more padding words"),
+    (22, "rep rep rep rep rep rep self only words here"),
+    (23, "completely clean document with distinct content words"),
+    (24, ""),
+]
+
+
+def _naive_span_dedup(rows, n, min_docs=2):
+    from collections import defaultdict
+
+    def spans(t):
+        ws = _words(t)
+        return [" ".join(ws[i * n:(i + 1) * n])
+                for i in range((len(ws) + n - 1) // n)]
+
+    docs_per = defaultdict(set)
+    for d, t in rows:
+        for s in spans(t):
+            docs_per[s].add(d)
+    hot = {s for s, ds in docs_per.items() if len(ds) >= min_docs}
+    return {d: " ".join(s for s in spans(t) if s not in hot) for d, t in rows}
+
+
+def test_span_dedup_matches_naive():
+    from reden_ray.stages.webtext import span_dedup
+
+    want = _naive_span_dedup(SPAN_DOCS, 3)
+    # fixture sanity: the shared chunk really lands on both docs'
+    # 3-word boundaries and gets removed from both
+    assert "call us now" not in want[20] and "call us now" not in want[21]
+    assert "unique tail for" in want[20]
+    out = {r["doc_id"]: r["text"]
+           for r in span_dedup(_mk(SPAN_DOCS), n=3).take_all()}
+    assert out == want
+    # internal-only repetition survives (doc-distinct count, not raw)
+    assert out[22] == " ".join(_words(SPAN_DOCS[2][1]))
+    assert out[24] == ""
+
+
+def test_span_dedup_partition_invariant():
+    from reden_ray.stages.webtext import span_dedup
+
+    want = _naive_span_dedup(SPAN_DOCS, 3)
+    for parts in (1, 5):
+        ds = _mk(SPAN_DOCS).repartition(parts)
+        got = {r["doc_id"]: r["text"] for r in span_dedup(ds, n=3).take_all()}
+        assert got == want, parts
+
+
+def test_a12_corr_matches_numpy():
+    import numpy as np
+
+    from reden_ray.pipelines.relational import a12_corr
+
+    out = {r["l_returnflag"]: r["corr_price_qty"]
+           for r in a12_corr("/root/testdata/sf0.001").take_all()}
+    import duckdb
+    con = duckdb.connect()
+    df = con.execute(
+        "SELECT l_returnflag, corr(l_extendedprice, l_quantity) c "
+        "FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet') "
+        "GROUP BY l_returnflag").df()
+    for _, row in df.iterrows():
+        assert out[row.l_returnflag] == pytest.approx(row.c, abs=1e-6)
