@@ -456,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter_docs": R.gopher_filter_docs,
         "c4_span_dedup": R.c4_span_dedup,
         "a12_corr": R.a12_corr,
+        "j9_bloom_semi_join": R.j9_bloom_semi_join,
         # KG pipeline (fixture-backed; golden-tested in-repo; rows-only here)
         "kg_links": _kg_links,
         "kg_triples": _kg_triples,
@@ -683,6 +684,12 @@ def oracle_sql() -> dict[str, str]:
         "a12_corr": (
             "SELECT l_returnflag, ROUND(corr(l_extendedprice, l_quantity), 6) "
             "AS corr_price_qty FROM lineitem GROUP BY l_returnflag"
+        ),
+        "j9_bloom_semi_join": (
+            "SELECT l_returnflag, ROUND(SUM(l_extendedprice), 2) AS sum_price, "
+            "count(*) AS n_rows FROM lineitem WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') "
+            "GROUP BY l_returnflag"
         ),
         "doc_fingerprints": (
             "SELECT doc_id, md5(text) AS fp_md5 FROM documents"

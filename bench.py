@@ -114,6 +114,8 @@ def run_bench() -> dict:
             ("sessionize", R.sessionize),
             ("o8_asof_join", R.o8_asof_join),
             ("j8_multiway_revenue", R.j8_multiway_revenue),
+            ("gopher_filter_docs", R.gopher_filter_docs),
+            ("c4_span_dedup", R.c4_span_dedup),
         ]:
             best = float("inf")
             for _ in range(2):

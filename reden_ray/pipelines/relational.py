@@ -1421,3 +1421,37 @@ def a12_corr(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def j9_bloom_semi_join(sf_dir: str) -> rd.Dataset:
+    """Semi join with a Bloom prefilter ahead of the shuffle (the
+    shuffle-volume cut for selective build sides): lineitem rows whose
+    order is finished ('F'), aggregated per returnflag."""
+    from ..stages.bloom import bloom_semi_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).filter(
+        expr="o_orderstatus == 'F'"
+    ).map_batches(
+        lambda t: t.select(["o_orderkey"]).rename_columns(["l_orderkey"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    matched = bloom_semi_join(li, orders, "l_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = (
+            t.select(["l_returnflag", "l_extendedprice"])
+            .group_by(["l_returnflag"])
+            .aggregate([("l_extendedprice", "sum"), ("l_extendedprice", "count")])
+        )
+        return agg.rename_columns(["l_returnflag", "sum_price", "n_rows"])
+
+    out = (
+        matched.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("l_returnflag")
+        .aggregate(Sum("sum_price", alias_name="sum_price"),
+                   Sum("n_rows", alias_name="n_rows"))
+    )
+    return out.map_batches(lambda t: _round_col(t, "sum_price", 2),
+                           batch_format="pyarrow")
