@@ -38,6 +38,23 @@ def _fixture_for(sf_dir: str) -> str:
     return fixture_dir(**params)
 
 
+def _web_url_dedup(sf_dir: str):
+    """Pages front matter: canonicalize urls, drop blocklisted domains,
+    collapse recrawls latest-capture-wins (rows-only; per-rule math is
+    pinned by tests/test_urls.py)."""
+    import ray.data as rd
+
+    from reden_ray.stages.urls import UrlNormalizer, dedup_recrawls, filter_blocked_domains
+
+    pages = rd.read_parquet(
+        f"{_fixture_for(sf_dir)}/pages.parquet", columns=["url", "warc_ts"]
+    )
+    norm = pages.map_batches(UrlNormalizer(), batch_format="pyarrow", batch_size=None)
+    return dedup_recrawls(
+        filter_blocked_domains(norm, ["spam.invalid"])
+    ).select_columns(["canonical_url", "domain", "warc_ts"])
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; returns the links dataset."""
     from reden_ray.pipelines.kg import links_view, run_fixture_pipeline
@@ -457,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_span_dedup": R.c4_span_dedup,
         "a12_corr": R.a12_corr,
         "j9_bloom_semi_join": R.j9_bloom_semi_join,
+        "web_url_dedup": _web_url_dedup,
         # KG pipeline (fixture-backed; golden-tested in-repo; rows-only here)
         "kg_links": _kg_links,
         "kg_triples": _kg_triples,
