@@ -38,6 +38,18 @@ def _fixture_for(sf_dir: str) -> str:
     return fixture_dir(**params)
 
 
+def _kg_entity_pagerank(sf_dir: str):
+    """Corpus-level PageRank over the emitted subject→object entity
+    graph (rows-only; the recurrence is golden-locked against a numpy
+    reference in tests/test_graphrank.py).  Iterations bounded for the
+    driver check; at scale raise max_iters / tighten tol."""
+    from reden_ray.pipelines.graphrank import entity_pagerank
+    from reden_ray.pipelines.kg import run_fixture_pipeline, triples_view
+
+    triples = triples_view(run_fixture_pipeline(_fixture_for(sf_dir)))
+    return entity_pagerank(triples, max_iters=5, tol=1e-4)
+
+
 def _web_url_dedup(sf_dir: str):
     """Pages front matter: canonicalize urls, drop blocklisted domains,
     collapse recrawls latest-capture-wins (rows-only; per-rule math is
@@ -475,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a12_corr": R.a12_corr,
         "j9_bloom_semi_join": R.j9_bloom_semi_join,
         "web_url_dedup": _web_url_dedup,
+        "kg_entity_pagerank": _kg_entity_pagerank,
         # KG pipeline (fixture-backed; golden-tested in-repo; rows-only here)
         "kg_links": _kg_links,
         "kg_triples": _kg_triples,
