@@ -486,6 +486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_span_dedup": R.c4_span_dedup,
         "a12_corr": R.a12_corr,
         "j9_bloom_semi_join": R.j9_bloom_semi_join,
+        "a13_pivot": R.a13_pivot,
+        "o10_sample_hash": R.o10_sample_hash,
         "web_url_dedup": _web_url_dedup,
         "kg_entity_pagerank": _kg_entity_pagerank,
         # KG pipeline (fixture-backed; golden-tested in-repo; rows-only here)
@@ -721,6 +723,17 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_rows FROM lineitem WHERE l_orderkey IN "
             "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') "
             "GROUP BY l_returnflag"
+        ),
+        "a13_pivot": (
+            "SELECT l_returnflag, "
+            "ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) "
+            "AS qty_O, "
+            "ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) "
+            "AS qty_F FROM lineitem GROUP BY l_returnflag"
+        ),
+        "o10_sample_hash": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE (doc_id * 2654435761) % 4294967296 < CAST(0.1 * 4294967296 AS BIGINT)"
         ),
         "doc_fingerprints": (
             "SELECT doc_id, md5(text) AS fp_md5 FROM documents"

@@ -1480,3 +1480,49 @@ def j9_bloom_semi_join(sf_dir: str) -> rd.Dataset:
     )
     return out.map_batches(lambda t: _round_col(t, "sum_price", 2),
                            batch_format="pyarrow")
+
+
+def a13_pivot(sf_dir: str) -> rd.Dataset:
+    """Pivot via conditional aggregation (status domain is fixed):
+    per-returnflag quantity split across linestatus columns — block
+    partials of the conditional sums, then a 3-key groupby."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = t.column("l_quantity")
+        cols = {"l_returnflag": t.column("l_returnflag")}
+        for st in ("O", "F"):
+            mask = pc.equal(t.column("l_linestatus"), st)
+            cols[f"qty_{st}"] = pc.if_else(mask, qty, pa.scalar(0.0))
+        part = pa.table(cols)
+        agg = part.group_by(["l_returnflag"]).aggregate(
+            [("qty_O", "sum"), ("qty_F", "sum")]
+        )
+        return agg.rename_columns(["l_returnflag", "qty_O", "qty_F"])
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("l_returnflag")
+        .aggregate(Sum("qty_O", alias_name="qty_O"), Sum("qty_F", alias_name="qty_F"))
+    )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        t = _round_col(t, "qty_O", 2)
+        return _round_col(t, "qty_F", 2)
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def o10_sample_hash(sf_dir: str, rate: float = 0.1) -> rd.Dataset:
+    """Deterministic hash sampling — the distributed-safe sampling
+    shape (no RNG state, partition-invariant, reproducible across
+    cluster sizes): keep doc iff Knuth-hash(doc_id) < rate * 2^32."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    thresh = np.uint64(int(rate * (1 << 32)))
+
+    def samp(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return t.filter(pa.array(h < thresh))
+
+    return docs.map_batches(samp, batch_format="pyarrow", batch_size=None)
