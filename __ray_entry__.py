@@ -477,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o3_regex_scan": R.o3_regex_scan,
         "distinct_count_per_group": R.distinct_count_per_group,
         "approx_distinct_count_per_group": R.approx_distinct_count_per_group,
+        "approx_quantile_price": R.approx_quantile_price,
         # webtext curation (Gopher rules / PII / decontamination)
         "wq_repetition_stats": R.wq_repetition_stats,
         "wq_source_quality": R.wq_source_quality,

@@ -1526,3 +1526,20 @@ def o10_sample_hash(sf_dir: str, rate: float = 0.1) -> rd.Dataset:
         return t.filter(pa.array(h < thresh))
 
     return docs.map_batches(samp, batch_format="pyarrow", batch_size=None)
+
+
+def approx_quantile_price(sf_dir: str) -> pa.Table:
+    """Histogram-sketch quantiles of l_extendedprice (rows-only: the
+    sketch is approximate by design; the value-error bound is pinned by
+    tests/test_hll.py)."""
+    from ..stages.aggregates import approx_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = [0.5, 0.9, 0.99]
+    got = approx_quantiles(li, "l_extendedprice", qs)
+    return pa.table(
+        {
+            "quantile": pa.array(qs, pa.float64()),
+            "price": pa.array([round(got[q], 4) for q in qs], pa.float64()),
+        }
+    )

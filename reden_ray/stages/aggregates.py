@@ -171,3 +171,53 @@ def hll_distinct_per_group(
         .groupby("__part")
         .map_groups(merge_part, batch_format="pyarrow")
     )
+
+
+def approx_quantiles(
+    ds: rd.Dataset, col: str, qs: list[float], n_bins: int = 4096
+) -> dict[float, float]:
+    """Approximate quantiles with BOUNDED state: a fixed-width
+    histogram sketch (the mergeable-sketch family member for
+    continuous columns, next to the HLL distinct sketch).
+
+    Two cheap passes: (1) global min/max aggregate; (2) per-block
+    ``np.histogram`` partials merged by elementwise sum through a
+    global Ray aggregate — the driver only ever sees ``n_bins`` int64
+    counters regardless of row count.  The returned value for each q
+    is the upper edge of the bin where the cumulative count crosses
+    q*N, so the error is bounded by one bin width
+    ``(max-min)/n_bins`` in VALUE terms (not rank terms) — unlike the
+    exact-but-domain-bounded counting-histogram median in
+    ``pipelines/relational.a11_median_price``, this works for any
+    continuous column at ~32 KiB of state.
+    """
+    import numpy as np
+    from ray.data.aggregate import AggregateFn, Max, Min
+
+    stats = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    if hi <= lo:  # constant column
+        return {q: lo for q in qs}
+    edges = np.linspace(lo, hi, n_bins + 1)
+
+    def acc(counts: np.ndarray, block: pa.Table) -> np.ndarray:
+        vals = block.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        h, _ = np.histogram(vals, bins=edges)
+        return counts + h
+
+    fn = AggregateFn(
+        init=lambda _k: np.zeros(n_bins, dtype=np.int64),
+        merge=lambda a, b: a + b,
+        accumulate_block=acc,
+        name="hist",
+    )
+    res = ds.aggregate(fn)
+    counts = np.asarray(res["hist"] if isinstance(res, dict) else res)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    out = {}
+    for q in qs:
+        target = max(1, int(np.ceil(q * n)))
+        i = int(np.searchsorted(cum, target))
+        out[q] = float(edges[min(i + 1, n_bins)])
+    return out

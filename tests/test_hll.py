@@ -53,3 +53,34 @@ def test_hll_distinct_per_group_skewed_key(ray_session):
     assert set(got) == set(true)
     for k, n in true.items():
         assert abs(got[k] - n) / max(n, 1) < 0.05, (k, n, got[k])
+
+
+# --- fixed-width histogram quantile sketch --------------------------------
+
+def test_approx_quantiles_error_bound(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reden_ray.stages.aggregates import approx_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = rng.lognormal(mean=3.0, sigma=1.0, size=20000)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())})).repartition(6)
+    n_bins = 2048
+    got = approx_quantiles(ds, "x", [0.1, 0.5, 0.9, 0.99], n_bins=n_bins)
+    bin_w = (vals.max() - vals.min()) / n_bins
+    for q, v in got.items():
+        exact = np.quantile(vals, q, method="inverted_cdf")
+        assert abs(v - exact) <= bin_w + 1e-9, (q, v, exact, bin_w)
+
+
+def test_approx_quantiles_constant_column(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reden_ray.stages.aggregates import approx_quantiles
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([7.5] * 100)}))
+    got = approx_quantiles(ds, "x", [0.5, 0.99])
+    assert got == {0.5: 7.5, 0.99: 7.5}
