@@ -485,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact_docs": R.pii_redact_docs,
         "gopher_filter_docs": R.gopher_filter_docs,
         "c4_span_dedup": R.c4_span_dedup,
+        "webtext_curation": R.webtext_curation,
         "a12_corr": R.a12_corr,
         "j9_bloom_semi_join": R.j9_bloom_semi_join,
         "a13_pivot": R.a13_pivot,

@@ -1543,3 +1543,23 @@ def approx_quantile_price(sf_dir: str) -> pa.Table:
             "price": pa.array([round(got[q], 4) for q in qs], pa.float64()),
         }
     )
+
+
+def webtext_curation(sf_dir: str) -> rd.Dataset:
+    """Full webtext curation chain (gopher -> PII -> span dedup ->
+    decontaminate -> exact dedup) over the documents table; rows-only
+    (each stage's math is individually oracled/tested)."""
+    from ..stages.webtext import run_webtext_curation
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(keep_eval: bool):
+        def f(t: pa.Table) -> pa.Table:
+            is_eval = t.column("doc_id").to_numpy() % 50 == 0
+            return t.filter(pa.array(is_eval if keep_eval else ~is_eval))
+
+        return f
+
+    eval_ds = docs.map_batches(split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    return run_webtext_curation(corpus, eval_ds, decon_n=4).select_columns(["doc_id"])

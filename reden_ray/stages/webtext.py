@@ -463,19 +463,35 @@ def hot_span_hashes(
     )
 
 
+#: token matcher over ORIGINAL text for preserve_text mode — ASCII
+#: alnum runs, case-insensitive, so token POSITIONS line up with the
+#: ``_words(text.lower())`` tokens used for span discovery (exotic
+#: Unicode whose case-fold changes character class may diverge; the
+#: hash bank is keyed on the lowered token text either way)
+_TOKEN_POS_RE = re.compile(r"[A-Za-z0-9]+")
+
+
 def span_dedup(
     docs: rd.Dataset,
     n: int = 5,
     min_docs: int = 2,
     id_column: str = "doc_id",
     text_column: str = "text",
+    preserve_text: bool = False,
 ) -> rd.Dataset:
     """C4/CCNet-style repeated-content removal: every occurrence of a
     span repeated across ``>= min_docs`` documents is deleted from every
-    document; surviving spans are re-joined in order (C4 §2.2 removes
-    repeated three-sentence spans; CCNet drops duplicated paragraphs —
-    same shape, word-window units here since the corpus carries no
-    sentence/line structure).
+    document (C4 §2.2 removes repeated three-sentence spans; CCNet drops
+    duplicated paragraphs — same shape, word-window units here since the
+    corpus carries no sentence/line structure).
+
+    Output text: by default surviving spans are re-joined in order as
+    lowercase token-normalized text (exactly reconstructible in SQL —
+    the ``c4_span_dedup`` oracle's form).  With ``preserve_text=True``
+    the flagged spans are excised from the ORIGINAL string by character
+    range instead (whitespace collapsed), keeping case, punctuation and
+    redaction tokens intact — the mode the composite curation chain
+    uses so a later/earlier PII pass survives.
 
     The hot-span hash bank is broadcast once via ``ray.put`` and the
     rewrite is one embarrassingly parallel ``map_batches`` pass — no
@@ -491,36 +507,146 @@ def span_dedup(
     )
     bref = ray.put(bank)
 
+    def _keep_mask(hot: np.ndarray, spans: list[str]) -> np.ndarray:
+        if not hot.size:
+            return np.ones(len(spans), dtype=bool)
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                )
+                for s in spans
+            ),
+            dtype=np.uint64,
+            count=len(spans),
+        )
+        idx = np.searchsorted(hot, hs)
+        idx[idx == hot.size] = 0
+        return hot[idx] != hs
+
     def rewrite(t: pa.Table) -> pa.Table:
         hot = ray.get(bref)
         out = []
         for x in t.column(text_column).to_pylist():
-            ws = _words(x or "")
-            if not ws:
-                out.append("")
-                continue
-            spans = [
-                " ".join(ws[i * n : (i + 1) * n])
-                for i in range((len(ws) + n - 1) // n)
-            ]
-            hs = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                    )
-                    for s in spans
-                ),
-                dtype=np.uint64,
-                count=len(spans),
-            )
-            if hot.size:
-                idx = np.searchsorted(hot, hs)
-                idx[idx == hot.size] = 0
-                keep = hot[idx] != hs
+            x = x or ""
+            if preserve_text:
+                toks = list(_TOKEN_POS_RE.finditer(x))
+                if not toks:
+                    out.append("")
+                    continue
+                nt = len(toks)
+                chunks = [
+                    toks[i * n : (i + 1) * n] for i in range((nt + n - 1) // n)
+                ]
+                spans = [
+                    " ".join(m.group().lower() for m in c) for c in chunks
+                ]
+                keep = _keep_mask(hot, spans)
+                res, pos = [], 0
+                for c, k in zip(chunks, keep):
+                    if k:
+                        continue
+                    res.append(x[pos : c[0].start()])
+                    pos = c[-1].end()
+                res.append(x[pos:])
+                out.append(re.sub(r"\s+", " ", "".join(res)).strip())
             else:
-                keep = np.ones(len(spans), dtype=bool)
-            out.append(" ".join(s for s, k in zip(spans, keep) if k))
+                ws = _words(x)
+                if not ws:
+                    out.append("")
+                    continue
+                spans = [
+                    " ".join(ws[i * n : (i + 1) * n])
+                    for i in range((len(ws) + n - 1) // n)
+                ]
+                keep = _keep_mask(hot, spans)
+                out.append(" ".join(s for s, k in zip(spans, keep) if k))
         i = t.schema.get_field_index(text_column)
         return t.set_column(i, text_column, pa.array(out, pa.string()))
 
     return docs.map_batches(rewrite, batch_format="pyarrow", batch_size=None)
+
+
+# --- composite curation pipeline ------------------------------------------
+
+def run_webtext_curation(
+    docs: rd.Dataset,
+    eval_ds: rd.Dataset | None = None,
+    *,
+    span_n: int = 5,
+    decon_n: int = 13,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    collect_stats: bool = False,
+    **gopher_thresholds,
+):
+    """The full webtext curation chain in one call, ordered the way the
+    published pipelines order it (C4/Gopher/GPT-3):
+
+    1. Gopher repetition/quality filter (drop boilerplate-heavy docs);
+    2. PII redaction (rewrite text, keep rows);
+    3. repeated-span removal (strip cross-doc boilerplate spans);
+    4. benchmark decontamination (drop eval-overlapping docs) when an
+       ``eval_ds`` is supplied;
+    5. exact dedup on the post-rewrite text (catches docs that became
+       identical after span removal).
+
+    Everything streams: steps 1/2 are embarrassingly parallel map
+    stages, steps 3/5 shuffle only hashes/ids, step 4 broadcasts the
+    eval-gram bank.  With ``collect_stats=True`` the return value is
+    ``(clean_docs, stats)`` where stats is a small pa.Table of per-stage
+    surviving-row counts — each count() is a barrier, so leave it off
+    for production runs and read lineage from the checkpoint manifest
+    instead.
+    """
+    from .dedup import exact_dedup
+
+    stages: list[tuple[str, rd.Dataset]] = [("input", docs)]
+
+    cur = gopher_filter(
+        docs, text_column=text_column, id_column=id_column, **gopher_thresholds
+    )
+    stages.append(("gopher_filter", cur))
+
+    redactor = PIIRedactor(id_column=id_column, text_column=text_column)
+
+    def redact(batch: pa.Table) -> pa.Table:
+        out = redactor(batch)
+        # keep original non-text columns, swap in the scrubbed text
+        i = batch.schema.get_field_index(text_column)
+        return batch.set_column(i, text_column, out.column("text"))
+
+    cur = cur.map_batches(redact, batch_format="pyarrow", batch_size=None)
+    stages.append(("pii_redact", cur))
+
+    # span_dedup reads its input twice (hot-span discovery + rewrite):
+    # stage the filtered+redacted corpus once so the map stages above
+    # don't re-execute — the same justified two-consumer staging point
+    # as curation.checkpoint_dir (swap for a parquet checkpoint when
+    # the staged corpus exceeds object-store capacity).
+    cur = cur.materialize()
+    cur = span_dedup(
+        cur, n=span_n, id_column=id_column, text_column=text_column,
+        preserve_text=True,  # keep case/punct/<EMAIL> tokens intact
+    )
+    stages.append(("span_dedup", cur))
+
+    if eval_ds is not None:
+        cur = decontaminate(
+            cur, eval_ds, n=decon_n, id_column=id_column,
+            text_column=text_column, drop=True,
+        )
+        stages.append(("decontaminate", cur))
+
+    cur = exact_dedup(cur, column=text_column, id_column=id_column)
+    stages.append(("exact_dedup", cur))
+
+    if not collect_stats:
+        return cur
+    stats = pa.table(
+        {
+            "stage": pa.array([n for n, _ in stages], pa.string()),
+            "rows": pa.array([d.count() for _, d in stages], pa.int64()),
+        }
+    )
+    return cur, stats

@@ -270,3 +270,39 @@ def test_a12_corr_matches_numpy():
         "GROUP BY l_returnflag").df()
     for _, row in df.iterrows():
         assert out[row.l_returnflag] == pytest.approx(row.c, abs=1e-6)
+
+
+def test_run_webtext_curation_chain():
+    from reden_ray.stages.webtext import run_webtext_curation
+
+    corpus = [
+        # survives everything
+        (0, "perfectly ordinary sentence with enough distinct words to pass the filter easily"),
+        # killed by gopher (one word repeated)
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        # PII scrubbed but kept; distinct enough to pass gopher
+        (2, "write to alice@example.org about the quarterly town hall meeting schedule today"),
+        # 3 and 4 share a 3-word span (removed from both) but stay distinct docs
+        (3, "shared boiler plate unique three suffix words alpha beta gamma"),
+        (4, "shared boiler plate other distinct ending tokens delta epsilon zeta"),
+        # contaminated: contains eval doc's 4-gram
+        (5, "prefix benchmark question answer pair suffix padding words distinct enough here"),
+        # exact-dup pair after curation (identical text)
+        (6, "duplicate content row for exact dedup check one two three four"),
+        (7, "duplicate content row for exact dedup check one two three four"),
+    ]
+    eval_rows = [(90, "the benchmark question answer pair held out")]
+    out, stats = run_webtext_curation(
+        _mk(corpus), _mk(eval_rows), span_n=3, decon_n=4, collect_stats=True
+    )
+    rows = {r["doc_id"]: r["text"] for r in out.take_all()}
+    assert 1 not in rows          # gopher
+    assert 5 not in rows          # decontaminated
+    assert "<EMAIL>" in rows[2] and "alice@" not in rows[2]
+    assert "shared boiler plate" not in rows[3]
+    assert "shared boiler plate" not in rows[4]
+    assert 3 in rows and 4 in rows
+    assert (6 in rows) != (7 in rows)  # exactly one of the dup pair
+    s = {r["stage"]: r["rows"] for r in stats.to_pylist()}
+    assert s["input"] == 8 and s["gopher_filter"] == 7
+    assert s["decontaminate"] == 6 and s["exact_dedup"] == 5
