@@ -465,6 +465,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o5_rank_per_group": R.o5_rank_per_group,
         "o6_lag_delta": R.o6_lag_delta,
         "o7_running_total": R.o7_running_total,
+        "o10_moving_avg": R.o10_moving_avg,
+        "o11_ntile": R.o11_ntile,
+        "o12_first_last": R.o12_first_last,
+        "a12_string_agg": R.a12_string_agg,
         "o8_asof_join": R.o8_asof_join,
         "o9_range_count": R.o9_range_count,
         "sessionize": R.sessionize,
@@ -630,6 +634,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, "
             "ROUND(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING), 4) AS running_total FROM events"
+        ),
+        "o10_moving_avg": (
+            "SELECT user_id, event_id, "
+            "ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg "
+            "FROM events"
+        ),
+        "o11_ntile": (
+            "SELECT user_id, event_id, "
+            "CAST(ntile(4) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS BIGINT) AS tile FROM events"
+        ),
+        "o12_first_last": (
+            "SELECT user_id, "
+            "ROUND(max(CASE WHEN rf = 1 THEN value END), 4) AS first_value, "
+            "ROUND(max(CASE WHEN rl = 1 THEN value END), 4) AS last_value "
+            "FROM (SELECT user_id, value, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rf, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl "
+            "FROM events) GROUP BY user_id"
+        ),
+        "a12_string_agg": (
+            "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, "
+            "string_agg(s_name, ',' ORDER BY s_name) AS names "
+            "FROM supplier GROUP BY s_nationkey"
         ),
         "o8_asof_join": (
             "SELECT event_id, user_id, click_id, click_ts FROM ("

@@ -136,7 +136,15 @@ def eigenvector_centrality(graph: ContextGraph) -> dict[str, float]:
             x = nxt
             break
         x = nxt
-    return dict(zip(verts, x))
+    # quantize to 1e-8 (two decades above the convergence bound): the
+    # raw floats differ in the last ulp across summation orders (scatter
+    # loop vs matmul vs per-partition order), and symmetric graphs
+    # produce MANY mathematically-tied vertices — measured 1229 ulp-level
+    # sign flips across the 60-doc fixture's 271 contexts.  Quantizing
+    # makes ties exact so the canonical tie-break (score_and_choose)
+    # decides them identically on every backend; without it the choice
+    # depends on float noise, not semantics.
+    return {v: round(s, 8) for v, s in zip(verts, x)}
 
 
 CENTRALITY_MEASURES: dict[str, Measure] = {

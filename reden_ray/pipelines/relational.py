@@ -898,6 +898,191 @@ def o6_lag_delta(sf_dir: str) -> rd.Dataset:
     )
 
 
+def o10_moving_avg(sf_dir: str, window: int = 4) -> rd.Dataset:
+    """Sliding mean over the last ``window`` rows per user (SQL ``ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW``).  Frame windows have
+    no combiner (each row needs its exact predecessors), so the minimal
+    plan is the o6/o7 one: ONE user-hash shuffle, then a vectorized
+    prefix-sum sliding window per partition — window start clamps to
+    each user segment's start, so no per-user Python call ever runs."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column, sorted_segments
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    n_parts = default_join_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    def ma_part(g: pa.Table) -> pa.Table:
+        t, starts, _ends = sorted_segments(
+            g.drop_columns("__part"),
+            ["user_id"],
+            extra_sort=[("ts", "ascending"), ("event_id", "ascending")],
+        )
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        n = len(vals)
+        cum = np.concatenate([[0.0], np.cumsum(vals)])
+        seg_flag = np.zeros(n, dtype=np.int64)
+        seg_flag[starts] = 1
+        seg_id = np.cumsum(seg_flag) - 1
+        pos = np.arange(n, dtype=np.int64)
+        w0 = np.maximum(starts[seg_id], pos - (window - 1))
+        cnt = pos - w0 + 1
+        ma = (cum[pos + 1] - cum[w0]) / cnt
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "moving_avg": pa.array(np.round(ma, 4), pa.float64()),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(ma_part, batch_format="pyarrow")
+    )
+
+
+def o11_ntile(sf_dir: str, tiles: int = 4) -> rd.Dataset:
+    """NTILE(tiles) per user in (ts, event_id) order — SQL semantics:
+    the first ``n % tiles`` tiles get ``ceil(n/tiles)`` rows.  NTILE
+    needs each partition's total row count, so rows can't pre-reduce;
+    the plan is the single user-hash shuffle + vectorized segment
+    arithmetic (rank and segment length give the tile in closed form)."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column, sorted_segments
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    n_parts = default_join_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    def ntile_part(g: pa.Table) -> pa.Table:
+        t, starts, ends = sorted_segments(
+            g.drop_columns("__part"),
+            ["user_id"],
+            extra_sort=[("ts", "ascending"), ("event_id", "ascending")],
+        )
+        n = t.num_rows
+        seg_flag = np.zeros(n, dtype=np.int64)
+        seg_flag[starts] = 1
+        seg_id = np.cumsum(seg_flag) - 1
+        pos = np.arange(n, dtype=np.int64)
+        r0 = pos - starts[seg_id]
+        seg_len = (ends - starts)[seg_id]
+        q, rem = np.divmod(seg_len, tiles)
+        boundary = (q + 1) * rem  # rows covered by the big (ceil) tiles
+        big = r0 < boundary
+        tile = np.where(
+            big,
+            r0 // np.maximum(q + 1, 1) + 1,
+            rem + (r0 - boundary) // np.maximum(q, 1) + 1,
+        )
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "tile": pa.array(tile, pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(ntile_part, batch_format="pyarrow")
+    )
+
+
+def o12_first_last(sf_dir: str) -> rd.Dataset:
+    """FIRST_VALUE / LAST_VALUE per user in (ts, event_id) order.
+    Unlike LAG, the endpoints ARE associative: each block keeps only its
+    per-user first and last rows (2 rows per key per block through the
+    shuffle), and the final sweep re-applies the same endpoint pick."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column, sorted_segments
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    n_parts = default_join_partitions()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        t, starts, ends = sorted_segments(
+            t, ["user_id"], extra_sort=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        keep = np.zeros(t.num_rows, dtype=bool)
+        keep[starts] = True
+        keep[ends - 1] = True
+        return t.filter(pa.array(keep))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = endpoints(t)
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    def final(g: pa.Table) -> pa.Table:
+        t, starts, ends = sorted_segments(
+            g.drop_columns("__part"),
+            ["user_id"],
+            extra_sort=[("ts", "ascending"), ("event_id", "ascending")],
+        )
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id").take(pa.array(starts)),
+                "first_value": pa.array(np.round(vals[starts], 4), pa.float64()),
+                "last_value": pa.array(np.round(vals[ends - 1], 4), pa.float64()),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def a12_string_agg(sf_dir: str) -> rd.Dataset:
+    """Ordered STRING_AGG: per nation, the comma-joined alphabetically-
+    sorted supplier names.  Keys are dimension-sized but the shape is
+    the corpus-safe one anyway (CLAUDE.md rule): coarse partitions, ONE
+    map_groups call per partition, sorted segments inside — the only
+    Python loop is over distinct keys in the partition.  Keys emitted
+    int64 (groupby upcast rule)."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column, sorted_segments
+
+    sup = _read(sf_dir, "supplier", ["s_nationkey", "s_name"])
+    n_parts = default_join_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.schema.get_field_index("s_nationkey"),
+            "s_nationkey",
+            t.column("s_nationkey").cast(pa.int64()),
+        )
+        return t.append_column("__part", part_column(t, ["s_nationkey"], n_parts))
+
+    def join_part(g: pa.Table) -> pa.Table:
+        t, starts, ends = sorted_segments(
+            g.drop_columns("__part"),
+            ["s_nationkey"],
+            extra_sort=[("s_name", "ascending")],
+        )
+        names = t.column("s_name").to_pylist()
+        keys = t.column("s_nationkey").take(pa.array(starts))
+        joined = [",".join(names[s:e]) for s, e in zip(starts, ends)]
+        return pa.table(
+            {"s_nationkey": keys, "names": pa.array(joined, pa.string())}
+        )
+
+    return (
+        sup.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(join_part, batch_format="pyarrow")
+    )
+
+
 def o8_asof_join(sf_dir: str) -> rd.Dataset:
     """Backward as-of join (event attribution): every event gets its
     user's most recent click — greatest click ts <= event ts, ties on

@@ -121,6 +121,35 @@ def _naive_centrality(vertices, edges, measure):
                 out[v] = INF
         return out
 
+    if measure == "EigenvectorCentrality":
+        # dense numpy power iteration on (A_sym + I) — matrix-structured,
+        # vs the engine's adjacency-list scatter loops.  Same start
+        # (uniform 1/n), norm (L2), convergence (max-abs < 1e-10, <=100
+        # iters) semantics; the jar's RANDOM start is documented in
+        # core/centrality.py, so this locks OUR deterministic variant.
+        import numpy as np
+
+        idx = {v: i for i, v in enumerate(verts)}
+        mat = np.zeros((n, n))
+        for (a, b) in edges:
+            mat[idx[a], idx[b]] += 1.0
+            mat[idx[b], idx[a]] += 1.0
+        x = np.full(n, 1.0 / n)
+        for _ in range(100):
+            nxt = x + mat @ x
+            norm = float(np.sqrt((nxt * nxt).sum()))
+            if norm == 0:
+                return dict.fromkeys(verts, 0.0)
+            nxt = nxt / norm
+            if float(np.max(np.abs(nxt - x))) < 1e-10:
+                x = nxt
+                break
+            x = nxt
+        # same 1e-8 quantization as the engine (see core/centrality.py:
+        # ulp-level ties must resolve by the canonical tie-break, not by
+        # each implementation's summation order)
+        return {v: round(s, 8) for v, s in zip(verts, x.tolist())}
+
     raise ValueError(measure)
 
 

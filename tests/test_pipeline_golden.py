@@ -82,7 +82,12 @@ def test_linking_accuracy_vs_gold(pipeline_outputs, small_fixture_dir):
 
 
 @pytest.mark.parametrize(
-    "measure", ["BrandesBetweennessCentrality", "FreemanClosenessCentrality"]
+    "measure",
+    [
+        "BrandesBetweennessCentrality",
+        "FreemanClosenessCentrality",
+        "EigenvectorCentrality",
+    ],
 )
 def test_centrality_config_golden_exact(ray_session, small_fixture_dir, measure):
     """End-to-end golden for the non-degree centralities (VERDICT r2
