@@ -465,10 +465,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o5_rank_per_group": R.o5_rank_per_group,
         "o6_lag_delta": R.o6_lag_delta,
         "o7_running_total": R.o7_running_total,
-        "o10_moving_avg": R.o10_moving_avg,
-        "o11_ntile": R.o11_ntile,
-        "o12_first_last": R.o12_first_last,
-        "a12_string_agg": R.a12_string_agg,
+        "o13_moving_avg": R.o13_moving_avg,
+        "o14_ntile": R.o14_ntile,
+        "o15_first_last": R.o15_first_last,
+        "a14_string_agg": R.a14_string_agg,
+        "a15_percentile_cont": R.a15_percentile_cont,
         "o8_asof_join": R.o8_asof_join,
         "o9_range_count": R.o9_range_count,
         "sessionize": R.sessionize,
@@ -635,18 +636,18 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING), 4) AS running_total FROM events"
         ),
-        "o10_moving_avg": (
+        "o13_moving_avg": (
             "SELECT user_id, event_id, "
             "ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg "
             "FROM events"
         ),
-        "o11_ntile": (
+        "o14_ntile": (
             "SELECT user_id, event_id, "
             "CAST(ntile(4) OVER (PARTITION BY user_id "
             "ORDER BY ts, event_id) AS BIGINT) AS tile FROM events"
         ),
-        "o12_first_last": (
+        "o15_first_last": (
             "SELECT user_id, "
             "ROUND(max(CASE WHEN rf = 1 THEN value END), 4) AS first_value, "
             "ROUND(max(CASE WHEN rl = 1 THEN value END), 4) AS last_value "
@@ -655,10 +656,17 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl "
             "FROM events) GROUP BY user_id"
         ),
-        "a12_string_agg": (
+        "a14_string_agg": (
             "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, "
             "string_agg(s_name, ',' ORDER BY s_name) AS names "
             "FROM supplier GROUP BY s_nationkey"
+        ),
+        "a15_percentile_cont": (
+            "SELECT 0.25 AS quantile, ROUND(quantile_cont(l_extendedprice, 0.25), 4)"
+            " AS price FROM lineitem UNION ALL "
+            "SELECT 0.5, ROUND(quantile_cont(l_extendedprice, 0.5), 4) FROM lineitem"
+            " UNION ALL "
+            "SELECT 0.75, ROUND(quantile_cont(l_extendedprice, 0.75), 4) FROM lineitem"
         ),
         "o8_asof_join": (
             "SELECT event_id, user_id, click_id, click_ts FROM ("

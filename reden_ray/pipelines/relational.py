@@ -898,7 +898,7 @@ def o6_lag_delta(sf_dir: str) -> rd.Dataset:
     )
 
 
-def o10_moving_avg(sf_dir: str, window: int = 4) -> rd.Dataset:
+def o13_moving_avg(sf_dir: str, window: int = 4) -> rd.Dataset:
     """Sliding mean over the last ``window`` rows per user (SQL ``ROWS
     BETWEEN window-1 PRECEDING AND CURRENT ROW``).  Frame windows have
     no combiner (each row needs its exact predecessors), so the minimal
@@ -945,7 +945,7 @@ def o10_moving_avg(sf_dir: str, window: int = 4) -> rd.Dataset:
     )
 
 
-def o11_ntile(sf_dir: str, tiles: int = 4) -> rd.Dataset:
+def o14_ntile(sf_dir: str, tiles: int = 4) -> rd.Dataset:
     """NTILE(tiles) per user in (ts, event_id) order — SQL semantics:
     the first ``n % tiles`` tiles get ``ceil(n/tiles)`` rows.  NTILE
     needs each partition's total row count, so rows can't pre-reduce;
@@ -996,7 +996,7 @@ def o11_ntile(sf_dir: str, tiles: int = 4) -> rd.Dataset:
     )
 
 
-def o12_first_last(sf_dir: str) -> rd.Dataset:
+def o15_first_last(sf_dir: str) -> rd.Dataset:
     """FIRST_VALUE / LAST_VALUE per user in (ts, event_id) order.
     Unlike LAG, the endpoints ARE associative: each block keeps only its
     per-user first and last rows (2 rows per key per block through the
@@ -1042,7 +1042,7 @@ def o12_first_last(sf_dir: str) -> rd.Dataset:
     )
 
 
-def a12_string_agg(sf_dir: str) -> rd.Dataset:
+def a14_string_agg(sf_dir: str) -> rd.Dataset:
     """Ordered STRING_AGG: per nation, the comma-joined alphabetically-
     sorted supplier names.  Keys are dimension-sized but the shape is
     the corpus-safe one anyway (CLAUDE.md rule): coarse partitions, ONE
@@ -1722,6 +1722,26 @@ def approx_quantile_price(sf_dir: str) -> pa.Table:
     li = _read(sf_dir, "lineitem", ["l_extendedprice"])
     qs = [0.5, 0.9, 0.99]
     got = approx_quantiles(li, "l_extendedprice", qs)
+    return pa.table(
+        {
+            "quantile": pa.array(qs, pa.float64()),
+            "price": pa.array([round(got[q], 4) for q in qs], pa.float64()),
+        }
+    )
+
+
+def a15_percentile_cont(sf_dir: str) -> pa.Table:
+    """EXACT continuous percentiles of l_extendedprice via distributed
+    order-statistic selection (stages/selection.py): histogram-
+    refinement passes narrow each target rank to a single-float or
+    collect-limit-bounded range — the column itself is never collected.
+    The approx sketch variant is approx_quantile_price; this is the
+    exact companion, DuckDB-oracled."""
+    from ..stages.selection import percentile_cont
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = [0.25, 0.5, 0.75]
+    got = percentile_cont(li, "l_extendedprice", qs)
     return pa.table(
         {
             "quantile": pa.array(qs, pa.float64()),
