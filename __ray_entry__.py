@@ -470,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o15_first_last": R.o15_first_last,
         "a14_string_agg": R.a14_string_agg,
         "a15_percentile_cont": R.a15_percentile_cont,
+        "text_tfidf_topk": R.text_tfidf_topk,
         "o8_asof_join": R.o8_asof_join,
         "o9_range_count": R.o9_range_count,
         "sessionize": R.sessionize,
@@ -660,6 +661,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, "
             "string_agg(s_name, ',' ORDER BY s_name) AS names "
             "FROM supplier GROUP BY s_nationkey"
+        ),
+        "text_tfidf_topk": (
+            "WITH tok AS ("
+            "  SELECT doc_id, lower(t.term) AS term"
+            "  FROM documents, UNNEST(string_split_regex(text, '[ \t\n\r\f\v]+'))"
+            "  AS t(term) WHERE t.term <> ''"
+            "), tf AS (SELECT doc_id, term, count(*) AS tfc FROM tok GROUP BY 1, 2),"
+            " dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY 1),"
+            " df AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM tok GROUP BY 1),"
+            " n AS (SELECT count(*) AS n FROM documents),"
+            " scored AS (SELECT tf.doc_id, tf.term,"
+            "   (tfc::DOUBLE / dlen) * LN(n::DOUBLE / dfc) AS tfidf"
+            "   FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n),"
+            " ranked AS (SELECT doc_id, term, tfidf, CAST(row_number() OVER ("
+            "   PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank"
+            "   FROM scored) "
+            "SELECT doc_id, term, ROUND(tfidf, 4) AS tfidf, rank "
+            "FROM ranked WHERE rank <= 3"
         ),
         "a15_percentile_cont": (
             "SELECT 0.25 AS quantile, ROUND(quantile_cont(l_extendedprice, 0.25), 4)"

@@ -1730,6 +1730,124 @@ def approx_quantile_price(sf_dir: str) -> pa.Table:
     )
 
 
+def text_tfidf_topk(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Distributed TF-IDF with per-doc top-k terms — the IR scoring
+    pass a corpus pipeline runs before indexing/filtering:
+
+    - tokenize+count per block (compiled ASCII-whitespace split — the
+      SAME explicit class as the SQL oracle's regex, so neither side
+      inherits its engine's \\s semantics), emitting distinct
+      (doc_id, term, tf_count, doc_len) rows;
+    - document frequency = ``groupby(term).count()`` over those rows
+      (already distinct per doc-term);
+    - one term-hash shuffle joins df back to the term rows (vocabulary
+      is corpus-sized: a real join, never a broadcast);
+    - per-doc top-k by (tfidf desc, term asc) with the o5 partial
+      top-k shape — <= k rows per doc per block through the shuffle.
+
+    The token table feeds two consumers (df aggregate + join probe), so
+    it stages once — the same justified staging point as curation
+    (swap for a parquet checkpoint beyond object-store capacity)."""
+    import re
+    from collections import Counter
+
+    from ..stages.joins import default_join_partitions, hash_join, staged_nonempty
+    from ..stages.partition import part_column
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    def tok(t: pa.Table) -> pa.Table:
+        dids, terms, tfcs, lens = [], [], [], []
+        for did, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            words = [w for w in ws.split((txt or "").lower()) if w]
+            n = len(words)
+            for term, c in Counter(words).items():
+                dids.append(did)
+                terms.append(term)
+                tfcs.append(c)
+                lens.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tfc": pa.array(tfcs, pa.int64()),
+                "dlen": pa.array(lens, pa.int64()),
+            }
+        )
+
+    term_rows = docs.map_batches(tok, batch_format="pyarrow", batch_size=None)
+    term_rows = term_rows.materialize()  # two consumers (df + join probe)
+    df_tbl = (
+        term_rows.groupby("term")
+        .count()
+        .map_batches(
+            lambda t: t.rename_columns(["term", "dfc"]), batch_format="pyarrow"
+        )
+    )
+    staged_df = staged_nonempty(df_tbl)
+    if staged_df is None:  # empty corpus
+        return term_rows  # zero rows, stable schema
+    joined = hash_join(term_rows, staged_df, on=["term"])
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = t.column("tfc").to_numpy(zero_copy_only=False) / t.column(
+            "dlen"
+        ).to_numpy(zero_copy_only=False)
+        idf = np.log(n_docs / t.column("dfc").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "term": t.column("term"),
+                "tfidf": pa.array(tf * idf, pa.float64()),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow", batch_size=None)
+    n_parts = default_join_partitions()
+
+    def topk(t: pa.Table, emit_rank: bool) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("tfidf", "descending"),
+                ("term", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        keys = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        seg_id = np.cumsum(new) - 1
+        rank = np.arange(n, dtype=np.int64) - starts[seg_id]
+        t = t.filter(pa.array(rank < k))
+        if emit_rank:
+            t = t.append_column("rank", pa.array(rank[rank < k] + 1, pa.int64()))
+        return t
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = topk(t, emit_rank=False)
+        return t.append_column("__part", part_column(t, ["doc_id"], n_parts))
+
+    def final(g: pa.Table) -> pa.Table:
+        t = topk(g.drop_columns("__part"), emit_rank=True)
+        return _round_col(t, "tfidf", 4)
+
+    return (
+        scored.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def a15_percentile_cont(sf_dir: str) -> pa.Table:
     """EXACT continuous percentiles of l_extendedprice via distributed
     order-statistic selection (stages/selection.py): histogram-
