@@ -116,6 +116,8 @@ def run_bench() -> dict:
             ("j8_multiway_revenue", R.j8_multiway_revenue),
             ("gopher_filter_docs", R.gopher_filter_docs),
             ("c4_span_dedup", R.c4_span_dedup),
+            ("text_tfidf_topk", R.text_tfidf_topk),
+            ("a15_percentile_cont", R.a15_percentile_cont),
         ]:
             best = float("inf")
             for _ in range(2):
