@@ -471,6 +471,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a14_string_agg": R.a14_string_agg,
         "a15_percentile_cont": R.a15_percentile_cont,
         "text_tfidf_topk": R.text_tfidf_topk,
+        "j10_full_outer": R.j10_full_outer,
+        "f1_vector_norm": R.f1_vector_norm,
+        "o16_stratified_sample": R.o16_stratified_sample,
+        "o17_weighted_sample": R.o17_weighted_sample,
         "o8_asof_join": R.o8_asof_join,
         "o9_range_count": R.o9_range_count,
         "sessionize": R.sessionize,
@@ -661,6 +665,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, "
             "string_agg(s_name, ',' ORDER BY s_name) AS names "
             "FROM supplier GROUP BY s_nationkey"
+        ),
+        "j10_full_outer": (
+            "SELECT custkey, c_acctbal, n_big FROM "
+            "(SELECT c_custkey AS custkey, ROUND(c_acctbal, 2) AS c_acctbal "
+            "FROM customer WHERE c_acctbal > 0) c FULL JOIN "
+            "(SELECT o_custkey AS custkey, count(*) AS n_big FROM orders "
+            "WHERE o_totalprice > 150000 GROUP BY 1) o USING (custkey)"
+        ),
+        "f1_vector_norm": (
+            "SELECT vec_id, ROUND(sqrt(list_sum(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm "
+            "FROM embeddings"
+        ),
+        "o16_stratified_sample": (
+            "SELECT doc_id, source FROM (SELECT doc_id, source, "
+            "row_number() OVER (PARTITION BY source "
+            "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 20"
+        ),
+        "o17_weighted_sample": (
+            "SELECT doc_id, source FROM (SELECT doc_id, source, "
+            "row_number() OVER (PARTITION BY source ORDER BY "
+            "-LN((((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0)"
+            " / n_chars, doc_id) AS rn "
+            "FROM documents WHERE n_chars > 0) WHERE rn <= 10"
         ),
         "text_tfidf_topk": (
             "WITH tok AS ("

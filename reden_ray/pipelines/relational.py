@@ -1730,6 +1730,178 @@ def approx_quantile_price(sf_dir: str) -> pa.Table:
     )
 
 
+def j10_full_outer(sf_dir: str) -> rd.Dataset:
+    """FULL OUTER join: positive-balance customers vs per-customer
+    big-order counts.  Both sides filtered so BOTH null directions
+    occur (customers with no big orders; big orders whose customer has
+    a non-positive balance).  Ray 2.49 coalesces the key columns under
+    the LEFT names when ``on=`` matches (CLAUDE.md rule) — exactly the
+    COALESCE/USING the SQL oracle spells out.  Both inputs come off
+    filter chains, so both are staged (empty-first-block rule)."""
+    from ..stages.joins import default_join_partitions, staged_nonempty
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def pos_bal(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["c_acctbal"], 0.0))
+        return pa.table(
+            {
+                "custkey": t.column("c_custkey").cast(pa.int64()),
+                "c_acctbal": pc.round(t.column("c_acctbal"), 2),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def big(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], 150_000.0))
+        return pa.table({"custkey": t.column("o_custkey").cast(pa.int64())})
+
+    left = staged_nonempty(cust.map_batches(pos_bal, batch_format="pyarrow"))
+    counts = (
+        orders.map_batches(big, batch_format="pyarrow")
+        .groupby("custkey")
+        .count()
+        .map_batches(
+            lambda t: t.rename_columns(["custkey", "n_big"]), batch_format="pyarrow"
+        )
+    )
+    right = staged_nonempty(counts)
+    if left is None or right is None:
+        raise ValueError("fixture tables unexpectedly empty")
+    return left.join(
+        right,
+        join_type="full_outer",
+        num_partitions=default_join_partitions(),
+        on=("custkey",),
+    )
+
+
+def f1_vector_norm(sf_dir: str) -> rd.Dataset:
+    """L2 norm of the embedding list column — zero-copy Arrow list
+    handling: flatten once, cast float32->float64 (the same cast the
+    oracle applies BEFORE squaring), square, segment-sum via reduceat
+    at the list offsets.  No per-row Python."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        sq = vals * vals
+        lens = np.diff(offsets)
+        if len(sq):
+            sums = np.add.reduceat(sq, np.minimum(offsets[:-1], len(sq) - 1))
+            # reduceat on an empty segment returns the NEXT element: mask
+            sums = np.where(lens > 0, sums, 0.0)
+        else:
+            sums = np.zeros(len(lens))
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "norm": pa.array(np.round(np.sqrt(sums), 4), pa.float64()),
+            }
+        )
+
+    return emb.map_batches(norm, batch_format="pyarrow", batch_size=None)
+
+
+def _stratum_topk(
+    ds: rd.Dataset,
+    stratum: str,
+    order_col: str,
+    k: int,
+    out_cols: list[str],
+) -> rd.Dataset:
+    """Shared per-stratum top-k shuffle shape (o5): per-block partial
+    top-k by (stratum, order_col asc, doc_id asc), <= k rows per stratum
+    per block through ONE stratum-hash shuffle, identical final sweep."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    n_parts = default_join_partitions()
+
+    def topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                (stratum, "ascending"),
+                (order_col, "ascending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        src = np.asarray(t.column(stratum).to_pylist())
+        n = len(src)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(new)
+        seg_id = np.cumsum(new) - 1
+        rank = np.arange(n, dtype=np.int64) - starts[seg_id]
+        return t.filter(pa.array(rank < k))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = topk(t)
+        return t.append_column("__part", part_column(t, [stratum], n_parts))
+
+    def final(g: pa.Table) -> pa.Table:
+        return topk(g.drop_columns("__part")).select(out_cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def o16_stratified_sample(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """Deterministic stratified sampling: per source, the k docs with
+    the smallest Knuth multiplicative hash — partition-invariant,
+    RNG-free, reproducible across cluster sizes, and SQL-expressible
+    (so it is oracled, unlike seeded-RNG sampling)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def with_hash(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return t.append_column("h", pa.array(h.astype(np.int64), pa.int64()))
+
+    hashed = docs.map_batches(with_hash, batch_format="pyarrow", batch_size=None)
+    return _stratum_topk(hashed, "source", "h", k, ["doc_id", "source"])
+
+
+def o17_weighted_sample(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Weight-proportional k-sample per source WITHOUT RNG state
+    (Efraimidis-Spirakis A-ES with a hash in place of the uniform
+    draw): key = -ln(u)/w, keep the k smallest keys per stratum.
+    Deterministic, partition-invariant, mergeable (it IS a top-k), and
+    SQL-expressible — the distributed-safe analogue of weighted
+    reservoir sampling (cf. 'Streaming Weighted Sampling over Join
+    Queries', EDBT 2023).  Docs weighted by length (n_chars)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def with_key(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_chars"], 0))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        u = (h.astype(np.float64) + 0.5) / float(1 << 32)
+        w = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+                "key": pa.array(-np.log(u) / w, pa.float64()),
+            }
+        )
+
+    keyed = docs.map_batches(with_key, batch_format="pyarrow", batch_size=None)
+    return _stratum_topk(keyed, "source", "key", k, ["doc_id", "source"])
+
+
 def text_tfidf_topk(sf_dir: str, k: int = 3) -> rd.Dataset:
     """Distributed TF-IDF with per-doc top-k terms — the IR scoring
     pass a corpus pipeline runs before indexing/filtering:

@@ -159,11 +159,10 @@ def select_order_stats(
             keep = ~np.isnan(v) & (v >= lo) & ((v <= hi) if hi_inc else (v < hi))
             return pa.table({column: pa.array(v[keep], pa.float64())})
 
-        vals = np.sort(
-            ds.map_batches(in_range, batch_format="pyarrow", batch_size=None)
-            .to_pandas()[column]
-            .to_numpy()
-        )
+        rows = ds.map_batches(
+            in_range, batch_format="pyarrow", batch_size=None
+        ).take_all()  # bounded: <= collect_limit residual values by construction
+        vals = np.sort(np.array([r[column] for r in rows], dtype=np.float64))
         for k in ks:
             base = state[k][4]
             results[k] = float(vals[k - base])

@@ -21,6 +21,7 @@ WHITELIST = {
     "pipelines/evaluate.py": (2, "per-block partial metric scalars"),
     "state/checkpoint.py": (1, "per-partition manifest counts"),
     "stages/webtext.py": (2, "eval-side gram hashes + hot-span bank (both small by contract; join variant exists)"),
+    "stages/selection.py": (2, "<= n_buckets histogram rows; <= collect_limit residual values"),
 }
 
 
