@@ -1920,42 +1920,62 @@ def text_tfidf_topk(sf_dir: str, k: int = 3) -> rd.Dataset:
     The token table feeds two consumers (df aggregate + join probe), so
     it stages once — the same justified staging point as curation
     (swap for a parquet checkpoint beyond object-store capacity)."""
-    import re
-    from collections import Counter
-
     from ..stages.joins import default_join_partitions, hash_join, staged_nonempty
     from ..stages.partition import part_column
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = docs.count()
-    ws = re.compile(r"[ \t\n\r\f\v]+")
 
     def tok(t: pa.Table) -> pa.Table:
-        dids, terms, tfcs, lens = [], [], [], []
-        for did, txt in zip(
-            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        ):
-            words = [w for w in ws.split((txt or "").lower()) if w]
-            n = len(words)
-            for term, c in Counter(words).items():
-                dids.append(did)
-                terms.append(term)
-                tfcs.append(c)
-                lens.append(n)
+        # fully vectorized: Arrow regex split + C++ group_by count —
+        # no Python loop over docs or tokens (utf8_lower matches
+        # str.lower / DuckDB lower on this corpus: all utf8proc)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column("text")), pattern=r"[ \t\n\r\f\v]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        parent = np.repeat(
+            t.column("doc_id").to_numpy(zero_copy_only=False), lens
+        )
+        flat = toks.flatten()
+        keep = pc.not_equal(flat, "")
+        pairs = pa.table(
+            {"doc_id": pa.array(parent, pa.int64()), "term": flat}
+        ).filter(keep)
+        counted = pairs.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+        # doc length (post-empty-filter tokens) via sorted-unique lookup
+        uniq, dcounts = np.unique(
+            pairs.column("doc_id").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        cdoc = counted.column("doc_id").to_numpy(zero_copy_only=False)
+        dlen = dcounts[np.searchsorted(uniq, cdoc)]
         return pa.table(
             {
-                "doc_id": pa.array(dids, pa.int64()),
-                "term": pa.array(terms, pa.string()),
-                "tfc": pa.array(tfcs, pa.int64()),
-                "dlen": pa.array(lens, pa.int64()),
+                "doc_id": counted.column("doc_id"),
+                "term": counted.column("term"),
+                "tfc": counted.column("term_count").cast(pa.int64()),
+                "dlen": pa.array(dlen, pa.int64()),
             }
         )
 
     term_rows = docs.map_batches(tok, batch_format="pyarrow", batch_size=None)
     term_rows = term_rows.materialize()  # two consumers (df + join probe)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        # rows are distinct (doc, term): per-block pre-combine so the df
+        # shuffle moves one row per (block, term), not per (doc, term)
+        c = t.group_by("term").aggregate([("term", "count")])
+        return pa.table(
+            {"term": c.column("term"), "n": c.column("term_count").cast(pa.int64())}
+        )
+
     df_tbl = (
-        term_rows.groupby("term")
-        .count()
+        term_rows.map_batches(df_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .sum("n")
         .map_batches(
             lambda t: t.rename_columns(["term", "dfc"]), batch_format="pyarrow"
         )
