@@ -141,6 +141,28 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Run a declarative PipelineStep chain (pipelines/steps.py) over a
+    documents parquet — the curation counterpart of ``run``."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from .pipelines.steps import run_chain
+
+    t0 = time.time()
+    ds = rd.read_parquet(args.input)
+    out = run_chain(ds, args.steps)
+    out.write_parquet(args.output)
+    n = rd.read_parquet(args.output).count()
+    print(json.dumps({
+        "mode": "curate",
+        "rows_out": n,
+        "sec": round(time.time() - t0, 2),
+        "output": args.output,
+    }))
+    return 0
+
+
 def cmd_manifest(args) -> int:
     from .state.checkpoint import Manifest
 
@@ -176,6 +198,13 @@ def make_parser() -> argparse.ArgumentParser:
     r.add_argument("--n-parts", type=int, default=8,
                    help="checkpoint partition count (size to retryable units)")
     r.set_defaults(fn=cmd_run)
+
+    c = sub.add_parser("curate", help="run a declarative step chain over parquet docs")
+    c.add_argument("--input", required=True, help="documents parquet path/directory")
+    c.add_argument("--output", required=True)
+    c.add_argument("--steps", required=True,
+                   help="JSON list of {'step': name, **params}, inline or a file path")
+    c.set_defaults(fn=cmd_curate)
 
     m = sub.add_parser("manifest", help="summarize a checkpointed output manifest")
     m.add_argument("--output", required=True)

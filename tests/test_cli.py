@@ -95,6 +95,34 @@ def test_cli_centrality_override(ray_session, small_fixture_dir, tmp_path, capsy
     assert summary["triples"] > 0
 
 
+def test_cli_curate_steps_chain(ray_session, tmp_path, capsys):
+    spec = [
+        {"step": "keep_lang", "langs": ["en", "fr"]},
+        {"step": "quality_score"},
+        {"step": "min_quality", "threshold": 0.3},
+        {"step": "exact_dedup"},
+    ]
+    spec_file = tmp_path / "chain.json"
+    spec_file.write_text(json.dumps(spec))
+    out = str(tmp_path / "curated")
+    summary = _run(
+        capsys,
+        ["curate", "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out, "--steps", str(spec_file)],
+    )
+    assert summary["rows_out"] > 0
+
+    # equals the library chain directly
+    import ray.data as rd
+
+    from reden_ray.pipelines.steps import run_chain
+
+    direct = run_chain(
+        rd.read_parquet("/root/testdata/sf0.001/documents.parquet"), spec
+    )
+    assert direct.count() == summary["rows_out"]
+
+
 def test_cli_parser_rejects_unknown():
     with pytest.raises(SystemExit):
         main(["run", "--input", "x"])  # missing --output
