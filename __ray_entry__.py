@@ -392,6 +392,24 @@ def _dedup_embedding(sf_dir: str):
     return _pairs_table(pairs, _EMB_PAIR_SCHEMA, ["vec_a", "vec_b"])
 
 
+def _kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (rows-only;
+    the recurrence is golden-locked against a numpy reference in
+    tests/test_kmeans.py): per-cluster sizes of the fitted clustering."""
+    import ray.data as rd
+
+    from reden_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cents, _ = kmeans_fit(emb, k=8, max_iters=8)
+    return (
+        kmeans_assign(emb, cents)
+        .groupby("cluster")
+        .count()
+        .rename_columns(["cluster", "n"])
+    )
+
+
 def _knn_ivf_indexed(sf_dir: str):
     """Disk-backed IVF: centroid-partitioned parquet index built under
     /tmp (content-addressed by sf), searched with partition pruning —
@@ -527,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_langid": _text_quality,
         "curation_pipeline": _curation,
         "knn_ivf_indexed": _knn_ivf_indexed,
+        "kmeans_embeddings": _kmeans_embeddings,
     }
 
 

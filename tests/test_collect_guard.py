@@ -22,6 +22,7 @@ WHITELIST = {
     "state/checkpoint.py": (1, "per-partition manifest counts"),
     "stages/webtext.py": (2, "eval-side gram hashes + hot-span bank (both small by contract; join variant exists)"),
     "stages/selection.py": (2, "<= n_buckets histogram rows; <= collect_limit residual values"),
+    "stages/kmeans.py": (2, "<= k rows per iteration (init buckets; merged partials)"),
 }
 
 
