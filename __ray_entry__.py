@@ -493,6 +493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f1_vector_norm": R.f1_vector_norm,
         "o16_stratified_sample": R.o16_stratified_sample,
         "o17_weighted_sample": R.o17_weighted_sample,
+        "text_top_terms": R.text_top_terms,
+        "approx_top_terms": R.approx_top_terms,
         "o8_asof_join": R.o8_asof_join,
         "o9_range_count": R.o9_range_count,
         "sessionize": R.sessionize,
@@ -709,6 +711,13 @@ def oracle_sql() -> dict[str, str]:
             "-LN((((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0)"
             " / n_chars, doc_id) AS rn "
             "FROM documents WHERE n_chars > 0) WHERE rn <= 10"
+        ),
+        "text_top_terms": (
+            "SELECT term, n FROM (SELECT lower(t.term) AS term, "
+            "count(*) AS n FROM documents, "
+            "UNNEST(string_split_regex(text, '[ \t\n\r\f\v]+')) AS t(term) "
+            "WHERE t.term <> '' GROUP BY 1) "
+            "ORDER BY n DESC, term LIMIT 20"
         ),
         "text_tfidf_topk": (
             "WITH tok AS ("

@@ -2040,6 +2040,68 @@ def text_tfidf_topk(sf_dir: str, k: int = 3) -> rd.Dataset:
     )
 
 
+def _token_rows(docs: rd.Dataset) -> rd.Dataset:
+    """documents -> one (term) row per token (vectorized Arrow split;
+    the regex class matches the SQL oracles verbatim)."""
+
+    def tok(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column("text")), pattern=r"[ \t\n\r\f\v]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        return pa.table({"term": flat}).filter(pc.not_equal(flat, ""))
+
+    return docs.map_batches(tok, batch_format="pyarrow", batch_size=None)
+
+
+def text_top_terms(sf_dir: str, top_n: int = 20) -> rd.Dataset:
+    """EXACT corpus-wide top-n terms by frequency: per-block partial
+    counts (one row per (block, term) through the shuffle — the a3
+    skew-proof shape), tiny groupby(term).sum, then the o1 partial
+    top-k merge.  The exact companion of ``approx_top_terms``."""
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        c = t.group_by("term").aggregate([("term", "count")])
+        return pa.table(
+            {"term": c.column("term"), "n": c.column("term_count").cast(pa.int64())}
+        )
+
+    counts = (
+        _token_rows(docs)
+        .map_batches(partial_counts, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .sum("n")
+        .map_batches(lambda t: t.rename_columns(["term", "n"]), batch_format="pyarrow")
+    )
+
+    def block_top(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("term", "ascending")]
+        )
+        return t.take(idx[: min(top_n, t.num_rows)])
+
+    # per-block partial top-n, then ONE single-task merge (o1 shape)
+    partials = counts.map_batches(block_top, batch_format="pyarrow", batch_size=None)
+    return partials.repartition(1).map_batches(
+        block_top, batch_format="pyarrow", batch_size=None
+    )
+
+
+def approx_top_terms(sf_dir: str, top_n: int = 20) -> pa.Table:
+    """Heavy hitters with bounded state (Misra-Gries summaries —
+    stages/aggregates.misra_gries_topk): rows-only; the lower/upper
+    bound contract is pinned by tests/test_heavy_hitters.py against
+    the exact counts."""
+    from ..stages.aggregates import misra_gries_topk
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return misra_gries_topk(_token_rows(docs), "term", top_n=top_n, capacity=4096)
+
+
 def a15_percentile_cont(sf_dir: str) -> pa.Table:
     """EXACT continuous percentiles of l_extendedprice via distributed
     order-statistic selection (stages/selection.py): histogram-

@@ -21,6 +21,13 @@ requirement:
   hot key's exact distinct-set would be unbounded through the shuffle.
   Registers merge by elementwise max, so per-batch partial sketches
   pre-combine exactly like exact counters do.
+- ``misra_gries_topk``: heavy hitters with BOUNDED per-block state —
+  each block compresses its exact counts to a ``capacity``-entry
+  Misra-Gries summary (classic decrement semantics), so the shuffle
+  moves at most capacity rows per block no matter how wide the value
+  domain is; summed summaries keep the MG guarantee (per-value
+  undercount <= total_items / capacity), so every value with true
+  frequency above that bound survives to the candidate set.
 """
 
 from __future__ import annotations
@@ -221,3 +228,102 @@ def approx_quantiles(
         i = int(np.searchsorted(cum, target))
         out[q] = float(edges[min(i + 1, n_bins)])
     return out
+
+
+
+
+_MG_LOSS_SENTINEL = "\x00__mg_block_loss__"
+
+
+def _mg_compress(values: list, counts: "np.ndarray", capacity: int):
+    """Classic Misra-Gries compress: if more than ``capacity`` entries,
+    subtract the (capacity+1)-th largest count from all and drop the
+    non-positive remainder.  Every value's undercount from this block
+    is <= the returned delta."""
+    import numpy as np
+
+    if len(values) <= capacity:
+        return values, counts, 0
+    order = np.argsort(counts)[::-1]
+    delta = int(counts[order[capacity]])
+    keep = order[:capacity]
+    kept_counts = counts[keep] - delta
+    pos = np.flatnonzero(kept_counts > 0)
+    return [values[i] for i in keep[pos]], kept_counts[pos], delta
+
+
+def misra_gries_topk(
+    ds: rd.Dataset,
+    column: str,
+    top_n: int = 20,
+    capacity: int = 1024,
+) -> pa.Table:
+    """Approximate top-n string values by frequency with bounded
+    everything: <= capacity+1 summary rows per block through the one
+    shuffle, <= a few top_n-sized blocks on the driver.  Returns
+    (value, est_count, max_undercount): est_count is a LOWER bound on
+    the true count, est_count + max_undercount an upper bound
+    (max_undercount = the summed per-block compress deltas, which is
+    <= total_items / capacity) — so any value whose true frequency
+    exceeds that bound is guaranteed present."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t.column(column).value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        vals = vc.field("values").to_pylist()
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, counts, delta = _mg_compress(list(vals), counts, capacity)
+        # the block's compress loss rides as ONE sentinel row so the
+        # GLOBAL undercount bound (sum over all blocks' deltas) is
+        # computable downstream even for values this block dropped
+        vals = list(vals) + [_MG_LOSS_SENTINEL]
+        counts = np.concatenate([counts, [0]])
+        loss = np.zeros(len(vals), dtype=np.int64)
+        loss[-1] = delta
+        return pa.table(
+            {
+                "value": pa.array(vals, pa.string()),
+                "n": pa.array(counts, pa.int64()),
+                "loss": pa.array(loss, pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("value")
+        .sum(["n", "loss"])
+    )
+
+    def block_top(t: pa.Table) -> pa.Table:
+        # keep the sentinel (its summed loss IS the global bound) plus
+        # this block's top_n candidates
+        idx = pc.sort_indices(
+            t, sort_keys=[("sum(n)", "descending"), ("value", "ascending")]
+        )
+        t = t.take(idx)
+        keep = np.zeros(t.num_rows, dtype=bool)
+        keep[: min(top_n, t.num_rows)] = True
+        sent = pc.equal(t.column("value"), _MG_LOSS_SENTINEL).to_numpy(
+            zero_copy_only=False
+        )
+        return t.filter(pa.array(keep | sent))
+
+    rows = merged.map_batches(
+        block_top, batch_format="pyarrow", batch_size=None
+    ).take_all()  # <= top_n+1 rows per merged block; merged blocks are few
+    global_loss = sum(r["sum(loss)"] for r in rows if r["value"] == _MG_LOSS_SENTINEL)
+    cands = [r for r in rows if r["value"] != _MG_LOSS_SENTINEL]
+    cands.sort(key=lambda r: (-r["sum(n)"], r["value"]))
+    cands = cands[:top_n]
+    return pa.table(
+        {
+            "value": pa.array([r["value"] for r in cands], pa.string()),
+            "est_count": pa.array([r["sum(n)"] for r in cands], pa.int64()),
+            "max_undercount": pa.array(
+                [global_loss] * len(cands), pa.int64()
+            ),
+        }
+    )

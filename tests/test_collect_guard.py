@@ -23,6 +23,7 @@ WHITELIST = {
     "stages/webtext.py": (2, "eval-side gram hashes + hot-span bank (both small by contract; join variant exists)"),
     "stages/selection.py": (2, "<= n_buckets histogram rows; <= collect_limit residual values"),
     "stages/kmeans.py": (2, "<= k rows per iteration (init buckets; merged partials)"),
+    "stages/aggregates.py": (1, "<= top_n+1 rows per merged MG block"),
 }
 
 
