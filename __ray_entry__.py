@@ -494,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o16_stratified_sample": R.o16_stratified_sample,
         "o17_weighted_sample": R.o17_weighted_sample,
         "text_top_terms": R.text_top_terms,
+        "o18_retention": R.o18_retention,
         "approx_top_terms": R.approx_top_terms,
         "o8_asof_join": R.o8_asof_join,
         "o9_range_count": R.o9_range_count,
@@ -711,6 +712,13 @@ def oracle_sql() -> dict[str, str]:
             "-LN((((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0)"
             " / n_chars, doc_id) AS rn "
             "FROM documents WHERE n_chars > 0) WHERE rn <= 10"
+        ),
+        "o18_retention": (
+            "WITH uw AS (SELECT DISTINCT user_id, "
+            "CAST(epoch(ts) AS BIGINT) // 604800 AS wk FROM events) "
+            "SELECT a.wk AS wk, count(*) AS retained FROM uw a "
+            "JOIN uw b ON b.user_id = a.user_id AND b.wk = a.wk + 1 "
+            "GROUP BY 1"
         ),
         "text_top_terms": (
             "SELECT term, n FROM (SELECT lower(t.term) AS term, "

@@ -2040,6 +2040,73 @@ def text_tfidf_topk(sf_dir: str, k: int = 3) -> rd.Dataset:
     )
 
 
+def o18_retention(sf_dir: str) -> rd.Dataset:
+    """Weekly cohort retention: per epoch-anchored 7-day bucket, how
+    many users are active in it AND the next bucket.  The self-join a
+    SQL plan would run collapses to ONE user-hash shuffle: per
+    partition, distinct (user, week) pairs sort into user segments and
+    consecutive-week detection is a vectorized diff; the per-week
+    counts then pre-combine per partition before a tiny groupby(week)
+    sum.  Week ids are integer epoch//604800 on BOTH sides (no
+    engine-specific week-start semantics to diverge on)."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    n_parts = default_join_partitions()
+    week_us = 604_800 * 1_000_000
+
+    def to_weeks(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        wk = pc.divide(ts, week_us)  # int64 floor for positive epochs
+        out = pa.table({"user_id": t.column("user_id"), "wk": wk})
+        # per-block dedup so the shuffle moves distinct pairs per block
+        out = out.group_by(["user_id", "wk"]).aggregate([])
+        return out.append_column(
+            "__part", part_column(out, ["user_id"], n_parts)
+        )
+
+    def consec(g: pa.Table) -> pa.Table:
+        from ..stages.partition import sorted_segments
+
+        t, starts, _ends = sorted_segments(
+            g.drop_columns("__part"), ["user_id"], extra_sort=[("wk", "ascending")]
+        )
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        wk = t.column("wk").to_numpy(zero_copy_only=False)
+        n = len(wk)
+        if n == 0:
+            return pa.table(
+                {"wk": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        # distinct within partition too (cross-block duplicates)
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (users[1:] != users[:-1]) | (wk[1:] != wk[:-1])
+        users, wk = users[keep], wk[keep]
+        same_user = users[1:] == users[:-1]
+        consecutive = same_user & (wk[1:] - wk[:-1] == 1)
+        weeks, counts = np.unique(wk[:-1][consecutive], return_counts=True)
+        return pa.table(
+            {
+                "wk": pa.array(weeks, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    partials = (
+        ev.map_batches(to_weeks, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(consec, batch_format="pyarrow")
+    )
+    return (
+        partials.groupby("wk")
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["wk", "retained"]), batch_format="pyarrow"
+        )
+    )
+
+
 def _token_rows(docs: rd.Dataset) -> rd.Dataset:
     """documents -> one (term) row per token (vectorized Arrow split;
     the regex class matches the SQL oracles verbatim)."""
