@@ -495,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o17_weighted_sample": R.o17_weighted_sample,
         "text_top_terms": R.text_top_terms,
         "o18_retention": R.o18_retention,
+        "j11_smart_join": R.j11_smart_join,
         "approx_top_terms": R.approx_top_terms,
         "o8_asof_join": R.o8_asof_join,
         "o9_range_count": R.o9_range_count,
@@ -712,6 +713,11 @@ def oracle_sql() -> dict[str, str]:
             "-LN((((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0)"
             " / n_chars, doc_id) AS rn "
             "FROM documents WHERE n_chars > 0) WHERE rn <= 10"
+        ),
+        "j11_smart_join": (
+            "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, "
+            "CAST(s_nationkey AS BIGINT) AS nationkey, n_name "
+            "FROM supplier JOIN nation ON n_nationkey = s_nationkey"
         ),
         "o18_retention": (
             "WITH uw AS (SELECT DISTINCT user_id, "

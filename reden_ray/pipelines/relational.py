@@ -2040,6 +2040,35 @@ def text_tfidf_topk(sf_dir: str, k: int = 3) -> rd.Dataset:
     )
 
 
+def j11_smart_join(sf_dir: str) -> rd.Dataset:
+    """Cost-based join choice (joins.smart_join): the nation build side
+    is metadata-sized under the broadcast threshold, so the plan runs
+    the zero-shuffle broadcast path — verified here against the same
+    SQL the hash path would satisfy (strategy equality is pinned by
+    tests/test_smart_join.py)."""
+    from ..stages.joins import smart_join
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": t.column("s_suppkey").cast(pa.int64()),
+                "nationkey": t.column("s_nationkey").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).map_batches(
+        lambda t: pa.table(
+            {
+                "nationkey": t.column("n_nationkey").cast(pa.int64()),
+                "n_name": t.column("n_name"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return smart_join(sup, nat, on=["nationkey"])
+
+
 def o18_retention(sf_dir: str) -> rd.Dataset:
     """Weekly cohort retention: per epoch-anchored 7-day bucket, how
     many users are active in it AND the next bucket.  The self-join a

@@ -171,3 +171,54 @@ def _membership_filter(left: rd.Dataset, right, on: list[str], keep: bool) -> rd
         return batch.filter(mask)
 
     return left.map_batches(filt_multi, batch_format="pyarrow")
+
+
+def smart_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: list[str],
+    how: str = "inner",
+    broadcast_threshold_bytes: int = 64 << 20,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Cost-based physical join choice — the optimizer decision every
+    SQL engine makes, spelled out over Dataset metadata:
+
+    - build side (right) under ``broadcast_threshold_bytes`` (from block
+      METADATA after staging — no extra scan): collect it to a single
+      Arrow table and ``broadcast_join`` (zero shuffle; the probe side
+      streams);
+    - otherwise: native hash-shuffle ``hash_join``, both sides staged
+      against the Ray 2.49 empty-first-block schema-broadcast trap.
+
+    The right side is staged either way (``materialize`` — spillable,
+    block-distributed, never driver-sized), so sizing it is free.
+    Empty build side short-circuits: inner -> 0 rows (left's schema is
+    unknown without the join, so we emit left.limit(0) joined shape is
+    not constructible — instead return left filtered to nothing for
+    inner, left unchanged for left_outer with null columns unknowable;
+    callers needing outer semantics on an empty side should use
+    hash_join directly)."""
+    staged = right.materialize()
+    total = sum(
+        b.size_bytes() or 0 for b in staged.iter_internal_ref_bundles()
+    )
+    if staged.count() == 0:
+        if how == "inner":
+            return left.limit(0)
+        raise ValueError(
+            "smart_join: empty build side with outer semantics — use "
+            "hash_join (schema of the null side is not inferable here)"
+        )
+    if total <= broadcast_threshold_bytes and how in ("inner", "left_outer"):
+        import pyarrow as _pa
+
+        build = _pa.concat_tables(
+            ray.get([ref for bundle in staged.iter_internal_ref_bundles()
+                     for ref in bundle.block_refs])
+        )
+        arrow_how = {"inner": "inner", "left_outer": "left outer"}[how]
+        return broadcast_join(left, build, on=on, how=arrow_how)
+    compacted = staged_nonempty(staged)
+    return hash_join(left, compacted, on=on, how=how,
+                     num_partitions=num_partitions)
