@@ -37,7 +37,7 @@ def test_protocol_and_registry():
         build_step({"threshold": 1})
     # every registered factory builds with defaults that require no args
     # (except the ones with required params)
-    required = {"keep_lang", "block_domains"}
+    required = {"keep_lang", "block_domains", "select_columns"}
     for name in STEP_BUILDERS:
         if name in required:
             continue
