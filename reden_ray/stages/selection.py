@@ -145,25 +145,44 @@ def select_order_stats(
                     # range holds a single representable float
                     results[k] = new_lo
 
-    # final: collect the (bounded) residual ranges and pick exactly
+    # final: collect ALL residual ranges in ONE scan (values tagged by
+    # range id), then pick exactly — one pass no matter how many target
+    # ranks survive to this phase
     by_range = {}
     for k in state:
         if k in results:
             continue
         lo, hi, hi_inc, _cnt, _base = state[k]
         by_range.setdefault((lo, hi, hi_inc), []).append(k)
-    for (lo, hi, hi_inc), ks in by_range.items():
+    if not by_range:
+        return results
+    ranges = list(by_range)
 
-        def in_range(t: pa.Table, lo=lo, hi=hi, hi_inc=hi_inc) -> pa.Table:
-            v = t.column(column).to_numpy(zero_copy_only=False)
-            keep = ~np.isnan(v) & (v >= lo) & ((v <= hi) if hi_inc else (v < hi))
-            return pa.table({column: pa.array(v[keep], pa.float64())})
+    def in_ranges(t: pa.Table) -> pa.Table:
+        v = t.column(column).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        rids, vals = [], []
+        for rid, (lo, hi, hi_inc) in enumerate(ranges):
+            keep = (v >= lo) & ((v <= hi) if hi_inc else (v < hi))
+            hit = v[keep]
+            rids.append(np.full(len(hit), rid, dtype=np.int64))
+            vals.append(hit)
+        return pa.table(
+            {
+                "rid": pa.array(np.concatenate(rids), pa.int64()),
+                column: pa.array(np.concatenate(vals), pa.float64()),
+            }
+        )
 
-        rows = ds.map_batches(
-            in_range, batch_format="pyarrow", batch_size=None
-        ).take_all()  # bounded: <= collect_limit residual values by construction
-        vals = np.sort(np.array([r[column] for r in rows], dtype=np.float64))
-        for k in ks:
+    rows = ds.map_batches(
+        in_ranges, batch_format="pyarrow", batch_size=None
+    ).take_all()  # bounded: <= collect_limit values per residual range
+    per_range: dict[int, list[float]] = {rid: [] for rid in range(len(ranges))}
+    for r in rows:
+        per_range[r["rid"]].append(r[column])
+    for rid, key in enumerate(ranges):
+        vals = np.sort(np.array(per_range[rid], dtype=np.float64))
+        for k in by_range[key]:
             base = state[k][4]
             results[k] = float(vals[k - base])
     return results
