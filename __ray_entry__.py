@@ -496,6 +496,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_top_terms": R.text_top_terms,
         "o18_retention": R.o18_retention,
         "j11_smart_join": R.j11_smart_join,
+        "f2_string_funcs": R.f2_string_funcs,
+        "f3_date_parts": R.f3_date_parts,
         "approx_top_terms": R.approx_top_terms,
         "o8_asof_join": R.o8_asof_join,
         "o9_range_count": R.o9_range_count,
@@ -713,6 +715,23 @@ def oracle_sql() -> dict[str, str]:
             "-LN((((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0)"
             " / n_chars, doc_id) AS rn "
             "FROM documents WHERE n_chars > 0) WHERE rn <= 10"
+        ),
+        "f2_string_funcs": (
+            "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, "
+            "upper(c_name) AS upper_name, "
+            "substr(c_name, 1, 5) AS prefix5, "
+            "CAST(length(c_name) AS BIGINT) AS name_len, "
+            "reverse(c_name) AS reversed, "
+            "'cust' || ':' || c_name AS tagged "
+            "FROM customer"
+        ),
+        "f3_date_parts": (
+            "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, "
+            "CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y, "
+            "CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m, "
+            "CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS d, "
+            "CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q "
+            "FROM orders"
         ),
         "j11_smart_join": (
             "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, "

@@ -2040,6 +2040,51 @@ def text_tfidf_topk(sf_dir: str, k: int = 3) -> rd.Dataset:
     )
 
 
+def f2_string_funcs(sf_dir: str) -> rd.Dataset:
+    """§2.8 scalar string kernels over customer names — all
+    pyarrow.compute, no Python rows: upper, substring, length,
+    reversed, concat-with-literal."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def funcs(t: pa.Table) -> pa.Table:
+        name = t.column("c_name")
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey").cast(pa.int64()),
+                "upper_name": pc.utf8_upper(name),
+                "prefix5": pc.utf8_slice_codeunits(name, 0, 5),
+                "name_len": pc.utf8_length(name).cast(pa.int64()),
+                "reversed": pc.utf8_reverse(name),
+                "tagged": pc.binary_join_element_wise(
+                    pa.array(["cust"] * t.num_rows), name, ":"
+                ),
+            }
+        )
+
+    return cust.map_batches(funcs, batch_format="pyarrow", batch_size=None)
+
+
+def f3_date_parts(sf_dir: str) -> rd.Dataset:
+    """§2.8 scalar date kernels over order dates: year / month / day /
+    quarter extraction (engine-agnostic parts — day-of-week start
+    conventions deliberately avoided)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("o_orderdate"), pa.timestamp("us"))
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "y": pc.year(d).cast(pa.int64()),
+                "m": pc.month(d).cast(pa.int64()),
+                "d": pc.day(d).cast(pa.int64()),
+                "q": pc.quarter(d).cast(pa.int64()),
+            }
+        )
+
+    return orders.map_batches(parts, batch_format="pyarrow", batch_size=None)
+
+
 def j11_smart_join(sf_dir: str) -> rd.Dataset:
     """Cost-based join choice (joins.smart_join): the nation build side
     is metadata-sized under the broadcast threshold, so the plan runs
