@@ -1,9 +1,9 @@
 """Driver contract for the graft builder (Ray Data target).
 
 ``entry()`` runs the flagship KG pipeline on /root/testdata/sf0.001-scale
-synthetic fixtures; ``queries()`` exposes 85 callables covering the
+synthetic fixtures; ``queries()`` exposes 87 callables covering the
 SURVEY.md §2 operator families plus the training-data extras;
-``oracle_sql()`` gives the DuckDB equivalent for the 53 SQL-expressible
+``oracle_sql()`` gives the DuckDB equivalent for the 55 SQL-expressible
 queries (same column names — the driver hash-compares values with
 columns sorted by name; floats rounded identically on both sides).
 
