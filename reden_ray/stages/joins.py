@@ -193,23 +193,23 @@ def smart_join(
 
     The right side is staged either way (``materialize`` — spillable,
     block-distributed, never driver-sized), so sizing it is free.
-    Empty build side short-circuits: inner -> 0 rows (left's schema is
-    unknown without the join, so we emit left.limit(0) joined shape is
-    not constructible — instead return left filtered to nothing for
-    inner, left unchanged for left_outer with null columns unknowable;
-    callers needing outer semantics on an empty side should use
-    hash_join directly)."""
+    Empty build side short-circuits through the broadcast path with an
+    empty Arrow table: 0 rows for inner / all-null right columns for
+    left_outer, with the CORRECT joined schema (a bare ``left.limit(0)``
+    would drop the right-side columns)."""
     staged = right.materialize()
     total = sum(
         b.size_bytes() or 0 for b in staged.iter_internal_ref_bundles()
     )
     if staged.count() == 0:
-        if how == "inner":
-            return left.limit(0)
-        raise ValueError(
-            "smart_join: empty build side with outer semantics — use "
-            "hash_join (schema of the null side is not inferable here)"
-        )
+        if how not in ("inner", "left_outer"):
+            raise ValueError(
+                "smart_join: empty build side is only short-circuitable "
+                "for inner/left_outer — use hash_join for other types"
+            )
+        empty = staged.schema().base_schema.empty_table()
+        arrow_how = {"inner": "inner", "left_outer": "left outer"}[how]
+        return broadcast_join(left, empty, on=on, how=arrow_how)
     if total <= broadcast_threshold_bytes and how in ("inner", "left_outer"):
         import pyarrow as _pa
 

@@ -51,5 +51,10 @@ def test_smart_join_empty_build(ray_session):
     empty = pa.table({"k": pa.array([], pa.int64()), "rv": pa.array([], pa.string())})
     out = smart_join(_ds(left, 1), _ds(empty, 1), on=["k"])
     assert out.count() == 0
-    with pytest.raises(ValueError, match="empty build side"):
-        smart_join(_ds(left, 1), _ds(empty, 1), on=["k"], how="left_outer")
+    # the joined schema survives the short-circuit (not just left's)
+    assert set(out.schema().names) == {"k", "rv"}
+    outer = smart_join(_ds(left, 1), _ds(empty, 1), on=["k"], how="left_outer")
+    rows = {r["k"]: r["rv"] for r in outer.take_all()}
+    assert rows == {1: None, 2: None}
+    with pytest.raises(ValueError, match="short-circuitable"):
+        smart_join(_ds(left, 1), _ds(empty, 1), on=["k"], how="full_outer")
