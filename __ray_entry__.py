@@ -1,9 +1,9 @@
 """Driver contract for the graft builder (Ray Data target).
 
 ``entry()`` runs the flagship KG pipeline on /root/testdata/sf0.001-scale
-synthetic fixtures; ``queries()`` exposes 87 callables covering the
+synthetic fixtures; ``queries()`` exposes 88 callables covering the
 SURVEY.md §2 operator families plus the training-data extras;
-``oracle_sql()`` gives the DuckDB equivalent for the 55 SQL-expressible
+``oracle_sql()`` gives the DuckDB equivalent for the 56 SQL-expressible
 queries (same column names — the driver hash-compares values with
 columns sorted by name; floats rounded identically on both sides).
 
@@ -489,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a14_string_agg": R.a14_string_agg,
         "a15_percentile_cont": R.a15_percentile_cont,
         "text_tfidf_topk": R.text_tfidf_topk,
+        "text_bm25_topk": R.text_bm25_topk,
         "j10_full_outer": R.j10_full_outer,
         "f1_vector_norm": R.f1_vector_norm,
         "o16_stratified_sample": R.o16_stratified_sample,
@@ -768,6 +769,27 @@ def oracle_sql() -> dict[str, str]:
             "   PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank"
             "   FROM scored) "
             "SELECT doc_id, term, ROUND(tfidf, 4) AS tfidf, rank "
+            "FROM ranked WHERE rank <= 3"
+        ),
+        "text_bm25_topk": (
+            "WITH tok AS ("
+            "  SELECT doc_id, lower(t.term) AS term"
+            "  FROM documents, UNNEST(string_split_regex(text, '[ \t\n\r\f\v]+'))"
+            "  AS t(term) WHERE t.term <> ''"
+            "), tf AS (SELECT doc_id, term, count(*) AS tfc FROM tok GROUP BY 1, 2),"
+            " dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY 1),"
+            " df AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM tok GROUP BY 1),"
+            " n AS (SELECT count(*) AS n FROM documents),"
+            " ad AS (SELECT sum(dlen)::DOUBLE / count(*) AS avgdl FROM dl),"
+            " scored AS (SELECT tf.doc_id, tf.term,"
+            "   (LN((n.n - dfc + 0.5) / (dfc + 0.5) + 1) * (tfc * 2.2)) /"
+            "   (tfc + 1.2 * (0.25 + 0.75 * dlen / avgdl)) AS bm25"
+            "   FROM tf JOIN dl USING (doc_id) JOIN df USING (term)"
+            "   CROSS JOIN n CROSS JOIN ad),"
+            " ranked AS (SELECT doc_id, term, bm25, CAST(row_number() OVER ("
+            "   PARTITION BY doc_id ORDER BY bm25 DESC, term) AS BIGINT) AS rank"
+            "   FROM scored) "
+            "SELECT doc_id, term, ROUND(bm25, 4) AS bm25, rank "
             "FROM ranked WHERE rank <= 3"
         ),
         "a15_percentile_cont": (

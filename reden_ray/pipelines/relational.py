@@ -1902,6 +1902,121 @@ def o17_weighted_sample(sf_dir: str, k: int = 10) -> rd.Dataset:
     return _stratum_topk(keyed, "source", "key", k, ["doc_id", "source"])
 
 
+def text_bm25_topk(sf_dir: str, k: int = 3, k1: float = 1.2, b: float = 0.75) -> rd.Dataset:
+    """BM25 (Robertson; Lucene-style non-negative idf) with per-doc
+    top-k terms — TF-IDF's production sibling.  Same plan shape as
+    ``text_tfidf_topk`` (shared ``_doc_term_rows`` tokenizer, one
+    term-hash shuffle for df, o5 partial top-k), plus one scalar:
+    avgdl, computed from per-block distinct-doc partials (each doc
+    lives wholly in one block by construction, so block partials are
+    exact) — a two-number aggregate, never a doc-sized collect.
+    Arithmetic is ordered exactly as the SQL oracle writes it so both
+    engines produce bit-identical doubles from identical inputs."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import default_join_partitions, hash_join, staged_nonempty
+    from ..stages.partition import part_column
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+    term_rows = docs.map_batches(
+        _doc_term_rows, batch_format="pyarrow", batch_size=None
+    ).materialize()  # three consumers (avgdl, df, join probe)
+
+    def dl_partial(t: pa.Table) -> pa.Table:
+        # docs are whole within a block: first (doc, dlen) row per doc
+        docs_np = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dlen = t.column("dlen").to_numpy(zero_copy_only=False)
+        _, first = np.unique(docs_np, return_index=True)
+        return pa.table(
+            {
+                "sum_dlen": pa.array([int(dlen[first].sum())], pa.int64()),
+                "n_docs_tok": pa.array([len(first)], pa.int64()),
+            }
+        )
+
+    agg = term_rows.map_batches(
+        dl_partial, batch_format="pyarrow", batch_size=None
+    ).aggregate(Sum("sum_dlen"), Sum("n_docs_tok"))
+    avgdl = agg["sum(sum_dlen)"] / agg["sum(n_docs_tok)"]
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c = t.group_by("term").aggregate([("term", "count")])
+        return pa.table(
+            {"term": c.column("term"), "n": c.column("term_count").cast(pa.int64())}
+        )
+
+    df_tbl = (
+        term_rows.map_batches(df_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["term", "dfc"]), batch_format="pyarrow"
+        )
+    )
+    staged_df = staged_nonempty(df_tbl)
+    if staged_df is None:
+        return term_rows
+    joined = hash_join(term_rows, staged_df, on=["term"])
+
+    def score(t: pa.Table) -> pa.Table:
+        tfc = t.column("tfc").to_numpy(zero_copy_only=False).astype(np.float64)
+        dlen = t.column("dlen").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfc = t.column("dfc").to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = np.log((n_docs - dfc + 0.5) / (dfc + 0.5) + 1)
+        bm25 = (idf * (tfc * (k1 + 1))) / (
+            tfc + k1 * ((1 - b) + b * dlen / avgdl)
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "term": t.column("term"),
+                "bm25": pa.array(bm25, pa.float64()),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow", batch_size=None)
+    n_parts = default_join_partitions()
+
+    def topk(t: pa.Table, emit_rank: bool) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("bm25", "descending"),
+                ("term", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        keys = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        seg_id = np.cumsum(new) - 1
+        rank = np.arange(n, dtype=np.int64) - starts[seg_id]
+        t = t.filter(pa.array(rank < k))
+        if emit_rank:
+            t = t.append_column("rank", pa.array(rank[rank < k] + 1, pa.int64()))
+        return t
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = topk(t, emit_rank=False)
+        return t.append_column("__part", part_column(t, ["doc_id"], n_parts))
+
+    def final(g: pa.Table) -> pa.Table:
+        t = topk(g.drop_columns("__part"), emit_rank=True)
+        return _round_col(t, "bm25", 4)
+
+    return (
+        scored.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def text_tfidf_topk(sf_dir: str, k: int = 3) -> rd.Dataset:
     """Distributed TF-IDF with per-doc top-k terms — the IR scoring
     pass a corpus pipeline runs before indexing/filtering:
@@ -1925,43 +2040,9 @@ def text_tfidf_topk(sf_dir: str, k: int = 3) -> rd.Dataset:
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = docs.count()
-
-    def tok(t: pa.Table) -> pa.Table:
-        # fully vectorized: Arrow regex split + C++ group_by count —
-        # no Python loop over docs or tokens (utf8_lower matches
-        # str.lower / DuckDB lower on this corpus: all utf8proc)
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(t.column("text")), pattern=r"[ \t\n\r\f\v]+"
-        )
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        parent = np.repeat(
-            t.column("doc_id").to_numpy(zero_copy_only=False), lens
-        )
-        flat = toks.flatten()
-        keep = pc.not_equal(flat, "")
-        pairs = pa.table(
-            {"doc_id": pa.array(parent, pa.int64()), "term": flat}
-        ).filter(keep)
-        counted = pairs.group_by(["doc_id", "term"]).aggregate([("term", "count")])
-        # doc length (post-empty-filter tokens) via sorted-unique lookup
-        uniq, dcounts = np.unique(
-            pairs.column("doc_id").to_numpy(zero_copy_only=False),
-            return_counts=True,
-        )
-        cdoc = counted.column("doc_id").to_numpy(zero_copy_only=False)
-        dlen = dcounts[np.searchsorted(uniq, cdoc)]
-        return pa.table(
-            {
-                "doc_id": counted.column("doc_id"),
-                "term": counted.column("term"),
-                "tfc": counted.column("term_count").cast(pa.int64()),
-                "dlen": pa.array(dlen, pa.int64()),
-            }
-        )
-
-    term_rows = docs.map_batches(tok, batch_format="pyarrow", batch_size=None)
+    term_rows = docs.map_batches(
+        _doc_term_rows, batch_format="pyarrow", batch_size=None
+    )
     term_rows = term_rows.materialize()  # two consumers (df + join probe)
 
     def df_partial(t: pa.Table) -> pa.Table:
@@ -2178,6 +2259,40 @@ def o18_retention(sf_dir: str) -> rd.Dataset:
         .map_batches(
             lambda t: t.rename_columns(["wk", "retained"]), batch_format="pyarrow"
         )
+    )
+
+
+def _doc_term_rows(t: pa.Table) -> pa.Table:
+    """documents batch -> distinct (doc_id, term, tfc, dlen) rows —
+    fully vectorized (Arrow regex split + C++ group_by count; utf8_lower
+    matches str.lower / DuckDB lower on this corpus: all utf8proc).
+    Shared by the TF-IDF and BM25 scorers."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(t.column("text")), pattern=r"[ \t\n\r\f\v]+"
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    parent = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False), lens)
+    flat = toks.flatten()
+    keep = pc.not_equal(flat, "")
+    pairs = pa.table(
+        {"doc_id": pa.array(parent, pa.int64()), "term": flat}
+    ).filter(keep)
+    counted = pairs.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+    # doc length (post-empty-filter tokens) via sorted-unique lookup
+    uniq, dcounts = np.unique(
+        pairs.column("doc_id").to_numpy(zero_copy_only=False), return_counts=True
+    )
+    cdoc = counted.column("doc_id").to_numpy(zero_copy_only=False)
+    dlen = dcounts[np.searchsorted(uniq, cdoc)]
+    return pa.table(
+        {
+            "doc_id": counted.column("doc_id"),
+            "term": counted.column("term"),
+            "tfc": counted.column("term_count").cast(pa.int64()),
+            "dlen": pa.array(dlen, pa.int64()),
+        }
     )
 
 
