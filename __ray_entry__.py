@@ -1,9 +1,9 @@
 """Driver contract for the graft builder (Ray Data target).
 
 ``entry()`` runs the flagship KG pipeline on /root/testdata/sf0.001-scale
-synthetic fixtures; ``queries()`` exposes 88 callables covering the
+synthetic fixtures; ``queries()`` exposes 89 callables covering the
 SURVEY.md §2 operator families plus the training-data extras;
-``oracle_sql()`` gives the DuckDB equivalent for the 56 SQL-expressible
+``oracle_sql()`` gives the DuckDB equivalent for the 57 SQL-expressible
 queries (same column names — the driver hash-compares values with
 columns sorted by name; floats rounded identically on both sides).
 
@@ -490,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a15_percentile_cont": R.a15_percentile_cont,
         "text_tfidf_topk": R.text_tfidf_topk,
         "text_bm25_topk": R.text_bm25_topk,
+        "text_unigram_logprob": R.text_unigram_logprob,
         "j10_full_outer": R.j10_full_outer,
         "f1_vector_norm": R.f1_vector_norm,
         "o16_stratified_sample": R.o16_stratified_sample,
@@ -770,6 +771,21 @@ def oracle_sql() -> dict[str, str]:
             "   FROM scored) "
             "SELECT doc_id, term, ROUND(tfidf, 4) AS tfidf, rank "
             "FROM ranked WHERE rank <= 3"
+        ),
+        "text_unigram_logprob": (
+            "WITH tok AS ("
+            "  SELECT doc_id, lower(t.term) AS term"
+            "  FROM documents, UNNEST(string_split_regex(text, '[ \t\n\r\f\v]+'))"
+            "  AS t(term) WHERE t.term <> ''"
+            "), tf AS (SELECT doc_id, term, count(*) AS tfc FROM tok GROUP BY 1, 2),"
+            " dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY 1),"
+            " vc AS (SELECT term, sum(tfc) AS cnt FROM tf GROUP BY 1),"
+            " tot AS (SELECT sum(cnt) AS total FROM vc),"
+            " scored AS (SELECT tf.doc_id,"
+            "   (tfc * LN(cnt / total)) / dlen AS c"
+            "   FROM tf JOIN dl USING (doc_id) JOIN vc USING (term)"
+            "   CROSS JOIN tot) "
+            "SELECT doc_id, ROUND(sum(c), 4) AS logprob FROM scored GROUP BY 1"
         ),
         "text_bm25_topk": (
             "WITH tok AS ("

@@ -1902,6 +1902,69 @@ def o17_weighted_sample(sf_dir: str, k: int = 10) -> rd.Dataset:
     return _stratum_topk(keyed, "source", "key", k, ["doc_id", "source"])
 
 
+def text_unigram_logprob(sf_dir: str) -> rd.Dataset:
+    """Per-doc mean unigram log-probability under the corpus's own
+    unigram LM — the distributed analogue of CCNet-style LM quality
+    filtering (docs far below the corpus's typical score are
+    boilerplate/noise candidates).  Plan: shared tokenizer
+    (`_doc_term_rows`), vocabulary counts via per-block partials + one
+    term groupby, ONE term-hash shuffle join back to the term rows,
+    per-row normalized contributions, one doc groupby sum.  Vocabulary
+    is corpus-sized throughout — never a broadcast."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join, staged_nonempty
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    term_rows = docs.map_batches(
+        _doc_term_rows, batch_format="pyarrow", batch_size=None
+    ).materialize()  # three consumers (total, vocab counts, join probe)
+
+    total = int(term_rows.aggregate(Sum("tfc"))["sum(tfc)"])
+    if total == 0:
+        return term_rows.select_columns(["doc_id"])
+
+    def vc_partial(t: pa.Table) -> pa.Table:
+        c = t.group_by("term").aggregate([("tfc", "sum")])
+        return pa.table(
+            {"term": c.column("term"), "cnt": c.column("tfc_sum").cast(pa.int64())}
+        )
+
+    vocab = (
+        term_rows.map_batches(vc_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .sum("cnt")
+        .map_batches(
+            lambda t: t.rename_columns(["term", "cnt"]), batch_format="pyarrow"
+        )
+    )
+    joined = hash_join(term_rows, staged_nonempty(vocab), on=["term"])
+
+    def contrib(t: pa.Table) -> pa.Table:
+        tfc = t.column("tfc").to_numpy(zero_copy_only=False).astype(np.float64)
+        dlen = t.column("dlen").to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        c = (tfc * np.log(cnt / total)) / dlen
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "c": pa.array(c, pa.float64())}
+        )
+
+    return (
+        joined.map_batches(contrib, batch_format="pyarrow", batch_size=None)
+        .groupby("doc_id")
+        .sum("c")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "logprob": pc.round(t.column("sum(c)"), 4),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def text_bm25_topk(sf_dir: str, k: int = 3, k1: float = 1.2, b: float = 0.75) -> rd.Dataset:
     """BM25 (Robertson; Lucene-style non-negative idf) with per-doc
     top-k terms — TF-IDF's production sibling.  Same plan shape as
