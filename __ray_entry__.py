@@ -1,9 +1,9 @@
 """Driver contract for the graft builder (Ray Data target).
 
 ``entry()`` runs the flagship KG pipeline on /root/testdata/sf0.001-scale
-synthetic fixtures; ``queries()`` exposes 89 callables covering the
+synthetic fixtures; ``queries()`` exposes 90 callables covering the
 SURVEY.md §2 operator families plus the training-data extras;
-``oracle_sql()`` gives the DuckDB equivalent for the 57 SQL-expressible
+``oracle_sql()`` gives the DuckDB equivalent for the 58 SQL-expressible
 queries (same column names — the driver hash-compares values with
 columns sorted by name; floats rounded identically on both sides).
 
@@ -497,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o17_weighted_sample": R.o17_weighted_sample,
         "text_top_terms": R.text_top_terms,
         "o18_retention": R.o18_retention,
+        "o19_funnel": R.o19_funnel,
         "j11_smart_join": R.j11_smart_join,
         "f2_string_funcs": R.f2_string_funcs,
         "f3_date_parts": R.f3_date_parts,
@@ -739,6 +740,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, "
             "CAST(s_nationkey AS BIGINT) AS nationkey, n_name "
             "FROM supplier JOIN nation ON n_nationkey = s_nationkey"
+        ),
+        "o19_funnel": (
+            "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN v ON v.user_id = e.user_id AND e.ts > v.t1 "
+            "WHERE e.event_type = 'click' GROUP BY 1), "
+            "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN c ON c.user_id = e.user_id AND e.ts > c.t2 "
+            "WHERE e.event_type = 'purchase' GROUP BY 1) "
+            "SELECT (SELECT count(*) FROM v) AS n_view, "
+            "(SELECT count(*) FROM c) AS n_view_click, "
+            "(SELECT count(*) FROM p) AS n_full_funnel"
         ),
         "o18_retention": (
             "WITH uw AS (SELECT DISTINCT user_id, "

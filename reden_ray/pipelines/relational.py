@@ -2229,6 +2229,80 @@ def f3_date_parts(sf_dir: str) -> rd.Dataset:
     return orders.map_batches(parts, batch_format="pyarrow", batch_size=None)
 
 
+def o19_funnel(sf_dir: str) -> pa.Table:
+    """Ordered funnel (view -> click -> purchase): users whose first
+    view precedes a later click precedes a later purchase.  The SQL
+    plan is three correlated min-joins; the Ray plan is ONE user-hash
+    shuffle and a vectorized per-partition cascade — three masked
+    ``np.minimum.reduceat`` sweeps per user segment (no per-user
+    Python), then a 3-number partial per partition summed by a single
+    tiny aggregate.  Counts only: no float-rounding surface."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column, sorted_segments
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    n_parts = default_join_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    INF = np.iinfo(np.int64).max
+
+    def funnel_part(g: pa.Table) -> pa.Table:
+        t, starts, _ends = sorted_segments(
+            g.drop_columns("__part"), ["user_id"], extra_sort=[("ts", "ascending")]
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "n_view": pa.array([0], pa.int64()),
+                    "n_view_click": pa.array([0], pa.int64()),
+                    "n_full_funnel": pa.array([0], pa.int64()),
+                }
+            )
+        ts = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        typ = np.asarray(t.column("event_type").to_pylist())
+        seg_flag = np.zeros(n, dtype=np.int64)
+        seg_flag[starts] = 1
+        seg_id = np.cumsum(seg_flag) - 1
+
+        def stage_min(mask: np.ndarray) -> np.ndarray:
+            vals = np.where(mask, ts, INF)
+            return np.minimum.reduceat(vals, starts)
+
+        t1 = stage_min(typ == "view")
+        t2 = stage_min((typ == "click") & (ts > t1[seg_id]))
+        t3 = stage_min((typ == "purchase") & (ts > t2[seg_id]))
+        return pa.table(
+            {
+                "n_view": pa.array([int((t1 < INF).sum())], pa.int64()),
+                "n_view_click": pa.array([int((t2 < INF).sum())], pa.int64()),
+                "n_full_funnel": pa.array([int((t3 < INF).sum())], pa.int64()),
+            }
+        )
+
+    partials = (
+        ev.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(funnel_part, batch_format="pyarrow")
+    )
+    agg = partials.aggregate(
+        Sum("n_view"), Sum("n_view_click"), Sum("n_full_funnel")
+    )
+    return pa.table(
+        {
+            "n_view": pa.array([agg["sum(n_view)"]], pa.int64()),
+            "n_view_click": pa.array([agg["sum(n_view_click)"]], pa.int64()),
+            "n_full_funnel": pa.array([agg["sum(n_full_funnel)"]], pa.int64()),
+        }
+    )
+
+
 def j11_smart_join(sf_dir: str) -> rd.Dataset:
     """Cost-based join choice (joins.smart_join): the nation build side
     is metadata-sized under the broadcast threshold, so the plan runs
