@@ -756,7 +756,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "o18_retention": (
             "WITH uw AS (SELECT DISTINCT user_id, "
-            "CAST(epoch(ts) AS BIGINT) // 604800 AS wk FROM events) "
+            "CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events) "
             "SELECT a.wk AS wk, count(*) AS retained FROM uw a "
             "JOIN uw b ON b.user_id = a.user_id AND b.wk = a.wk + 1 "
             "GROUP BY 1"
@@ -764,6 +764,17 @@ def oracle_sql() -> dict[str, str]:
         "text_top_terms": (
             "SELECT term, n FROM (SELECT lower(t.term) AS term, "
             "count(*) AS n FROM documents, "
+            "UNNEST(string_split_regex(text, '[ \t\n\r\f\v]+')) AS t(term) "
+            "WHERE t.term <> '' GROUP BY 1) "
+            "ORDER BY n DESC, term LIMIT 20"
+        ),
+        # The MG sketch itself is not SQL-expressible; the query checks
+        # the sketch's lower/upper bound against the exact counts
+        # in-query and returns exact counts + bound_ok, so the oracle
+        # is the exact top-20 with TRUE — a bound violation hash-fails.
+        "approx_top_terms": (
+            "SELECT term, n, TRUE AS bound_ok FROM "
+            "(SELECT lower(t.term) AS term, count(*) AS n FROM documents, "
             "UNNEST(string_split_regex(text, '[ \t\n\r\f\v]+')) AS t(term) "
             "WHERE t.term <> '' GROUP BY 1) "
             "ORDER BY n DESC, term LIMIT 20"

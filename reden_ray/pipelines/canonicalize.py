@@ -61,6 +61,13 @@ def equivalence_pairs(adjacency: rd.Dataset, same_as: str, dictionary: rd.Datase
     return pairs
 
 
+# connected_components broadcasts the per-iteration label map via
+# ray.put — fine for KG-output-sized graphs, entity-count-bounded.
+# Above this many edge rows it raises and points at the join variant
+# so a misrouted KB-scale input can't materialize on the driver.
+BROADCAST_CC_MAX_PAIRS = 2_000_000
+
+
 def connected_components(
     pairs: rd.Dataset, max_iters: int = 5, prefer_prefix: str | None = None
 ) -> tuple[pa.Table, bool]:
@@ -75,7 +82,19 @@ def connected_components(
     (e.g. the base KB) win over lexicographically-smaller equivalents —
     implemented by rank-prefixing the propagated labels, mirroring the
     reference's base-URI-as-hub convention (GraphHandlerNEL.java:251+).
+
+    SCALE GUARD: the label map is driver-broadcast, so inputs over
+    ``BROADCAST_CC_MAX_PAIRS`` edges raise — use
+    ``connected_components_join_ds`` (same algebra, all-shuffle) there.
     """
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs > BROADCAST_CC_MAX_PAIRS:
+        raise ValueError(
+            f"connected_components: {n_pairs} edge rows exceeds the "
+            f"driver-broadcast budget ({BROADCAST_CC_MAX_PAIRS}); use "
+            "connected_components_join_ds for KB-scale graphs"
+        )
 
     def rank(uri: str) -> str:
         if prefer_prefix is not None and prefer_prefix in uri:
@@ -92,7 +111,6 @@ def connected_components(
         ),
         batch_format="pyarrow",
     ).materialize()
-    pairs = pairs.materialize()
 
     from ray.data.aggregate import Min
 

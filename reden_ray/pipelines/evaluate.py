@@ -188,18 +188,26 @@ def compare_runs(
                     on=("url", "context_id", "mention_id"))
 
     def counts(batch: pa.Table) -> pa.Table:
-        ca = batch.column("correct_a").to_pylist()
-        cb = batch.column("correct_b").to_pylist()
-        both = sum(1 for x, y in zip(ca, cb) if x and y)
-        only_a = sum(1 for x, y in zip(ca, cb) if x and not y)
-        only_b = sum(1 for x, y in zip(ca, cb) if y and not x)
-        neither = sum(1 for x, y in zip(ca, cb) if not x and not y)
+        # Vectorized 2x2 contingency: bucket = 2*a + b, bincount.
+        import numpy as np
+
+        ca = np.asarray(
+            pc.fill_null(pc.cast(batch.column("correct_a"), pa.bool_()), False)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        cb = np.asarray(
+            pc.fill_null(pc.cast(batch.column("correct_b"), pa.bool_()), False)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        bins = np.bincount(2 * ca.astype(np.int64) + cb.astype(np.int64), minlength=4)
         return pa.table(
             {
-                "both": pa.array([both], pa.int64()),
-                "only_a": pa.array([only_a], pa.int64()),
-                "only_b": pa.array([only_b], pa.int64()),
-                "neither": pa.array([neither], pa.int64()),
+                "both": pa.array([int(bins[3])], pa.int64()),
+                "only_a": pa.array([int(bins[2])], pa.int64()),
+                "only_b": pa.array([int(bins[1])], pa.int64()),
+                "neither": pa.array([int(bins[0])], pa.int64()),
             }
         )
 

@@ -44,6 +44,21 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     )
 
 
+def _parquet_cols_bytes(sf_dir: str, table: str, columns: list[str] | None = None) -> int:
+    """Uncompressed byte size of the PRUNED columns straight from
+    parquet footer metadata — no scan; feeds data-sized join
+    partitioning (joins.default_join_partitions)."""
+    md = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata
+    total = 0
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            if columns is None or c.path_in_schema in columns:
+                total += c.total_uncompressed_size
+    return total
+
+
 def _round_col(t: pa.Table, col: str, digits: int) -> pa.Table:
     """Round via numpy, NOT pyarrow.compute.round: pc.round leaves
     1-ulp-off values unchanged (pc.round(122.94999999999999, 4) ==
@@ -76,15 +91,25 @@ def j2_broadcast_join(sf_dir: str) -> rd.Dataset:
 # --- J1 analogue: both-sides-large hash join -----------------------------
 
 def j1_hash_join(sf_dir: str) -> rd.Dataset:
-    """lineitem x orders on orderkey (Ray native hash-shuffle join)."""
-    import ray
+    """lineitem x orders on orderkey (Ray native hash-shuffle join).
+    Partitions sized to the SHUFFLED byte volume read straight from
+    parquet footers (the j8 rule: aggregator-actor spawn cost scales
+    with partition count, so small inputs want few partitions; at real
+    scale the byte rule keeps partitions ~128 MB)."""
+    from ..stages.joins import default_join_partitions
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"])
+    li_cols = ["l_orderkey", "l_quantity", "l_extendedprice"]
+    li = _read(sf_dir, "lineitem", li_cols)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).rename_columns(
         ["l_orderkey", "o_orderstatus"]
     )
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    joined = hash_join(li, orders, on=["l_orderkey"], num_partitions=max(4, cpus // 2))
+    shuffled = _parquet_cols_bytes(sf_dir, "lineitem", li_cols) + _parquet_cols_bytes(
+        sf_dir, "orders", ["o_orderkey", "o_orderstatus"]
+    )
+    joined = hash_join(
+        li, orders, on=["l_orderkey"],
+        num_partitions=default_join_partitions(shuffled),
+    )
     return joined.map_batches(
         lambda t: _round_col(t, "l_extendedprice", 2), batch_format="pyarrow"
     )
@@ -1780,24 +1805,25 @@ def j10_full_outer(sf_dir: str) -> rd.Dataset:
 def f1_vector_norm(sf_dir: str) -> rd.Dataset:
     """L2 norm of the embedding list column — zero-copy Arrow list
     handling: flatten once, cast float32->float64 (the same cast the
-    oracle applies BEFORE squaring), square, segment-sum via reduceat
-    at the list offsets.  No per-row Python."""
+    oracle applies BEFORE squaring), square, segment-sum via a prefix
+    sum differenced at the list offsets (exact for empty segments
+    anywhere — reduceat's clamped-index variant corrupted the segment
+    PRECEDING a trailing empty list).  No per-row Python."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def norm(t: pa.Table) -> pa.Table:
         col = t.column("embedding")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        offsets = col.offsets.to_numpy(zero_copy_only=False)
-        vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False)
+        # offsets index the FULL child buffer; slice to this array's
+        # window so sliced ListArrays stay correct (and cheap).
+        base = int(offsets[0]) if len(offsets) else 0
+        vals = flat[base : int(offsets[-1]) if len(offsets) else 0].astype(np.float64)
         sq = vals * vals
-        lens = np.diff(offsets)
-        if len(sq):
-            sums = np.add.reduceat(sq, np.minimum(offsets[:-1], len(sq) - 1))
-            # reduceat on an empty segment returns the NEXT element: mask
-            sums = np.where(lens > 0, sums, 0.0)
-        else:
-            sums = np.zeros(len(lens))
+        cum = np.concatenate([[0.0], np.cumsum(sq)])
+        sums = cum[offsets[1:] - base] - cum[offsets[:-1] - base]
         return pa.table(
             {
                 "vec_id": t.column("vec_id"),
@@ -1970,9 +1996,11 @@ def text_bm25_topk(sf_dir: str, k: int = 3, k1: float = 1.2, b: float = 0.75) ->
     top-k terms — TF-IDF's production sibling.  Same plan shape as
     ``text_tfidf_topk`` (shared ``_doc_term_rows`` tokenizer, one
     term-hash shuffle for df, o5 partial top-k), plus one scalar:
-    avgdl, computed from per-block distinct-doc partials (each doc
-    lives wholly in one block by construction, so block partials are
-    exact) — a two-number aggregate, never a doc-sized collect.
+    avgdl.  The per-doc (dlen, is-first-row) attributes are stamped as
+    ROW columns inside the tokenizer map — where each doc is provably
+    whole — so avgdl is a plain row-level Sum that stays exact even if
+    Ray's dynamic block splitting later cuts a doc's term rows across
+    blocks (a per-block np.unique would double-count straddlers).
     Arithmetic is ordered exactly as the SQL oracle writes it so both
     engines produce bit-identical doubles from identical inputs."""
     from ray.data.aggregate import Sum
@@ -1982,26 +2010,26 @@ def text_bm25_topk(sf_dir: str, k: int = 3, k1: float = 1.2, b: float = 0.75) ->
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = docs.count()
+
+    def term_rows_fn(t: pa.Table) -> pa.Table:
+        out = _doc_term_rows(t)
+        d = out.column("doc_id").to_numpy(zero_copy_only=False)
+        fst = np.zeros(len(d), dtype=bool)
+        fst[np.unique(d, return_index=True)[1]] = True
+        dlen = out.column("dlen").to_numpy(zero_copy_only=False)
+        return out.append_column(
+            "dlen_fst", pa.array(np.where(fst, dlen, 0), pa.int64())
+        ).append_column("fst", pa.array(fst.astype(np.int64), pa.int64()))
+
     term_rows = docs.map_batches(
-        _doc_term_rows, batch_format="pyarrow", batch_size=None
+        term_rows_fn, batch_format="pyarrow", batch_size=None
     ).materialize()  # three consumers (avgdl, df, join probe)
 
-    def dl_partial(t: pa.Table) -> pa.Table:
-        # docs are whole within a block: first (doc, dlen) row per doc
-        docs_np = t.column("doc_id").to_numpy(zero_copy_only=False)
-        dlen = t.column("dlen").to_numpy(zero_copy_only=False)
-        _, first = np.unique(docs_np, return_index=True)
-        return pa.table(
-            {
-                "sum_dlen": pa.array([int(dlen[first].sum())], pa.int64()),
-                "n_docs_tok": pa.array([len(first)], pa.int64()),
-            }
-        )
-
-    agg = term_rows.map_batches(
-        dl_partial, batch_format="pyarrow", batch_size=None
-    ).aggregate(Sum("sum_dlen"), Sum("n_docs_tok"))
-    avgdl = agg["sum(sum_dlen)"] / agg["sum(n_docs_tok)"]
+    agg = term_rows.aggregate(Sum("dlen_fst"), Sum("fst"))
+    avgdl = agg["sum(dlen_fst)"] / agg["sum(fst)"]
+    # lazy projection off the materialized parent — re-runs per
+    # consumer but never re-tokenizes
+    term_rows = term_rows.drop_columns(["dlen_fst", "fst"])
 
     def df_partial(t: pa.Table) -> pa.Table:
         c = t.group_by("term").aggregate([("term", "count")])
@@ -2486,13 +2514,62 @@ def text_top_terms(sf_dir: str, top_n: int = 20) -> rd.Dataset:
 
 def approx_top_terms(sf_dir: str, top_n: int = 20) -> pa.Table:
     """Heavy hitters with bounded state (Misra-Gries summaries —
-    stages/aggregates.misra_gries_topk): rows-only; the lower/upper
-    bound contract is pinned by tests/test_heavy_hitters.py against
-    the exact counts."""
+    stages/aggregates.misra_gries_topk), DRIVER-ORACLED via the MG
+    guarantee: the query runs the sketch AND the exact top-n, checks
+    every exact top term against the sketch's bound (est_count <= true
+    <= est_count + max_undercount; any term heavier than the global
+    undercount bound must be present in the summary), and emits the
+    exact counts plus a ``bound_ok`` flag.  The DuckDB oracle computes
+    the same exact top-n with TRUE — a violated MG bound flips
+    ``bound_ok`` and hash-fails the gate.  The bound contract is
+    additionally pinned against adversarial streams in
+    tests/test_heavy_hitters.py."""
     from ..stages.aggregates import misra_gries_topk
 
     docs = _read(sf_dir, "documents", ["text"])
-    return misra_gries_topk(_token_rows(docs), "term", top_n=top_n, capacity=4096)
+    tokens = _token_rows(docs).materialize()  # two consumers (MG + exact)
+    mg = misra_gries_topk(tokens, "term", top_n=top_n, capacity=4096)
+    est = dict(zip(mg.column("value").to_pylist(), mg.column("est_count").to_pylist()))
+    bound = int(mg.column("max_undercount")[0].as_py()) if mg.num_rows else 0
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        c = t.group_by("term").aggregate([("term", "count")])
+        return pa.table(
+            {"term": c.column("term"), "n": c.column("term_count").cast(pa.int64())}
+        )
+
+    def block_top(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("n", "descending"), ("term", "ascending")])
+        return t.take(idx[: min(top_n, t.num_rows)])
+
+    exact = (
+        tokens.map_batches(partial_counts, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .sum("n")
+        .map_batches(lambda t: t.rename_columns(["term", "n"]), batch_format="pyarrow")
+        .map_batches(block_top, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(block_top, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )  # <= top_n rows
+    ok = True
+    for r in exact:
+        true_n = r["n"]
+        if r["term"] in est:
+            lo = est[r["term"]]
+            if not (lo <= true_n <= lo + bound):
+                ok = False
+        elif true_n > bound:
+            # MG guarantee: anything heavier than the global compress
+            # loss must survive in the summary
+            ok = False
+    return pa.table(
+        {
+            "term": pa.array([r["term"] for r in exact], pa.string()),
+            "n": pa.array([r["n"] for r in exact], pa.int64()),
+            "bound_ok": pa.array([ok] * len(exact), pa.bool_()),
+        }
+    )
 
 
 def a15_percentile_cont(sf_dir: str) -> pa.Table:

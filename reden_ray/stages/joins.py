@@ -44,17 +44,36 @@ def broadcast_join(
     return left.map_batches(join_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
-def default_join_partitions() -> int:
-    """CPU-sized partition count for native hash joins.
+def default_join_partitions(size_bytes: int | None = None) -> int:
+    """Partition count for native hash joins.
 
-    The hash-shuffle aggregators are ACTORS that reserve scheduler
-    slots; oversubscribing them starves the map tasks and deadlocks
-    small clusters (measured: num_partitions=32 hangs a 4-CPU session,
-    16 runs).  cpus//2 keeps aggregators and producers co-scheduled at
-    any cluster size; multi-node callers with big keyspaces should pass
-    an explicit count."""
+    Two rules, both measured on this engine:
+
+    - CPU cap: the hash-shuffle aggregators are ACTORS that reserve
+      scheduler slots; oversubscribing them starves the map tasks and
+      deadlocks small clusters (measured: num_partitions=32 hangs a
+      4-CPU session, 16 runs).  cpus//2 keeps aggregators and
+      producers co-scheduled at any cluster size.
+    - Data sizing: aggregator-actor SPAWN cost scales with partition
+      count, so small inputs want few partitions (measured at
+      sf0.1/32cpu on the j8 plan: 8 parts 7.0s, 16 parts 10.8s,
+      32 parts 19.8s for identical output).  When the caller knows the
+      shuffled byte volume (e.g. a staged build side's metadata), pass
+      it: partitions = ceil(size / 128 MB), clamped to [4, cpu cap].
+      At real scale the byte rule dominates and keeps partitions at
+      the ~100-500 MB sweet spot."""
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(4, cpus // 2)
+    cap = max(4, cpus // 2)
+    if size_bytes is None:
+        return cap
+    target = 128 << 20
+    return max(4, min(cap, -(-int(size_bytes) // target)))
+
+
+def staged_size_bytes(staged: rd.Dataset) -> int:
+    """Total byte size of a MATERIALIZED dataset from block metadata —
+    no scan, no collect."""
+    return sum(b.size_bytes() or 0 for b in staged.iter_internal_ref_bundles())
 
 
 def hash_join(
@@ -127,29 +146,60 @@ def shuffle_anti_join(
     )
 
 
-def _key_set(table_or_ds, on: list[str]) -> set[tuple]:
+# Broadcast membership filters collect the right side's KEYS to the
+# driver; above this byte budget (key columns only, from staged block
+# metadata) they reroute to the shuffle variants instead of
+# materializing a corpus on the driver.
+BROADCAST_KEYS_MAX_BYTES = 256 << 20
+
+
+def _key_table(table_or_ds, on: list[str]) -> pa.Table | None:
+    """DISTINCT key columns of the right side as one Arrow table, or
+    None if it is too big to collect (Dataset whose key columns exceed
+    BROADCAST_KEYS_MAX_BYTES by staged metadata) — callers must then
+    fall back to a shuffle."""
     if isinstance(table_or_ds, rd.Dataset):
-        cols = [on_col for on_col in on]
-        rows = table_or_ds.select_columns(cols).take_all()
-        return {tuple(r[c] for c in on) for r in rows}
-    t = table_or_ds
-    return set(zip(*[t.column(c).to_pylist() for c in on]))
+        staged = table_or_ds.select_columns(list(on)).materialize()
+        if staged_size_bytes(staged) > BROADCAST_KEYS_MAX_BYTES:
+            return None
+        blocks = [
+            b
+            for b in ray.get(
+                [
+                    ref
+                    for bundle in staged.iter_internal_ref_bundles()
+                    for ref in bundle.block_refs
+                ]
+            )
+            if b.num_rows > 0
+        ]
+        if not blocks:
+            return table_or_ds.schema().base_schema.empty_table().select(list(on))
+        t = pa.concat_tables(blocks)
+    else:
+        t = table_or_ds.select(list(on))
+    return t.group_by(list(on)).aggregate([])
 
 
 def broadcast_semi_join(left: rd.Dataset, right, on: list[str]) -> rd.Dataset:
-    """Keep left rows whose key appears in right (small right side)."""
+    """Keep left rows whose key appears in right (small right side;
+    a right side over the broadcast key budget reroutes to
+    ``shuffle_semi_join``)."""
     return _membership_filter(left, right, on, keep=True)
 
 
 def broadcast_anti_join(left: rd.Dataset, right, on: list[str]) -> rd.Dataset:
-    """Keep left rows whose key does NOT appear in right."""
+    """Keep left rows whose key does NOT appear in right (oversized
+    right side reroutes to ``shuffle_anti_join``)."""
     return _membership_filter(left, right, on, keep=False)
 
 
 def _membership_filter(left: rd.Dataset, right, on: list[str], keep: bool) -> rd.Dataset:
-    keys = _key_set(right, on)
+    keys = _key_table(right, on)
+    if keys is None:
+        return (shuffle_semi_join if keep else shuffle_anti_join)(left, right, on)
     if len(on) == 1:
-        value_set = pa.array([k[0] for k in keys])
+        value_set = keys.column(on[0]).combine_chunks()
         col = on[0]
         keys_ref = ray.put(value_set)
 
@@ -165,10 +215,17 @@ def _membership_filter(left: rd.Dataset, right, on: list[str], keep: bool) -> rd
     keys_ref = ray.put(keys)
 
     def filt_multi(batch: pa.Table) -> pa.Table:
+        # Vectorized multi-key membership: per-batch Arrow semi/anti
+        # hash join against the broadcast distinct-key table, with a
+        # row index to restore the input order the join discards.
         ks = ray.get(keys_ref)
-        cols = [batch.column(c).to_pylist() for c in on]
-        mask = pa.array([(tuple(vals) in ks) == keep for vals in zip(*cols)], pa.bool_())
-        return batch.filter(mask)
+        import numpy as np
+
+        b = batch.append_column(
+            "__row", pa.array(np.arange(batch.num_rows, dtype=np.int64))
+        )
+        out = b.join(ks, keys=on, join_type="left semi" if keep else "left anti")
+        return out.sort_by("__row").drop_columns("__row")
 
     return left.map_batches(filt_multi, batch_format="pyarrow")
 
@@ -188,8 +245,10 @@ def smart_join(
       METADATA after staging — no extra scan): collect it to a single
       Arrow table and ``broadcast_join`` (zero shuffle; the probe side
       streams);
-    - otherwise: native hash-shuffle ``hash_join``, both sides staged
-      against the Ray 2.49 empty-first-block schema-broadcast trap.
+    - otherwise: native hash-shuffle ``hash_join``, BOTH sides staged
+      against the Ray 2.49 empty-first-block schema-broadcast trap
+      (the trap bites on either input's first block), partitions sized
+      to the staged build's byte volume.
 
     The right side is staged either way (``materialize`` — spillable,
     block-distributed, never driver-sized), so sizing it is free.
@@ -198,9 +257,7 @@ def smart_join(
     left_outer, with the CORRECT joined schema (a bare ``left.limit(0)``
     would drop the right-side columns)."""
     staged = right.materialize()
-    total = sum(
-        b.size_bytes() or 0 for b in staged.iter_internal_ref_bundles()
-    )
+    total = staged_size_bytes(staged)
     if staged.count() == 0:
         if how not in ("inner", "left_outer"):
             raise ValueError(
@@ -211,14 +268,64 @@ def smart_join(
         arrow_how = {"inner": "inner", "left_outer": "left outer"}[how]
         return broadcast_join(left, empty, on=on, how=arrow_how)
     if total <= broadcast_threshold_bytes and how in ("inner", "left_outer"):
-        import pyarrow as _pa
-
-        build = _pa.concat_tables(
-            ray.get([ref for bundle in staged.iter_internal_ref_bundles()
-                     for ref in bundle.block_refs])
+        # Zero-row blocks can be SCHEMA-LESS zero-column tables (Ray
+        # 2.49 empty map outputs) — concat_tables rejects them
+        # (ArrowInvalid "Schema at index N was different"), so drop
+        # them before the concat; n > 0 guarantees at least one
+        # non-empty block survives.
+        blocks = ray.get(
+            [
+                ref
+                for bundle in staged.iter_internal_ref_bundles()
+                for ref in bundle.block_refs
+            ]
         )
+        build = pa.concat_tables(b for b in blocks if b.num_rows > 0)
         arrow_how = {"inner": "inner", "left_outer": "left outer"}[how]
         return broadcast_join(left, build, on=on, how=arrow_how)
     compacted = staged_nonempty(staged)
-    return hash_join(left, compacted, on=on, how=how,
-                     num_partitions=num_partitions)
+    lstaged = left.materialize()
+    if lstaged.count() == 0:
+        # Empty probe side: Ray 2.49's native join crashes on it
+        # (ArrowInvalid in the aggregators — the schema broadcast rides
+        # on the first block and there is none), so construct the
+        # result directly.  Row-lambda filter chains can leave an empty
+        # probe with NO recoverable schema; the empty staged copy is
+        # returned then (0 rows either way).
+        ls = lstaged.schema()
+        left_schema = ls.base_schema if ls is not None else None
+        if how in ("left_semi", "left_anti") or left_schema is None:
+            return lstaged
+        if how in ("inner", "left_outer"):
+            joined_schema = left_schema.empty_table().join(
+                staged.schema().base_schema.empty_table(),
+                keys=on,
+                join_type="inner",
+            ).schema
+            return rd.from_arrow(joined_schema.empty_table())
+        if how == "full_outer":
+            null_cols = [f for f in left_schema if f.name not in on]
+
+            def add_left_nulls(t: pa.Table) -> pa.Table:
+                for f in null_cols:
+                    t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+                return t
+
+            return compacted.map_batches(add_left_nulls, batch_format="pyarrow")
+        raise ValueError(f"smart_join: empty probe side unsupported for {how}")
+    # Stage the probe against the same empty-first-block trap — but
+    # only pay a compaction when an empty block actually exists (the
+    # probe can be the big fact side; blindly repartitioning it to a
+    # fixed small block count would destroy parallelism at scale).
+    block_rows = [
+        m.num_rows
+        for bundle in lstaged.iter_internal_ref_bundles()
+        for m in bundle.metadata
+    ]
+    if any(r == 0 for r in block_rows):
+        nonempty = sum(1 for r in block_rows if r and r > 0)
+        lstaged = lstaged.repartition(max(1, nonempty)).materialize()
+    return hash_join(
+        lstaged, compacted, on=on, how=how,
+        num_partitions=num_partitions or default_join_partitions(total),
+    )

@@ -35,10 +35,21 @@ def _vecs(t: pa.Table, id_column: str, column: str) -> tuple[np.ndarray, np.ndar
     col = t.column(column)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    offsets = col.offsets.to_numpy(zero_copy_only=False)
-    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = col.values.to_numpy(zero_copy_only=False)
     dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
-    mat = flat.reshape(-1, dim) if dim else flat.reshape(0, 0)
+    if dim:
+        # Fail loudly on ragged rows; slice by offsets so a SLICED
+        # ListArray (nonzero array offset into the child buffer) can't
+        # silently misalign every id<->vector pairing.
+        if not np.all(np.diff(offsets) == dim):
+            raise ValueError(
+                "kmeans: embedding column is ragged — all vectors must "
+                "share one dimension"
+            )
+        mat = flat[offsets[0] : offsets[-1]].astype(np.float64).reshape(-1, dim)
+    else:
+        mat = flat[:0].astype(np.float64).reshape(0, 0)
     ids = t.column(id_column).to_numpy(zero_copy_only=False)
     return ids, mat
 
