@@ -306,17 +306,40 @@ def _pairs_table(ds, schema, sort_cols):
 
 
 def _multimodal_image_features(sf_dir: str):
-    """Multimodal plumbing surfaced as a driver query: deterministic
-    synthetic media table -> actor-pool decode(stub)+feature stage ->
-    per-image feature rows.  Schema/actor wiring is real; the decode is
-    the documented sandbox stub (stages/multimodal.py)."""
+    """Multimodal image pipeline as a driver query, STRICT mode: a
+    deterministic table of REAL 24-bit BMP payloads -> actor-pool
+    pure-numpy decode + mean-pool grid features -> per-image feature
+    rows.  No stub anywhere on this path (stages/multimodal.decode_bmp)."""
     import ray.data as rd
 
-    from reden_ray.stages.multimodal import ImageFeatures, synth_media_table
+    from reden_ray.stages.multimodal import ImageFeatures, synth_bmp_table
 
-    media = rd.from_arrow(synth_media_table(n=64, seed=5))
+    media = rd.from_arrow(synth_bmp_table(n=64, seed=7))
     return media.map_batches(
-        ImageFeatures, batch_format="pyarrow", concurrency=(1, 2), num_cpus=1
+        ImageFeatures,
+        fn_constructor_kwargs={"strict": True},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+
+
+def _multimodal_audio_chunks(sf_dir: str):
+    """Multimodal audio pipeline as a driver query, STRICT mode: REAL
+    16-bit PCM WAV payloads -> actor-pool pure-numpy RIFF decode ->
+    per-chunk RMS / zero-crossing features
+    (stages/multimodal.decode_wav)."""
+    import ray.data as rd
+
+    from reden_ray.stages.multimodal import AudioChunker, synth_wav_table
+
+    audio = rd.from_arrow(synth_wav_table(n=24, seed=8, sample_rate=8000))
+    return audio.map_batches(
+        AudioChunker,
+        fn_constructor_kwargs={"sample_rate": 8000, "chunk_s": 0.5, "strict": True},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        num_cpus=1,
     )
 
 
@@ -545,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_significance_pairs": _kg_significance_pairs,
         "kg_significance_t": _kg_significance_t,
         "multimodal_image_features": _multimodal_image_features,
+        "multimodal_audio_chunks": _multimodal_audio_chunks,
         "dict_from_sources": _dict_from_sources,
         # approximate dedup / scoring (algorithmic, rows-only)
         "dedup_minhash_docs": _dedup_minhash,

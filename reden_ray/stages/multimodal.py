@@ -4,18 +4,22 @@ Media travel as opaque ``binary`` columns with typed metadata
 (mime type, dimensions, duration), exactly like ``pages.html`` does in
 the KG pipeline.  The Ray-side contract — schemas, actor-pool batch
 stages, small batch sizes for wide rows, output layout — is real and
-tested; the DECODE KERNELS themselves are stubbed because this
-environment ships no image/audio libraries: each stage either raises
-``NotImplementedError`` (strict mode) or applies a deterministic fake
-(test mode) clearly marked as such.
+tested.
 
-Swap ``_decode_image_stub`` for a PIL/libvips call (resp. soundfile for
-audio) in production; nothing else changes.
+Decode kernels: UNCOMPRESSED containers decode for real, pure numpy —
+24/32-bit BI_RGB BMP, binary PPM (P6) for images; RIFF/WAVE PCM
+(8/16-bit) for audio — so the image and audio pipelines run STRICT
+end to end in this environment.  Compressed formats (JPEG/PNG/MP3/...)
+need codec libraries this container doesn't ship: in strict mode they
+raise ``NotImplementedError``; in test mode a deterministic fake
+(clearly marked) keeps the plumbing drivable.  Swap the dispatch for
+PIL/libvips (resp. soundfile) in production; nothing else changes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -29,6 +33,181 @@ MEDIA_SCHEMA = pa.schema(
         ("height", pa.int32()),
     ]
 )
+
+
+# --- REAL decoders (pure numpy, uncompressed containers) -----------------
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed (BI_RGB) 24- or 32-bit BMP to an RGB
+    uint8 array of shape (height, width, 3).  Pure numpy: header
+    offsets per the public BITMAPFILEHEADER/BITMAPINFOHEADER layout,
+    rows padded to 4 bytes, bottom-up (positive height) or top-down
+    (negative) both handled."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BI_RGB BMPs decode here "
+            f"(got compression={compression}, bpp={bpp})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    row_stride = (width * bytes_pp + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_stride * height,
+                        offset=data_offset)
+    rows = raw.reshape(height, row_stride)[:, : width * bytes_pp]
+    px = rows.reshape(height, width, bytes_pp)
+    if not top_down:
+        px = px[::-1]
+    # BMP stores BGR(A); emit RGB
+    return np.ascontiguousarray(px[:, :, 2::-1])
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) RGB uint8 array as a 24-bit bottom-up
+    BI_RGB BMP (the fixture writer for the real decoder)."""
+    h, w, _ = img.shape
+    row_stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pixel_bytes = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(pixel_bytes), 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0)
+    return header + pixel_bytes
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6, maxval <= 255) to (h, w, 3) uint8."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM payload (missing 'P6' magic)")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> data,
+    # with '#' comments allowed between tokens
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace before pixel data
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPMs not supported")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raw.reshape(h, w, 3).copy()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE PCM payload (8-bit unsigned or 16-bit signed,
+    any channel count — channels are averaged to mono) to
+    (float32 samples in [-1, 1], sample_rate).  Pure numpy chunk walk
+    per the public RIFF layout."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only 8/16-bit integer PCM WAVs decode here "
+            f"(got format={audio_format}, bits={bits})"
+        )
+    if bits == 16:
+        samples = np.frombuffer(
+            data, dtype="<i2", count=len(data) // 2
+        ).astype(np.float32) / 32768.0
+    else:
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0
+        ) / 128.0
+    if n_channels > 1:
+        n = (len(samples) // n_channels) * n_channels
+        samples = samples[:n].reshape(-1, n_channels).mean(axis=1)
+    return samples.astype(np.float32), sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode mono float32 [-1, 1] samples as 16-bit PCM WAV."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm16 = np.round(pcm * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm16))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm16))
+        + pcm16
+    )
+
+
+def decode_image(
+    payload: bytes,
+    mime: str | None = None,
+    width: int | None = None,
+    height: int | None = None,
+    strict: bool = False,
+) -> np.ndarray:
+    """Dispatch: real decoders by magic bytes (BMP/PPM), else the
+    deterministic stub — which strict mode refuses."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if strict:
+        raise NotImplementedError(
+            f"no real decoder for this payload (mime={mime}); compressed "
+            "formats need an image library not present in this environment"
+        )
+    return _decode_image_stub(payload, width or 1, height or 1)
+
+
+def decode_audio(
+    payload: bytes,
+    mime: str | None = None,
+    n_samples: int | None = None,
+    strict: bool = False,
+) -> tuple[np.ndarray, int | None]:
+    """Dispatch: real WAV decoder by magic bytes, else the stub
+    (strict mode refuses)."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    if strict:
+        raise NotImplementedError(
+            f"no real decoder for this payload (mime={mime}); compressed "
+            "formats need an audio library not present in this environment"
+        )
+    return _decode_audio_stub(payload, n_samples or 1), None
 
 
 def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -51,10 +230,11 @@ def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 class ImageFeatures:
     """Actor-pool stage: decode -> mean-pool grid features.
 
-    ``strict=True`` raises NotImplementedError at the decode step (no
-    image library in this container); ``strict=False`` uses the
-    deterministic stub so the plumbing is testable end to end.
-    Use SMALL ``batch_size`` (e.g. 64) — payload rows are wide.
+    BMP/PPM payloads decode for REAL (pure numpy), so ``strict=True``
+    runs end to end on uncompressed fixtures in this environment;
+    strict only raises when a row needs a codec library (JPEG/PNG...).
+    ``strict=False`` falls back to the deterministic stub for such
+    rows.  Use SMALL ``batch_size`` (e.g. 64) — payload rows are wide.
     """
 
     def __init__(self, grid: int = 4, strict: bool = False):
@@ -62,19 +242,19 @@ class ImageFeatures:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "image decode requires an image library not present in this "
-                "environment; construct ImageFeatures(strict=False) for the "
-                "deterministic stub"
-            )
         feats = []
-        for payload, w, h in zip(
+        for payload, mime, w, h in zip(
             batch.column("payload").to_pylist(),
+            batch.column("mime").to_pylist(),
             batch.column("width").to_pylist(),
             batch.column("height").to_pylist(),
         ):
-            img = _decode_image_stub(payload, w, h).astype(np.float32) / 255.0
+            img = (
+                decode_image(payload, mime, w, h, strict=self.strict).astype(
+                    np.float32
+                )
+                / 255.0
+            )
             g = self.grid
             ys = np.linspace(0, img.shape[0], g + 1, dtype=int)
             xs = np.linspace(0, img.shape[1], g + 1, dtype=int)
@@ -135,17 +315,14 @@ class ImageResizer:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "image decode requires an image library not present in this environment"
-            )
         payloads, widths, heights = [], [], []
-        for payload, w, h in zip(
+        for payload, mime, w, h in zip(
             batch.column("payload").to_pylist(),
+            batch.column("mime").to_pylist(),
             batch.column("width").to_pylist(),
             batch.column("height").to_pylist(),
         ):
-            img = _decode_image_stub(payload, w, h)
+            img = decode_image(payload, mime, w, h, strict=self.strict)
             ys = (np.arange(self.out_h) * img.shape[0] // self.out_h).astype(int)
             xs = (np.arange(self.out_w) * img.shape[1] // self.out_w).astype(int)
             resized = img[ys][:, xs]
@@ -182,20 +359,23 @@ class AudioChunker:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "audio decode requires an audio library not present in this environment"
-            )
         ids, chunk_idx, rms, zcr = [], [], [], []
-        for media_id, payload, dur in zip(
+        for media_id, payload, mime, dur in zip(
             batch.column("media_id").to_pylist(),
             batch.column("payload").to_pylist(),
+            batch.column("mime").to_pylist(),
             batch.column("duration_s").to_pylist(),
         ):
-            pcm = _decode_audio_stub(payload, int((dur or 1.0) * self.sample_rate))
-            n_chunks = max(1, len(pcm) // self.chunk)
+            pcm, rate = decode_audio(
+                payload,
+                mime,
+                int((dur or 1.0) * self.sample_rate),
+                strict=self.strict,
+            )
+            chunk = int((rate or self.sample_rate) * self.chunk / self.sample_rate)
+            n_chunks = max(1, len(pcm) // chunk)
             for c in range(n_chunks):
-                seg = pcm[c * self.chunk : (c + 1) * self.chunk]
+                seg = pcm[c * chunk : (c + 1) * chunk]
                 ids.append(media_id)
                 chunk_idx.append(c)
                 rms.append(float(np.sqrt(np.mean(seg * seg))))
@@ -229,6 +409,59 @@ def synth_audio_table(n: int = 16, seed: int = 6) -> pa.Table:
             pa.array(["audio/fake"] * n, pa.string()),
             pa.array([rng.bytes(128) for _ in range(n)], pa.binary()),
             pa.array(rng.uniform(0.5, 3.5, n), pa.float64()),
+        ],
+        schema=AUDIO_SCHEMA,
+    )
+
+
+def synth_bmp_table(n: int = 32, seed: int = 7) -> pa.Table:
+    """Deterministic REAL 24-bit BMP rows: seeded pseudo-random pixel
+    fields round-tripped through encode_bmp, so strict-mode decoding
+    exercises the genuine container path end to end."""
+    rng = np.random.RandomState(seed)
+    ids, mimes, payloads, widths, heights = [], [], [], [], []
+    for i in range(n):
+        w = int(rng.randint(5, 21))  # odd widths exercise row padding
+        h = int(rng.randint(5, 21))
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        ids.append(i)
+        mimes.append("image/bmp")
+        payloads.append(encode_bmp(img))
+        widths.append(w)
+        heights.append(h)
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.int64()),
+            pa.array(mimes, pa.string()),
+            pa.array(payloads, pa.binary()),
+            pa.array(widths, pa.int32()),
+            pa.array(heights, pa.int32()),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def synth_wav_table(n: int = 16, seed: int = 8, sample_rate: int = 8000) -> pa.Table:
+    """Deterministic REAL 16-bit PCM WAV rows: seeded sine mixtures
+    through encode_wav."""
+    rng = np.random.RandomState(seed)
+    ids, mimes, payloads, durs = [], [], [], []
+    for i in range(n):
+        dur = float(rng.uniform(0.5, 2.0))
+        t = np.arange(int(dur * sample_rate)) / sample_rate
+        freq = float(rng.uniform(100, 1000))
+        amp = float(rng.uniform(0.2, 0.9))
+        sig = amp * np.sin(2 * np.pi * freq * t)
+        ids.append(i)
+        mimes.append("audio/wav")
+        payloads.append(encode_wav(sig.astype(np.float32), sample_rate))
+        durs.append(dur)
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.int64()),
+            pa.array(mimes, pa.string()),
+            pa.array(payloads, pa.binary()),
+            pa.array(durs, pa.float64()),
         ],
         schema=AUDIO_SCHEMA,
     )
