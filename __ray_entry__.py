@@ -459,6 +459,32 @@ def _knn_ivf_indexed(sf_dir: str):
     return out.drop_columns("cosine")  # rank list is the stable artifact
 
 
+def _knn_ivf_exact(sf_dir: str):
+    """The IVF index searched at nprobe == n_centroids — every inverted
+    list probed, so the result is EXACT and DuckDB-oracled (cosine
+    ranking in SQL).  Same disk index as knn_ivf_indexed; this entry
+    hash-gates the whole build/partition-prune/merge machinery, while
+    knn_ivf_indexed (nprobe=2) stays the approximate scale path."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from reden_ray.stages.similarity import build_ivf_index, knn_ivf_indexed
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/reden_ivf_{tag}"
+    if not os.path.exists(os.path.join(idx_dir, "_centroids.parquet")):
+        build_ivf_index(emb, idx_dir, n_centroids=8, seed=13)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    out = knn_ivf_indexed(idx_dir, vecs[:3], k=5, nprobe=8)
+    return out.drop_columns("cosine")
+
+
 def _curation(sf_dir: str):
     from reden_ray.pipelines.curation import curate_documents
 
@@ -579,7 +605,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": _curation,
         "knn_ivf_indexed": _knn_ivf_indexed,
         "kmeans_embeddings": _kmeans_embeddings,
+        # round-4 additions (all DuckDB-oracled)
+        "knn_ivf_exact": _knn_ivf_exact,
+        "kmeans_fixed_assign": R.kmeans_fixed_assign,
+        "text_quality_scores": R.text_quality_scores,
+        "a16_covar_stddev": R.a16_covar_stddev,
+        "f4_math_funcs": R.f4_math_funcs,
+        "o21_dense_percent_rank": R.o21_dense_percent_rank,
+        "o22_event_transitions": R.o22_event_transitions,
+        "a17_mode_event": R.a17_mode_event,
+        "a18_price_histogram": R.a18_price_histogram,
     }
+
+
+def _kmeans_fixed_assign_sql() -> str:
+    """Render the FIXED centroids (the same literals the Ray query
+    uses — reden_ray.pipelines.relational.kmeans_fixed_centroids) into
+    a nearest-centroid CASE: argmin ||e-c||^2 == argmax (e.c - |c|^2/2),
+    first index wins ties, matching numpy argmin."""
+    from reden_ray.pipelines.relational import kmeans_fixed_centroids
+
+    cents = kmeans_fixed_centroids()
+    scores = []
+    for i, c in enumerate(cents):
+        vec = "[" + ", ".join(repr(float(v)) for v in c) + "]"
+        half_sq = repr(float((c * c).sum() / 2.0))
+        scores.append(
+            f"list_dot_product(CAST(embedding AS DOUBLE[]), {vec}) - {half_sq} AS s{i}"
+        )
+    k = len(cents)
+    cases = []
+    for i in range(k - 1):
+        conds = " AND ".join(f"s{i} >= s{j}" for j in range(i + 1, k))
+        cases.append(f"WHEN {conds} THEN {i}")
+    case = "CASE " + " ".join(cases) + f" ELSE {k - 1} END"
+    return (
+        f"WITH s AS (SELECT vec_id, {', '.join(scores)} FROM embeddings) "
+        f"SELECT cluster, count(*) AS n FROM "
+        f"(SELECT CAST({case} AS BIGINT) AS cluster FROM s) GROUP BY 1"
+    )
+
+
+def _text_quality_scores_sql() -> str:
+    """Re-derive every QualityScore signal in SQL from the same regex
+    classes and the SAME stopword list (imported from
+    reden_ray.stages.textstats._STOP — the two can never drift)."""
+    from reden_ray.stages.textstats import _STOP
+
+    stoplist = ", ".join(f"'{w}'" for w in sorted(set().union(*_STOP.values())))
+    return (
+        "WITH w AS (SELECT doc_id, text, "
+        "regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS words FROM documents), "
+        "sig AS (SELECT doc_id, "
+        "CASE WHEN len(words) > 0 THEN "
+        "CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) "
+        "ELSE 0.0 END AS mwl, "
+        "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) "
+        "/ greatest(1, length(text)) AS pr, "
+        "CASE WHEN len(words) > 0 THEN "
+        f"CAST(len(list_filter(words, x -> list_contains([{stoplist}], x))) AS DOUBLE) "
+        "/ len(words) ELSE 0.0 END AS sr, "
+        "length(text) AS n_chars FROM w) "
+        "SELECT doc_id, ROUND(mwl, 6) AS mean_word_len, ROUND(pr, 6) AS punct_ratio, "
+        "ROUND(sr, 6) AS stop_ratio, "
+        "ROUND(0.25 * ("
+        "least(1.0, greatest(0.0, n_chars / 200.0)) + "
+        "least(1.0, greatest(0.0, 1 - abs(mwl - 5.0) / 5.0)) + "
+        "least(1.0, greatest(0.0, 1 - pr * 4.0)) + "
+        "least(1.0, greatest(0.0, sr * 3.0))), 6) AS quality FROM sig"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -999,5 +1093,86 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank "
             "FROM scored) "
             "SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 5"
+        ),
+        # --- round-4 additions -------------------------------------------
+        "knn_ivf_exact": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+            "WHERE vec_id < 3), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos "
+            "FROM q CROSS JOIN embeddings e), "
+            "ranked AS (SELECT query_id, vec_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) - 1 AS rank "
+            "FROM scored) "
+            "SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id "
+            "FROM ranked WHERE rank < 5"
+        ),
+        "kmeans_fixed_assign": _kmeans_fixed_assign_sql(),
+        "text_quality_scores": _text_quality_scores_sql(),
+        "pii_redact_docs": (
+            "WITH inj AS (SELECT doc_id, text || ' contact user' || doc_id || "
+            "'@example.com from 10.0.' || (doc_id % 200) || '.7 ok' AS t FROM documents), "
+            "e AS (SELECT doc_id, "
+            "len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, "
+            "regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 "
+            "FROM inj) "
+            "SELECT doc_id, "
+            "regexp_replace(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS text, "
+            "CAST(n_emails AS BIGINT) AS n_emails, "
+            "CAST(len(regexp_extract_all(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ips, "
+            "CAST(0 AS BIGINT) AS n_phones FROM e"
+        ),
+        "approx_distinct_count_per_group": (
+            "SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, "
+            "TRUE AS hll_ok FROM lineitem GROUP BY l_suppkey"
+        ),
+        "approx_quantile_price": (
+            "SELECT CAST(0.5 AS DOUBLE) AS quantile, "
+            "ROUND(quantile_disc(l_extendedprice, 0.5), 4) AS price, TRUE AS bound_ok FROM lineitem "
+            "UNION ALL SELECT CAST(0.9 AS DOUBLE), "
+            "ROUND(quantile_disc(l_extendedprice, 0.9), 4), TRUE FROM lineitem "
+            "UNION ALL SELECT CAST(0.99 AS DOUBLE), "
+            "ROUND(quantile_disc(l_extendedprice, 0.99), 4), TRUE FROM lineitem"
+        ),
+        "a16_covar_stddev": (
+            "SELECT l_returnflag, "
+            "ROUND(covar_samp(l_extendedprice, l_quantity), 6) AS covar_pq, "
+            "ROUND(stddev_samp(l_extendedprice), 6) AS std_price, "
+            "ROUND(stddev_samp(l_quantity), 6) AS std_qty "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "f4_math_funcs": (
+            "SELECT l_orderkey, l_linenumber, "
+            "ROUND(sqrt(l_quantity), 4) AS sqrt_qty, "
+            "ROUND(ln(l_extendedprice), 4) AS ln_price, "
+            "ROUND(abs(l_discount - 0.05), 4) AS abs_disc, "
+            "ROUND(exp(l_tax), 4) AS exp_tax FROM lineitem"
+        ),
+        "o21_dense_percent_rank": (
+            "SELECT o_custkey, o_orderkey, "
+            "CAST(dense_rank() OVER w AS BIGINT) AS dense_rank, "
+            "ROUND(percent_rank() OVER w, 6) AS pct_rank FROM orders "
+            "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)"
+        ),
+        "o22_event_transitions": (
+            "WITH nxt AS (SELECT user_id, event_type AS from_type, "
+            "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type "
+            "FROM events) "
+            "SELECT from_type, to_type, count(*) AS n FROM nxt "
+            "WHERE to_type IS NOT NULL GROUP BY 1, 2"
+        ),
+        "a17_mode_event": (
+            "SELECT user_id, mode_type, n FROM ("
+            "SELECT user_id, event_type AS mode_type, count(*) AS n, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY count(*) DESC, event_type) AS rn "
+            "FROM events GROUP BY user_id, event_type) WHERE rn = 1"
+        ),
+        "a18_price_histogram": (
+            "SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket, "
+            "count(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price "
+            "FROM orders GROUP BY 1"
         ),
     }

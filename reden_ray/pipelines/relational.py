@@ -1402,16 +1402,70 @@ def distinct_count_per_group(sf_dir: str) -> rd.Dataset:
     )
 
 
-def approx_distinct_count_per_group(sf_dir: str) -> rd.Dataset:
-    """Sketch variant of ``distinct_count_per_group``: HyperLogLog per
-    key (stages.aggregates.hll_distinct_per_group) — bounded 4 KiB
-    per-key state through the shuffle regardless of key heat; ~1.6%
-    standard error.  No SQL oracle (approximate); accuracy and
-    merge-invariance are pinned by tests/test_hll.py."""
+def approx_distinct_count_per_group(sf_dir: str, tolerance: float = 0.10) -> rd.Dataset:
+    """Sketch variant of ``distinct_count_per_group``, DRIVER-ORACLED
+    via the approx_top_terms pattern: run the HyperLogLog per key
+    (bounded 4 KiB state through the shuffle regardless of key heat,
+    ~1.6% standard error at p=12) AND the exact distinct count, join
+    them, and emit the EXACT counts plus an ``hll_ok`` flag asserting
+    every key's sketch lands within ``tolerance`` of exact (measured
+    max 2.4% on this fixture; the sketch is fully deterministic —
+    blake2b hashing — so this cannot flake).  The oracle computes the
+    same exact counts with TRUE.  Merge-invariance and the error
+    envelope are additionally pinned by tests/test_hll.py."""
     from ..stages.aggregates import hll_distinct_per_group
+    from ..stages.joins import hash_join, staged_nonempty
 
     li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
-    return hll_distinct_per_group(li, "l_suppkey", "l_partkey", alias="n_parts_approx")
+    approx = hll_distinct_per_group(li, "l_suppkey", "l_partkey", alias="n_approx")
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_suppkey", "l_partkey"]).aggregate([])
+        return g
+
+    exact = (
+        li.map_batches(exact_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["l_suppkey", "l_partkey"])
+        .count()
+        .groupby("l_suppkey")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "l_suppkey": t.column("l_suppkey"),
+                    "n_parts": t.column("count()").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    joined = hash_join(staged_nonempty(exact), staged_nonempty(approx), on=["l_suppkey"])
+
+    def check(t: pa.Table) -> pa.Table:
+        ex = t.column("n_parts").to_numpy(zero_copy_only=False).astype(np.float64)
+        ap = t.column("n_approx").to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = bool(np.all(np.abs(ap - ex) <= tolerance * np.maximum(ex, 1.0)))
+        return pa.table(
+            {
+                "l_suppkey": t.column("l_suppkey"),
+                "n_parts": t.column("n_parts"),
+                # per-block flag; the final AND happens below
+                "hll_ok": pa.array([ok] * t.num_rows, pa.bool_()),
+            }
+        )
+
+    checked = joined.map_batches(check, batch_format="pyarrow", batch_size=None).materialize()
+    from ray.data.aggregate import Min
+
+    all_ok = bool(checked.aggregate(Min("hll_ok"))["min(hll_ok)"])
+    return checked.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("hll_ok"),
+            "hll_ok",
+            pa.array([all_ok] * t.num_rows, pa.bool_()),
+        ),
+        batch_format="pyarrow",
+    )
 
 
 # --- embeddings: exact knn ------------------------------------------------
@@ -1519,14 +1573,30 @@ def decontaminate_docs(sf_dir: str) -> rd.Dataset:
 
 
 def pii_redact_docs(sf_dir: str) -> rd.Dataset:
-    """PII scrub over documents (emails / phones / IPv4 -> tokens +
-    per-kind counts).  Rows-only here (the synthetic corpus carries no
-    PII; the stage's redaction math is pinned by tests/test_webtext.py
-    on injected fixtures)."""
+    """PII scrub over documents, DRIVER-ORACLED: the synthetic corpus
+    carries no PII (verified at every sf), so the query first INJECTS a
+    deterministic email + IPv4 per doc (derived from doc_id — the SQL
+    oracle derives the identical string), then runs the real
+    ``PIIRedactor`` actor stage.  The oracle replays the injection and
+    the email/IP redaction with RE2 ``regexp_replace`` — so redaction
+    semantics, counts, and the phone pattern's zero false positives on
+    the full corpus are all hash-gated.  (The phone regex itself uses
+    lookarounds RE2 lacks; its adversarial cases are pinned in
+    tests/test_webtext.py.)"""
     from ..stages.webtext import PIIRedactor
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return docs.map_batches(
+
+    def inject(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        out = [
+            f"{txt} contact user{d}@example.com from 10.0.{d % 200}.7 ok"
+            for txt, d in zip(texts, did)
+        ]
+        return pa.table({"doc_id": t.column("doc_id"), "text": pa.array(out, pa.string())})
+
+    return docs.map_batches(inject, batch_format="pyarrow", batch_size=None).map_batches(
         PIIRedactor, batch_format="pyarrow", batch_size=None, concurrency=(1, 8)
     )
 
@@ -1739,18 +1809,42 @@ def o10_sample_hash(sf_dir: str, rate: float = 0.1) -> rd.Dataset:
 
 
 def approx_quantile_price(sf_dir: str) -> pa.Table:
-    """Histogram-sketch quantiles of l_extendedprice (rows-only: the
-    sketch is approximate by design; the value-error bound is pinned by
-    tests/test_hll.py)."""
+    """Histogram-sketch quantiles of l_extendedprice, DRIVER-ORACLED
+    via the sketch's own hard bound: the sketch answer (upper edge of
+    the bin where cumulative count crosses ceil(q*N)) is within ONE BIN
+    WIDTH of the exact order statistic at rank ceil(q*N)-1.  The query
+    runs the sketch AND exact distributed selection
+    (stages/selection.select_order_stats), asserts the bound, and emits
+    the EXACT discrete quantiles plus ``bound_ok`` — the DuckDB oracle
+    is ``quantile_disc`` (same ceil(q*N)-1 rank convention, probed)
+    with TRUE."""
+    import math
+
+    from ray.data.aggregate import Count, Max, Min
+
     from ..stages.aggregates import approx_quantiles
+    from ..stages.selection import select_order_stats
 
     li = _read(sf_dir, "lineitem", ["l_extendedprice"])
     qs = [0.5, 0.9, 0.99]
-    got = approx_quantiles(li, "l_extendedprice", qs)
+    n_bins = 4096
+    got = approx_quantiles(li, "l_extendedprice", qs, n_bins=n_bins)
+    stats = li.aggregate(Min("l_extendedprice"), Max("l_extendedprice"), Count())
+    lo, hi = stats["min(l_extendedprice)"], stats["max(l_extendedprice)"]
+    n = stats["count()"]
+    bin_w = (float(hi) - float(lo)) / n_bins
+    ranks = {q: max(0, math.ceil(q * n) - 1) for q in qs}
+    exact = select_order_stats(li, "l_extendedprice", sorted(set(ranks.values())))
+    ok = all(
+        abs(got[q] - exact[ranks[q]]) <= bin_w + 1e-9 for q in qs
+    )
     return pa.table(
         {
             "quantile": pa.array(qs, pa.float64()),
-            "price": pa.array([round(got[q], 4) for q in qs], pa.float64()),
+            "price": pa.array(
+                [round(exact[ranks[q]], 4) for q in qs], pa.float64()
+            ),
+            "bound_ok": pa.array([ok] * len(qs), pa.bool_()),
         }
     )
 
@@ -2610,3 +2704,407 @@ def webtext_curation(sf_dir: str) -> rd.Dataset:
     eval_ds = docs.map_batches(split(True), batch_format="pyarrow")
     corpus = docs.map_batches(split(False), batch_format="pyarrow")
     return run_webtext_curation(corpus, eval_ds, decon_n=4).select_columns(["doc_id"])
+
+
+# --- round-4 additions: new oracled operator families ---------------------
+
+def text_quality_scores(sf_dir: str) -> rd.Dataset:
+    """QualityScore heuristics surfaced with full per-signal outputs
+    (mean word length, punctuation ratio, stopword ratio, blended
+    score), DuckDB-oracled: every signal is re-derived in SQL from the
+    same regex classes and stopword list (__ray_entry__ builds the SQL
+    from textstats._STOP so the two can never drift)."""
+    from ..stages.textstats import QualityScore
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "mean_word_len": pa.array(
+                    np.round(t.column("mean_word_len").to_numpy(), 6), pa.float64()
+                ),
+                "punct_ratio": pa.array(
+                    np.round(t.column("punct_ratio").to_numpy(), 6), pa.float64()
+                ),
+                "stop_ratio": pa.array(
+                    np.round(t.column("stop_ratio").to_numpy(), 6), pa.float64()
+                ),
+                "quality": pa.array(
+                    np.round(t.column("quality").to_numpy(), 6), pa.float64()
+                ),
+            }
+        )
+
+    return docs.map_batches(
+        QualityScore, batch_format="pyarrow", concurrency=(1, 8)
+    ).map_batches(out, batch_format="pyarrow", batch_size=None)
+
+
+# Fixed centroids for the ORACLED k-means assignment check: generated
+# once from a pinned seed; __ray_entry__ renders the SAME literals into
+# the SQL oracle, so the nearest-centroid argmin is verified end to end
+# (the iterative fit itself is numpy-golden in tests/test_kmeans.py).
+def kmeans_fixed_centroids(k: int = 4, dim: int = 64) -> np.ndarray:
+    rng = np.random.RandomState(123)
+    c = rng.standard_normal((k, dim))
+    # embeddings are unit vectors; unit centroids give a balanced
+    # 4-way split (138/129/117/116 on the sf0.01 fixture)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return np.round(c, 4)
+
+
+def kmeans_fixed_assign(sf_dir: str) -> rd.Dataset:
+    """Nearest-centroid assignment against FIXED centroids -> cluster
+    sizes.  This is exactly one Lloyd E-step (stages/kmeans.kmeans_assign)
+    made SQL-checkable: argmin over squared L2 distance with first-index
+    tie-break, which the oracle replays as an argmax over
+    (e.c - |c|^2/2) scores with the same CASE order."""
+    from ..stages.kmeans import kmeans_assign
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents = kmeans_fixed_centroids()
+    return (
+        kmeans_assign(emb, cents, id_column="vec_id", column="embedding")
+        .groupby("cluster")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "cluster": t.column("cluster").cast(pa.int64()),
+                    "n": t.column("count()").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def a16_covar_stddev(sf_dir: str) -> rd.Dataset:
+    """Per-group sample covariance + stddevs (price vs quantity) —
+    computed CENTERED (two passes: tiny per-group means broadcast, then
+    centered-moment block partials) so the result is numerically stable
+    enough to hash-match DuckDB's streaming covar_samp at 6 dp; the
+    naive six-sum one-pass formula loses ~10 digits to cancellation at
+    these magnitudes."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    means = (
+        li.groupby("l_returnflag")
+        .aggregate(
+            Mean("l_extendedprice", alias_name="mx"),
+            Mean("l_quantity", alias_name="my"),
+        )
+        .take_all()
+    )  # <= 3 rows
+    m = {r["l_returnflag"]: (r["mx"], r["my"]) for r in means}
+    import ray
+
+    m_ref = ray.put(m)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        mm = ray.get(m_ref)
+        k = t.column("l_returnflag").to_pylist()
+        x = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        y = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        mx = np.array([mm[v][0] for v in k])
+        my = np.array([mm[v][1] for v in k])
+        dx, dy = x - mx, y - my
+        df = pd.DataFrame(
+            {"k": k, "sxy": dx * dy, "sxx": dx * dx, "syy": dy * dy, "n": 1}
+        )
+        g = df.groupby("k", as_index=False).sum()
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g.k, pa.string()),
+                "sxy": pa.array(g.sxy, pa.float64()),
+                "sxx": pa.array(g.sxx, pa.float64()),
+                "syy": pa.array(g.syy, pa.float64()),
+                "n": pa.array(g.n, pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("sxy", alias_name="sxy"), Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"), Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "covar_pq": pa.array(
+                    np.round(t.column("sxy").to_numpy() / (n - 1), 6), pa.float64()
+                ),
+                "std_price": pa.array(
+                    np.round(np.sqrt(t.column("sxx").to_numpy() / (n - 1)), 6),
+                    pa.float64(),
+                ),
+                "std_qty": pa.array(
+                    np.round(np.sqrt(t.column("syy").to_numpy() / (n - 1)), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def f4_math_funcs(sf_dir: str) -> rd.Dataset:
+    """Scalar math kernel family (sqrt/ln/exp/abs) over lineitem —
+    vectorized numpy per batch, 4 dp rounding on both sides (libm ulp
+    differences between numpy and DuckDB disappear at 4 dp on these
+    magnitudes)."""
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.float64)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False).astype(np.float64)
+        tax = t.column("l_tax").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "sqrt_qty": pa.array(np.round(np.sqrt(qty), 4), pa.float64()),
+                "ln_price": pa.array(np.round(np.log(price), 4), pa.float64()),
+                "abs_disc": pa.array(np.round(np.abs(disc - 0.05), 4), pa.float64()),
+                "exp_tax": pa.array(np.round(np.exp(tax), 4), pa.float64()),
+            }
+        )
+
+    return li.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def o21_dense_percent_rank(sf_dir: str) -> rd.Dataset:
+    """DENSE_RANK + PERCENT_RANK per customer over order totals — the
+    tie-aware window pair (row_number is o5).  Single custkey-hash
+    shuffle; within each partition one vectorized sort, then dense rank
+    = cumulative new-value flags per segment and percent_rank =
+    (tie-aware rank - 1) / (n - 1), all segment arithmetic."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column, sorted_segments
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    n_parts = default_join_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["o_custkey"], n_parts))
+
+    def ranks(g: pa.Table) -> pa.Table:
+        t, starts, ends = sorted_segments(
+            g.drop_columns("__part"),
+            ["o_custkey"],
+            extra_sort=[("o_totalprice", "ascending"), ("o_orderkey", "ascending")],
+        )
+        n = t.num_rows
+        price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        seg_first = np.zeros(n, dtype=bool)
+        seg_first[starts] = True
+        # new value within segment (price change OR segment start)
+        new_val = np.empty(n, dtype=bool)
+        if n:
+            new_val[0] = True
+            new_val[1:] = price[1:] != price[:-1]
+        new_val |= seg_first
+        seg_id = np.cumsum(seg_first) - 1
+        seg_start = starts[seg_id]
+        seg_len = (ends - starts)[seg_id]
+        row_in_seg = np.arange(n, dtype=np.int64) - seg_start
+        dense = np.cumsum(new_val)
+        dense = dense - dense[seg_start] + 1
+        # tie-aware rank: index of the first row of this value run
+        run_start = np.maximum.accumulate(np.where(new_val, np.arange(n), 0))
+        rank = run_start - seg_start + 1
+        pct = np.where(seg_len > 1, (rank - 1) / np.maximum(seg_len - 1, 1), 0.0)
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "dense_rank": pa.array(dense.astype(np.int64), pa.int64()),
+                "pct_rank": pa.array(np.round(pct, 6), pa.float64()),
+            }
+        )
+
+    return (
+        orders.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(ranks, batch_format="pyarrow")
+    )
+
+
+def o22_event_transitions(sf_dir: str) -> rd.Dataset:
+    """Event-type transition counts (the LEAD window collapsed to a
+    Markov edge list): per user in (ts, event_id) order, count each
+    (event_type -> next_event_type) pair corpus-wide.  One user-hash
+    shuffle; per partition a vectorized sort + shift within user
+    segments, then per-partition pair partials into a 25-key groupby."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column, sorted_segments
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    n_parts = default_join_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    def pairs(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t, starts, _ends = sorted_segments(
+            g.drop_columns("__part"),
+            ["user_id"],
+            extra_sort=[("ts", "ascending"), ("event_id", "ascending")],
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "from_type": pa.array([], pa.string()),
+                    "to_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        is_start = np.zeros(n, dtype=bool)
+        is_start[starts] = True
+        # row i pairs with i+1 unless i+1 starts a new user
+        keep = np.ones(n - 1, dtype=bool) & ~is_start[1:]
+        df = pd.DataFrame(
+            {"from_type": et[:-1][keep], "to_type": et[1:][keep], "n": 1}
+        )
+        gdf = df.groupby(["from_type", "to_type"], as_index=False).sum()
+        return pa.table(
+            {
+                "from_type": pa.array(gdf.from_type, pa.string()),
+                "to_type": pa.array(gdf.to_type, pa.string()),
+                "n": pa.array(gdf.n, pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["from_type", "to_type", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def a17_mode_event(sf_dir: str) -> rd.Dataset:
+    """MODE per group (most frequent event_type per user, ties to the
+    lexicographically smallest type — explicit, unlike SQL ``mode()``):
+    per-block (user, type) count partials, one user-hash groupby, then
+    the a7 argmax sweep."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    n_parts = default_join_partitions()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([("event_type", "count")])
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "event_type": g.column("event_type"),
+                "n": g.column("event_type_count").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "event_type"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["user_id", "event_type", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def argmax(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("n", "descending"),
+                ("event_type", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        n = len(users)
+        first = np.empty(n, dtype=bool)
+        if n:
+            first[0] = True
+            first[1:] = users[1:] != users[:-1]
+        return t.filter(pa.array(first)).rename_columns(
+            ["user_id", "mode_type", "n"]
+        )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    return (
+        counts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda g: argmax(g.drop_columns("__part")), batch_format="pyarrow"
+        )
+    )
+
+
+def a18_price_histogram(sf_dir: str, bucket_width: float = 25000.0) -> rd.Dataset:
+    """Fixed-width histogram of order totals (count + sum per bucket):
+    per-block bucket partials (one row per (block, bucket) through the
+    shuffle), tiny groupby(bucket) merge."""
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(p / bucket_width).astype(np.int64)
+        df = pd.DataFrame({"bucket": b, "n": 1, "s": p})
+        g = df.groupby("bucket", as_index=False).sum()
+        return pa.table(
+            {
+                "bucket": pa.array(g.bucket, pa.int64()),
+                "n": pa.array(g.n, pa.int64()),
+                "s": pa.array(g.s, pa.float64()),
+            }
+        )
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("s", alias_name="sum_price"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "bucket": t.column("bucket"),
+                    "n_orders": t.column("n_orders").cast(pa.int64()),
+                    "sum_price": pa.array(
+                        np.round(t.column("sum_price").to_numpy(), 2), pa.float64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
