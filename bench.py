@@ -44,6 +44,20 @@ SCALING_PAIR = tuple(
     int(x) for x in os.environ.get("GRAFT_SCALING_PAIR", "4,16").split(",")
 )
 
+# Regression bands (sf0.1, num_cpus>=16, best-of-2 warm): ~2x headroom
+# over the measured best so sandbox noise doesn't flag, but a real
+# partition-sizing / plan regression (like j1's 16-partition 3.4s in
+# round 3, fixed to 2.1s by data-sized partitions) does.  Checked only
+# in the plain sf0.1 run; violations go to stderr AND the JSON line
+# ("band_violations") so the recorded BENCH file carries the flag.
+PERF_BANDS = {
+    "j1_hash_join": 4.5,        # measured 2.14 warm best-of-3
+    "j8_multiway_revenue": 16.0,  # measured ~8
+    "text_tfidf_topk": 9.0,     # measured ~4-6 (noisy)
+    "kg_pipeline": 3.0,         # measured ~0.9-1.3
+    "dedup_minhash_docs": 6.0,  # measured ~2.8
+}
+
 
 def run_bench() -> dict:
     import ray
@@ -163,7 +177,7 @@ def run_bench() -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
 
     ray.shutdown()
-    return {
+    out = {
         "metric": "e2e_seconds",
         "value": round(headline, 3),
         "unit": "sec",
@@ -175,6 +189,16 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_docs / headline, 2),
         "triples_per_sec": round(n_triples / headline, 2),
     }
+    if not SCALING_MODE and base == "sf0.1" and NCPU >= 16:
+        violations = {
+            k: {"sec": round(queries[k], 3), "budget": b}
+            for k, b in PERF_BANDS.items()
+            if k in queries and queries[k] > b
+        }
+        out["band_violations"] = violations
+        if violations:
+            print(f"PERF BAND VIOLATION: {violations}", file=sys.stderr)
+    return out
 
 
 def run_scaling() -> dict:

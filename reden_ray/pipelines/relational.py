@@ -2718,21 +2718,29 @@ def text_quality_scores(sf_dir: str) -> rd.Dataset:
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
+    def away6(x: np.ndarray) -> np.ndarray:
+        # HALF-AWAY rounding to match DuckDB's ROUND: the signals are
+        # count ratios with small power-of-two denominators, so exact
+        # 5-at-7th-digit ties occur (0.7490625) and np.round's
+        # half-EVEN tie rule diverges by 1e-6 (measured: 3 docs at
+        # sf0.01).  All signals are non-negative.
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
     def out(t: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
                 "mean_word_len": pa.array(
-                    np.round(t.column("mean_word_len").to_numpy(), 6), pa.float64()
+                    away6(t.column("mean_word_len").to_numpy()), pa.float64()
                 ),
                 "punct_ratio": pa.array(
-                    np.round(t.column("punct_ratio").to_numpy(), 6), pa.float64()
+                    away6(t.column("punct_ratio").to_numpy()), pa.float64()
                 ),
                 "stop_ratio": pa.array(
-                    np.round(t.column("stop_ratio").to_numpy(), 6), pa.float64()
+                    away6(t.column("stop_ratio").to_numpy()), pa.float64()
                 ),
                 "quality": pa.array(
-                    np.round(t.column("quality").to_numpy(), 6), pa.float64()
+                    away6(t.column("quality").to_numpy()), pa.float64()
                 ),
             }
         )

@@ -24,6 +24,8 @@ WHITELIST = {
     "stages/selection.py": (2, "<= n_buckets histogram rows; <= collect_limit residual values"),
     "stages/kmeans.py": (2, "<= k rows per iteration (init buckets; merged partials)"),
     "stages/aggregates.py": (1, "<= top_n+1 rows per merged MG block"),
+    "pipelines/relational.py": (2, "approx_top_terms exact side (<= top_n rows); a16 per-group means (<= 3 rows, broadcast)"),
+    "sources/endpoint.py": (1, "per-shard ingest manifest (27 letter shards)"),
 }
 
 
