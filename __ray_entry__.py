@@ -615,6 +615,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o22_event_transitions": R.o22_event_transitions,
         "a17_mode_event": R.a17_mode_event,
         "a18_price_histogram": R.a18_price_histogram,
+        # round-4 batch 2 (all DuckDB-oracled)
+        "j12_range_join": R.j12_range_join,
+        "j13_interval_join": R.j13_interval_join,
+        "o23_ntile_cume": R.o23_ntile_cume,
+        "graph_triangles": R.graph_triangles,
+        "fuzzy_match_parts": R.fuzzy_match_parts,
     }
 
 
@@ -1174,5 +1180,49 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket, "
             "count(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price "
             "FROM orders GROUP BY 1"
+        ),
+        # --- round-4 batch 2 ---------------------------------------------
+        "j12_range_join": (
+            "SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, "
+            "CASE WHEN o_totalprice >= 0 AND o_totalprice < 50000 THEN 'T0' "
+            "WHEN o_totalprice < 100000 THEN 'T1' "
+            "WHEN o_totalprice < 200000 THEN 'T2' "
+            "WHEN o_totalprice < 300000 THEN 'T3' "
+            "WHEN o_totalprice < 500000 THEN 'T4' ELSE NULL END AS tier "
+            "FROM orders"
+        ),
+        "j13_interval_join": (
+            "WITH gaps AS (SELECT user_id, event_id, ts, "
+            "CASE WHEN epoch(ts - lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT user_id, event_id, "
+            "CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM gaps"
+        ),
+        "o23_ntile_cume": (
+            "SELECT o_custkey, o_orderkey, "
+            "CAST(ntile(4) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile, "
+            "ROUND(cume_dist() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice), 6) AS cume FROM orders"
+        ),
+        "graph_triangles": (
+            "WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem), "
+            "e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a "
+            "JOIN ps b ON a.p = b.p AND a.s < b.s) "
+            "SELECT count(*) AS n_triangles FROM e e1 "
+            "JOIN e e2 ON e2.u = e1.v "
+            "JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v"
+        ),
+        "fuzzy_match_parts": (
+            "WITH probes AS (SELECT p_partkey AS probe_id, p_name AS probe "
+            "FROM part ORDER BY p_partkey LIMIT 20), "
+            "scored AS (SELECT a.probe_id, a.probe, b.p_name AS best_match, "
+            "levenshtein(a.probe, b.p_name) AS distance "
+            "FROM probes a JOIN part b ON b.p_name <> a.probe), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id "
+            "ORDER BY distance, best_match) AS rn FROM scored) "
+            "SELECT probe_id, probe, best_match, CAST(distance AS BIGINT) AS distance "
+            "FROM ranked WHERE rn = 1"
         ),
     }

@@ -3116,3 +3116,307 @@ def a18_price_histogram(sf_dir: str, bucket_width: float = 25000.0) -> rd.Datase
             batch_format="pyarrow",
         )
     )
+
+
+# --- round-4 batch 2: range/interval joins, tie-aware windows, graph,
+# --- fuzzy matching -------------------------------------------------------
+
+def j12_range_join(sf_dir: str) -> rd.Dataset:
+    """Band (range) join: every order -> its price tier from a SMALL
+    sorted band dimension.  Broadcast edges + one np.searchsorted per
+    batch (stages/intervals.broadcast_range_join) — zero shuffle; the
+    theta-join alternative ships the fact table.  Oracle replays the
+    bands as a CASE."""
+    from ..stages.intervals import broadcast_range_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return broadcast_range_join(
+        orders,
+        "o_totalprice",
+        edges=[0.0, 50_000.0, 100_000.0, 200_000.0, 300_000.0, 500_000.0],
+        labels=["T0", "T1", "T2", "T3", "T4"],
+        label_col="tier",
+    ).map_batches(
+        lambda t: _round_col(t, "o_totalprice", 2), batch_format="pyarrow"
+    )
+
+
+def session_intervals(sf_dir: str, gap_seconds: int = 1800) -> rd.Dataset:
+    """Per-user session INTERVALS (user_id, session_id, start_ts,
+    end_ts as int64 µs) — the sessionize two-level shape (block
+    partials -> per-user interval merge, relational.sessionize) but
+    emitting endpoints instead of counts.  Feeds the generic interval
+    join; gap closure is partition-invariant for the same reason
+    sessionize's is (endpoints are real events)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    gap_us = gap_seconds * 1_000_000
+
+    def block_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "start_ts": pa.array([], pa.int64()),
+                    "end_ts": pa.array([], pa.int64()),
+                }
+            )
+        user = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((ts, user))
+        user, ts = user[order], ts[order]
+        new_seg = np.empty(len(ts), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = (user[1:] != user[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.flatnonzero(new_seg)
+        ends = np.concatenate([starts[1:], [len(ts)]]) - 1
+        return pa.table(
+            {
+                "user_id": pa.array(user[starts], pa.int64()),
+                "start_ts": pa.array(ts[starts], pa.int64()),
+                "end_ts": pa.array(ts[ends], pa.int64()),
+            }
+        )
+
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    n_parts = default_join_partitions()
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        user = g.column("user_id").to_numpy(zero_copy_only=False)
+        start = g.column("start_ts").to_numpy(zero_copy_only=False)
+        end = g.column("end_ts").to_numpy(zero_copy_only=False)
+        order = np.lexsort((end, start, user))
+        user, start, end = user[order], start[order], end[order]
+        u_new = np.empty(len(user), dtype=bool)
+        u_new[0] = True
+        u_new[1:] = user[1:] != user[:-1]
+        u_starts = np.flatnonzero(u_new)
+        u_ends = np.concatenate([u_starts[1:], [len(user)]])
+        out = {"user_id": [], "session_id": [], "start_ts": [], "end_ts": []}
+        for us, ue in zip(u_starts, u_ends):  # per USER over PARTIALS, not events
+            s, e2 = start[us:ue], end[us:ue]
+            ses = np.zeros(len(s), dtype=np.int64)
+            if len(s) > 1:
+                rmax = np.maximum.accumulate(e2)[:-1]
+                ses[1:] = np.cumsum(s[1:] - rmax > gap_us)
+            seg = np.flatnonzero(np.concatenate([[True], ses[1:] != ses[:-1]]))
+            seg_end = np.concatenate([seg[1:], [len(s)]])
+            out["user_id"].append(np.full(len(seg), user[us], dtype=np.int64))
+            out["session_id"].append(ses[seg])
+            out["start_ts"].append(s[seg])
+            mx = np.maximum.accumulate(e2)
+            out["end_ts"].append(mx[seg_end - 1])
+        if not out["user_id"]:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_id": pa.array([], pa.int64()),
+                    "start_ts": pa.array([], pa.int64()),
+                    "end_ts": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate(out["user_id"]), pa.int64()),
+                "session_id": pa.array(np.concatenate(out["session_id"]), pa.int64()),
+                "start_ts": pa.array(np.concatenate(out["start_ts"]), pa.int64()),
+                "end_ts": pa.array(np.concatenate(out["end_ts"]), pa.int64()),
+            }
+        )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    return (
+        ev.map_batches(block_partials, batch_format="pyarrow", batch_size=None)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda g: merge_part(g.drop_columns("__part")), batch_format="pyarrow"
+        )
+    )
+
+
+def j13_interval_join(sf_dir: str) -> rd.Dataset:
+    """Generic interval join, end to end: assign every raw event to the
+    session interval containing its timestamp (stages/intervals
+    .interval_join — two-side union + ONE user-hash shuffle +
+    vectorized merge/forward-fill binding; no per-row Python).  Output
+    is per-event (user_id, event_id, session_id), hash-gated against
+    the sessionize window SQL (sum-of-breaks session index)."""
+    from ..stages.intervals import interval_join
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("ts"),
+            "ts",
+            pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+        )
+
+    ev = ev.map_batches(to_us, batch_format="pyarrow", batch_size=None)
+    iv = session_intervals(sf_dir)
+    joined = interval_join(
+        ev, iv, key="user_id", ts_col="ts", start_col="start_ts",
+        end_col="end_ts", interval_cols=["session_id"],
+    )
+    return joined.select_columns(["user_id", "event_id", "session_id"])
+
+
+def o23_ntile_cume(sf_dir: str, k: int = 4) -> rd.Dataset:
+    """NTILE(k) + CUME_DIST per customer over order totals — the
+    remaining tie-aware window pair (o21 covers dense/percent rank).
+    NTILE follows SQL's first-(n%k)-tiles-get-the-extra-row rule over
+    the (o_totalprice, o_orderkey) order; CUME_DIST is tie-aware
+    ((# rows <= current value) / n) via value-run ends.  One
+    custkey-hash shuffle, all segment arithmetic."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column, sorted_segments
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    n_parts = default_join_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["o_custkey"], n_parts))
+
+    def win(g: pa.Table) -> pa.Table:
+        t, starts, ends = sorted_segments(
+            g.drop_columns("__part"),
+            ["o_custkey"],
+            extra_sort=[("o_totalprice", "ascending"), ("o_orderkey", "ascending")],
+        )
+        n = t.num_rows
+        price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        seg_first = np.zeros(n, dtype=bool)
+        seg_first[starts] = True
+        seg_id = np.cumsum(seg_first) - 1
+        seg_start = starts[seg_id]
+        seg_len = (ends - starts)[seg_id]
+        r = np.arange(n, dtype=np.int64) - seg_start  # 0-based row in segment
+        # NTILE: first (n % k) tiles get n//k + 1 rows
+        base = seg_len // k
+        extra = seg_len % k
+        cut = extra * (base + 1)
+        tile = np.where(
+            r < cut,
+            r // np.maximum(base + 1, 1),
+            extra + (r - cut) // np.maximum(base, 1),
+        ) + 1
+        # CUME_DIST: tie-aware value-run END within segment
+        new_val = np.empty(n, dtype=bool)
+        if n:
+            new_val[0] = True
+            new_val[1:] = price[1:] != price[:-1]
+        new_val |= seg_first
+        run_starts_idx = np.flatnonzero(new_val)
+        run_bounds = np.concatenate([run_starts_idx[1:], [n]])
+        run_id = np.cumsum(new_val) - 1
+        run_end = np.minimum(run_bounds[run_id], seg_start + seg_len)
+        cume = (run_end - seg_start) / seg_len
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+                "cume": pa.array(np.round(cume, 6), pa.float64()),
+            }
+        )
+
+    return (
+        orders.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(win, batch_format="pyarrow")
+    )
+
+
+def graph_triangles(sf_dir: str) -> rd.Dataset:
+    """Triangle count of the supplier co-supply graph (suppliers
+    adjacent iff some part appears with both in lineitem).  Edge build
+    = distinct (part, supp) pairs -> per-part supplier pair expansion
+    (bounded by per-part supplier fan-in) -> distinct edges; count via
+    the degree-oriented wedge join (stages/triangles.triangle_count).
+    Oracle: the textbook 3-way SQL self-join over the same edge CTE."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+    from ..stages.triangles import triangle_count
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def distinct_ps(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+    ps = (
+        li.map_batches(distinct_ps, batch_format="pyarrow", batch_size=None)
+        .groupby(["l_partkey", "l_suppkey"])
+        .count()
+        .select_columns(["l_partkey", "l_suppkey"])
+    )
+
+    n_parts = default_join_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["l_partkey"], n_parts))
+
+    def pairs(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__part").sort_by(
+            [("l_partkey", "ascending"), ("l_suppkey", "ascending")]
+        )
+        p = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        s = g.column("l_suppkey").to_numpy(zero_copy_only=False)
+        n = len(p)
+        starts = np.flatnonzero(np.concatenate([[True], p[1:] != p[:-1]]))
+        ends = np.concatenate([starts[1:], [n]])
+        us, vs = [], []
+        for st, en in zip(starts, ends):  # per PART (supplier fan-in bounded)
+            nb = s[st:en]
+            if len(nb) < 2:
+                continue
+            iu = np.triu_indices(len(nb), 1)
+            us.append(nb[iu[0]])
+            vs.append(nb[iu[1]])
+        if not us:
+            return pa.table(
+                {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+            )
+        t2 = pa.table(
+            {
+                "u": pa.array(np.concatenate(us), pa.int64()),
+                "v": pa.array(np.concatenate(vs), pa.int64()),
+            }
+        )
+        return t2.group_by(["u", "v"]).aggregate([])  # block-local dedup
+
+    edges = (
+        ps.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    return triangle_count(edges)
+
+
+def fuzzy_match_parts(sf_dir: str) -> rd.Dataset:
+    """Blocked fuzzy (Levenshtein) top-1 match: for each of the 20
+    lowest-partkey part names, the closest OTHER part name corpus-wide
+    (min edit distance, ties lexicographic).  Probes are read
+    driver-side straight from the parquet file (k-sized, no Ray
+    collect); the scan is the row-vectorized DP of stages/fuzzy."""
+    import pyarrow.parquet as pq
+
+    from ..stages.fuzzy import levenshtein_top1
+
+    pt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).sort_by("p_partkey")
+    probes = [
+        (int(k), str(n))
+        for k, n in zip(
+            pt.column("p_partkey").to_pylist()[:20],
+            pt.column("p_name").to_pylist()[:20],
+        )
+    ]
+    parts = _read(sf_dir, "part", ["p_name"])
+    return levenshtein_top1(parts, "p_name", probes)

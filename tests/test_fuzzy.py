@@ -1,0 +1,67 @@
+"""Tests for stages/fuzzy.py (vectorized Levenshtein top-1)."""
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from reden_ray.stages.fuzzy import (
+    _pad_codes,
+    levenshtein_probe_block,
+    levenshtein_top1,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    # textbook scalar DP
+    m, n = len(a), len(b)
+    prev = list(range(m + 1))
+    for j in range(1, n + 1):
+        cur = [j] + [0] * m
+        for i in range(1, m + 1):
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[m]
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_vectorized_matches_scalar_dp(seed):
+    rng = np.random.RandomState(seed)
+    alpha = "abcdé"
+    names = [
+        "".join(rng.choice(list(alpha), size=rng.randint(0, 12)))
+        for _ in range(60)
+    ]
+    probe = "".join(rng.choice(list(alpha), size=7))
+    chars, lens = _pad_codes(names)
+    got = levenshtein_probe_block(probe, chars, lens)
+    want = [_lev(probe, n) for n in names]
+    assert got.tolist() == want
+
+
+def test_known_distances():
+    chars, lens = _pad_codes(["sitting", "", "kitten", "kittens"])
+    got = levenshtein_probe_block("kitten", chars, lens)
+    assert got.tolist() == [3, 6, 0, 1]
+
+
+def test_top1_end_to_end():
+    names = ["alpha", "alpine", "beta", "betta", "gamma", "gamut", "alphax"]
+    ds = rd.from_arrow(pa.table({"name": pa.array(names, pa.string())})).repartition(3)
+    probes = [(0, "alpha"), (1, "betta"), (2, "gamma")]
+    out = (
+        levenshtein_top1(ds, "name", probes)
+        .to_pandas()
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+    # best non-self match; ties lexicographic
+    def naive(p):
+        best = min(
+            (( _lev(p, n), n) for n in names if n != p),
+        )
+        return best
+
+    for i, (pid, p) in enumerate(probes):
+        d, m = naive(p)
+        assert out.loc[i, "best_match"] == m
+        assert out.loc[i, "distance"] == d

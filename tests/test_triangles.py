@@ -1,0 +1,52 @@
+"""Tests for stages/triangles.py."""
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from reden_ray.stages.triangles import triangle_count
+
+
+def _naive_triangles(pairs):
+    # adjacency-cube trace / 6 over the distinct undirected simple graph
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n), dtype=np.int64)
+    for u, v in pairs:
+        if u != v:
+            A[idx[u], idx[v]] = 1
+            A[idx[v], idx[u]] = 1
+    return int(np.trace(A @ A @ A) // 6)
+
+
+@pytest.mark.parametrize("seed,n,m", [(0, 12, 40), (5, 20, 90)])
+def test_triangle_count_matches_naive(seed, n, m):
+    rng = np.random.RandomState(seed)
+    pairs = [(int(rng.randint(0, n)), int(rng.randint(0, n))) for _ in range(m)]
+    # include duplicates and reversed duplicates deliberately
+    pairs += [(v, u) for u, v in pairs[:10]]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([p[0] for p in pairs], pa.int64()),
+                "v": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    ).repartition(4)
+    got = triangle_count(ds).to_pandas()["n_triangles"][0]
+    assert got == _naive_triangles(pairs)
+
+
+def test_triangle_count_known():
+    # K4 has 4 triangles
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([e[0] for e in edges], pa.int64()),
+                "v": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    assert triangle_count(ds).to_pandas()["n_triangles"][0] == 4
