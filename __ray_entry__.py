@@ -621,6 +621,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o23_ntile_cume": R.o23_ntile_cume,
         "graph_triangles": R.graph_triangles,
         "fuzzy_match_parts": R.fuzzy_match_parts,
+        "chunk_documents": R.chunk_documents,
+        "pack_token_budget": R.pack_token_budget,
     }
 
 
@@ -1224,5 +1226,25 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY distance, best_match) AS rn FROM scored) "
             "SELECT probe_id, probe, best_match, CAST(distance AS BIGINT) AS distance "
             "FROM ranked WHERE rn = 1"
+        ),
+        "chunk_documents": (
+            "SELECT doc_id, CAST(t.k AS BIGINT) AS chunk_id, "
+            "substring(text, CAST(t.k * 150 + 1 AS BIGINT), 200) AS chunk, "
+            "CAST(length(substring(text, CAST(t.k * 150 + 1 AS BIGINT), 200)) "
+            "AS BIGINT) AS n_chunk_chars "
+            "FROM documents, generate_series(0, 255) AS t(k) "
+            "WHERE t.k * 150 < length(text)"
+            # constant series bound: DuckDB's generate_series takes no
+            # lateral/subquery args; 255 covers docs up to 38k chars
+            # (fixture max 553) and the WHERE prunes the rest
+        ),
+        "pack_token_budget": (
+            "WITH c AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "s AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM c) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS bin FROM s"
         ),
     }

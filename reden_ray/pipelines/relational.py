@@ -3420,3 +3420,83 @@ def fuzzy_match_parts(sf_dir: str) -> rd.Dataset:
     ]
     parts = _read(sf_dir, "part", ["p_name"])
     return levenshtein_top1(parts, "p_name", probes)
+
+
+def chunk_documents(sf_dir: str, width: int = 200, stride: int = 150) -> rd.Dataset:
+    """Overlapping fixed-width character chunking (the LLM context-window
+    prep step): doc -> chunks [k*stride, k*stride+width) for k while
+    k*stride < len.  Vectorized as a loop over CHUNK INDEX (bounded by
+    max_len/stride), not rows: chunk k slices the whole column once via
+    utf8_slice_codeunits (codepoint semantics — matches SQL substring)
+    and filters rows still long enough.  Purely map-side: no shuffle,
+    output streams."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(t.column("text")).to_numpy(zero_copy_only=False)
+        if t.num_rows == 0 or lens.max() == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "chunk": pa.array([], pa.string()),
+                    "n_chunk_chars": pa.array([], pa.int64()),
+                }
+            )
+        max_k = int((lens.max() - 1) // stride)
+        outs = []
+        for k in range(max_k + 1):
+            start = k * stride
+            mask = lens > start
+            if not mask.any():
+                break
+            sub = t.filter(pa.array(mask))
+            piece = pc.utf8_slice_codeunits(sub.column("text"), start, start + width)
+            outs.append(
+                pa.table(
+                    {
+                        "doc_id": sub.column("doc_id"),
+                        "chunk_id": pa.array(
+                            np.full(sub.num_rows, k, dtype=np.int64), pa.int64()
+                        ),
+                        "chunk": piece,
+                        "n_chunk_chars": pc.utf8_length(piece).cast(pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return docs.map_batches(chunks, batch_format="pyarrow", batch_size=None)
+
+
+def pack_token_budget(sf_dir: str, capacity: int = 256) -> rd.Dataset:
+    """Token-budget sequence packing (deterministic shard assignment for
+    training-data writers): docs in doc_id order fill bins of
+    ``capacity`` tokens; a doc's bin = floor(exclusive-prefix-tokens /
+    capacity).  The prefix sum is the distributed two-phase scan
+    (stages/scan.ordered_prefix_sum) — no global sort; token counts are
+    the same '\\S+' runs the SQL oracle counts."""
+    from ..stages.scan import ordered_prefix_sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t.column("text"), r"\S+").cast(pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"), "n_tokens": n})
+
+    counted = docs.map_batches(toks, batch_format="pyarrow", batch_size=None)
+    scanned = ordered_prefix_sum(counted, "doc_id", "n_tokens", alias="cum")
+
+    def binize(t: pa.Table) -> pa.Table:
+        cum = t.column("cum").to_numpy(zero_copy_only=False)
+        ntok = t.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor((cum - ntok) / capacity).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": t.column("n_tokens"),
+                "bin": pa.array(b, pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(binize, batch_format="pyarrow", batch_size=None)

@@ -26,6 +26,7 @@ WHITELIST = {
     "stages/aggregates.py": (1, "<= top_n+1 rows per merged MG block"),
     "pipelines/relational.py": (2, "approx_top_terms exact side (<= top_n rows); a16 per-group means (<= 3 rows, broadcast)"),
     "sources/endpoint.py": (1, "per-shard ingest manifest (27 letter shards)"),
+    "stages/scan.py": (1, "<= n_buckets bucket totals (scan phase 2)"),
 }
 
 
