@@ -54,7 +54,7 @@ def triangle_count(edges: rd.Dataset, src: str = "u", dst: str = "v") -> rd.Data
     """Count triangles in the undirected graph given by an edge list
     (duplicates/self-loops/direction ignored).  One row out:
     ``n_triangles``."""
-    from .joins import default_join_partitions, hash_join, staged_nonempty
+    from .joins import default_join_partitions, staged_nonempty
     from .partition import part_column
 
     e = _distinct_edges(edges, src, dst).materialize()
@@ -80,16 +80,17 @@ def triangle_count(edges: rd.Dataset, src: str = "u", dst: str = "v") -> rd.Data
         .aggregate(Sum("d", alias_name="deg"))
     )
 
-    # orient: join degrees onto both endpoints, direct low -> high
+    # orient: join degrees onto both endpoints, direct low -> high.
+    # smart_join broadcasts the node-sized degree table when it fits
+    # (the common case — |V| << |E|) and falls back to a staged,
+    # data-sized hash join when it doesn't.
+    from .joins import smart_join
+
     n_parts = default_join_partitions()
     du = deg.rename_columns(["u", "deg_u"])
     dv = deg.rename_columns(["v", "deg_v"])
-    ed = hash_join(
-        staged_nonempty(e), staged_nonempty(du), on=["u"], num_partitions=n_parts
-    )
-    ed = hash_join(
-        staged_nonempty(ed), staged_nonempty(dv), on=["v"], num_partitions=n_parts
-    )
+    ed = smart_join(e, du, on=["u"])
+    ed = smart_join(ed, dv, on=["v"])
 
     def orient(t: pa.Table) -> pa.Table:
         u = t.column("u").to_numpy(zero_copy_only=False)
