@@ -623,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match_parts": R.fuzzy_match_parts,
         "chunk_documents": R.chunk_documents,
         "pack_token_budget": R.pack_token_budget,
+        "dedup_ed1_pairs": R.dedup_ed1_pairs,
     }
 
 
@@ -1246,5 +1247,11 @@ def oracle_sql() -> dict[str, str]:
             "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM c) "
             "SELECT doc_id, n_tokens, "
             "CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS bin FROM s"
+        ),
+        "dedup_ed1_pairs": (
+            "SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, "
+            "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance "
+            "FROM part a JOIN part b ON a.p_partkey < b.p_partkey "
+            "WHERE levenshtein(a.p_name, b.p_name) <= 1"
         ),
     }

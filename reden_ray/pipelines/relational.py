@@ -3500,3 +3500,16 @@ def pack_token_budget(sf_dir: str, capacity: int = 256) -> rd.Dataset:
         )
 
     return scanned.map_batches(binize, batch_format="pyarrow", batch_size=None)
+
+
+def dedup_ed1_pairs(sf_dir: str) -> rd.Dataset:
+    """All part-name pairs within edit distance 1 via SymSpell-style
+    deletion-neighborhood blocking (stages/fuzzy.ed1_pairs): lossless
+    variant blocking -> ONE variant-hash shuffle -> bounded per-group
+    pair expansion -> vectorized <=1 verification.  The all-pairs
+    DP the oracle runs is O(n^2); this plan is O(n * len) rows through
+    one shuffle."""
+    from ..stages.fuzzy import ed1_pairs
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    return ed1_pairs(parts, "p_partkey", "p_name")

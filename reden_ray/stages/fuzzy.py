@@ -152,3 +152,226 @@ def levenshtein_top1(
         )
 
     return partials.groupby("probe_id").map_groups(reduce_best, batch_format="pyarrow")
+
+
+# --- deletion-neighborhood (SymSpell-style) edit-distance<=1 pairs --------
+
+def _deletion_variants(t: pa.Table, id_col: str, name_col: str) -> pa.Table:
+    """(variant, id, name) rows: the name itself plus every single-char
+    deletion.  Loop is over DELETION POSITION (bounded by the longest
+    name in the batch — alias/name keys are short by nature), each pass
+    slicing the whole column; no per-row Python."""
+    import pyarrow.compute as pc
+
+    lens = pc.utf8_length(t.column(name_col)).to_numpy(zero_copy_only=False)
+    outs = [
+        pa.table(
+            {
+                "variant": t.column(name_col),
+                "vid": t.column(id_col),
+                "vname": t.column(name_col),
+            }
+        )
+    ]
+    max_len = int(lens.max()) if len(lens) else 0
+    for k in range(max_len):
+        mask = lens > k
+        if not mask.any():
+            break
+        sub = t.filter(pa.array(mask))
+        pre = pc.utf8_slice_codeunits(sub.column(name_col), 0, k)
+        post = pc.utf8_slice_codeunits(sub.column(name_col), k + 1, 1 << 30)
+        var = pc.binary_join_element_wise(pre, post, "")
+        outs.append(
+            pa.table(
+                {
+                    "variant": var,
+                    "vid": sub.column(id_col),
+                    "vname": sub.column(name_col),
+                }
+            )
+        )
+    out = pa.concat_tables(outs)
+    # block-local (variant, id) dedup ("aab" yields "ab" twice)
+    return out.group_by(["variant", "vid", "vname"]).aggregate([])
+
+
+def _ed_le1_verify(a: list[str], b: list[str]) -> np.ndarray:
+    """Vectorized check levenshtein(a_i, b_i) <= 1 per pair.
+
+    Equal-length pairs: <=1 mismatching position.  Length-diff-1 pairs:
+    prefix-match up to the first mismatch, then the longer shifted by
+    one must match the shorter to the end (prefix/suffix cumulative
+    ANDs — no per-pair scan).  Larger length gaps are distance >= 2.
+    """
+    ca, la = _pad_codes(a)
+    cb, lb = _pad_codes(b)
+    n = len(a)
+    L = max(ca.shape[1], cb.shape[1], 1)
+    if ca.shape[1] < L:
+        ca = np.pad(ca, ((0, 0), (0, L - ca.shape[1])))
+    if cb.shape[1] < L:
+        cb = np.pad(cb, ((0, 0), (0, L - cb.shape[1])))
+    ok = np.zeros(n, dtype=bool)
+    same = la == lb
+    if same.any():
+        mism = (ca[same] != cb[same]).sum(axis=1)
+        ok[same] = mism <= 1
+    # orient: x = longer, y = shorter, len diff exactly 1
+    d1 = np.abs(la - lb) == 1
+    if d1.any():
+        idx = np.nonzero(d1)[0]
+        a_long = la[idx] > lb[idx]
+        x = np.where(a_long[:, None], ca[idx], cb[idx])
+        y = np.where(a_long[:, None], cb[idx], ca[idx])
+        ly = np.where(a_long, lb[idx], la[idx])
+        eq = x[:, : L - 1] == y[:, : L - 1] if L > 1 else np.ones((len(idx), 0), bool)
+        eq_shift = x[:, 1:] == y[:, : L - 1]
+        # position mask within the shorter string
+        pos = np.arange(L - 1)[None, :]
+        valid = pos < ly[:, None]
+        pre_ok = np.cumprod(np.where(valid, eq, True), axis=1).astype(bool)
+        # suffix: all eq_shift from position j..ly-1
+        suf = np.where(valid, eq_shift, True)
+        suf_ok = np.flip(np.cumprod(np.flip(suf, axis=1), axis=1), axis=1).astype(bool)
+        # deletion at shorter-position j works iff prefix[0..j-1] and
+        # shifted suffix [j..]; j ranges 0..ly (j==ly -> delete last of x)
+        any_j = suf_ok[:, 0] if L > 1 else np.ones(len(idx), bool)  # j == 0
+        if L > 1:
+            mid = pre_ok[:, :-1] & suf_ok[:, 1:]
+            any_j = any_j | mid.any(axis=1)
+            # j == ly (delete x's last char): whole prefix must match
+            last_pre = np.where(
+                ly > 0,
+                pre_ok[np.arange(len(idx)), np.maximum(ly - 1, 0)],
+                True,
+            )
+            any_j = any_j | last_pre
+        ok[idx] = any_j
+    return ok
+
+
+def ed1_pairs(
+    ds: rd.Dataset,
+    id_col: str,
+    name_col: str,
+    max_group: int | None = None,
+    n_partitions: int | None = None,
+) -> rd.Dataset:
+    """All id pairs (a < b) whose names are within edit distance 1 —
+    SymSpell-style deletion-neighborhood blocking, the exact scale path
+    for alias/near-key dedup:
+
+    1. each row emits its name + every single-deletion variant;
+    2. ONE variant-hash shuffle groups colliding rows — a pair within
+       edit distance 1 ALWAYS shares a variant (equal -> identity,
+       substitution -> same-position deletions, indel -> longer's
+       deletion == shorter), so blocking is lossless;
+    3. per-group pair expansion (``max_group`` caps pathological hot
+       variants at scale — ungrounded by default for exactness);
+    4. global pair distinct, then the vectorized <=1 verifier drops
+       hash-collision false candidates.
+
+    Output: (id_a, id_b, distance) with distance in {0, 1}.
+    """
+    from .joins import default_join_partitions
+    from .partition import part_column
+
+    n_parts = n_partitions or default_join_partitions()
+    variants = ds.map_batches(
+        lambda t: _deletion_variants(t, id_col, name_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["variant"], n_parts))
+
+    def pairs(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__part").sort_by(
+            [("variant", "ascending"), ("vid", "ascending")]
+        )
+        v = np.asarray(g.column("variant").to_pylist(), dtype=object)
+        ids = g.column("vid").to_numpy(zero_copy_only=False)
+        names = np.asarray(g.column("vname").to_pylist(), dtype=object)
+        n = len(v)
+        starts = np.flatnonzero(np.concatenate([[True], v[1:] != v[:-1]]))
+        ends = np.concatenate([starts[1:], [n]])
+        ia, ib, na, nb = [], [], [], []
+        for st, en in zip(starts, ends):  # per VARIANT group
+            k = en - st
+            if k < 2:
+                continue
+            if max_group is not None and k > max_group:
+                continue  # documented hot-variant cap (off by default)
+            iu = np.triu_indices(k, 1)
+            gi = ids[st:en]
+            gn = names[st:en]
+            ia.append(gi[iu[0]])
+            ib.append(gi[iu[1]])
+            na.append(gn[iu[0]])
+            nb.append(gn[iu[1]])
+        if not ia:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "name_a": pa.array([], pa.string()),
+                    "name_b": pa.array([], pa.string()),
+                }
+            )
+        t2 = pa.table(
+            {
+                "id_a": pa.array(np.concatenate(ia), pa.int64()),
+                "id_b": pa.array(np.concatenate(ib), pa.int64()),
+                "name_a": pa.array(np.concatenate(na), pa.string()),
+                "name_b": pa.array(np.concatenate(nb), pa.string()),
+            }
+        )
+        # ids equal -> same row seen through two variants; drop
+        t2 = t2.filter(
+            pa.array(
+                t2.column("id_a").to_numpy(zero_copy_only=False)
+                != t2.column("id_b").to_numpy(zero_copy_only=False)
+            )
+        )
+        return t2.group_by(["id_a", "id_b", "name_a", "name_b"]).aggregate([])
+
+    # global pair distinct: names are functions of the ids, so distinct
+    # on all four columns == distinct pairs — an AGGREGATE groupby (one
+    # shuffle, no per-pair group calls)
+    cand = (
+        variants.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b", "name_a", "name_b"])
+        .count()
+        .select_columns(["id_a", "id_b", "name_a", "name_b"])
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "distance": pa.array([], pa.int64()),
+                }
+            )
+        a = t.column("name_a").to_pylist()
+        b = t.column("name_b").to_pylist()
+        ok = _ed_le1_verify(a, b)
+        kept = t.filter(pa.array(ok))
+        dist = (
+            np.asarray(kept.column("name_a").to_pylist(), dtype=object)
+            != np.asarray(kept.column("name_b").to_pylist(), dtype=object)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "id_a": kept.column("id_a"),
+                "id_b": kept.column("id_b"),
+                "distance": pa.array(dist, pa.int64()),
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow", batch_size=None)

@@ -65,3 +65,47 @@ def test_top1_end_to_end():
         d, m = naive(p)
         assert out.loc[i, "best_match"] == m
         assert out.loc[i, "distance"] == d
+
+
+# --- ed<=1 deletion-neighborhood pairs ------------------------------------
+
+def _naive_ed1_pairs(rows):
+    out = set()
+    for i, (ia, na) in enumerate(rows):
+        for ib, nb in rows[i + 1 :]:
+            if _lev(na, nb) <= 1:
+                a, b = (ia, ib) if ia < ib else (ib, ia)
+                out.add((a, b, 0 if na == nb else 1))
+    return out
+
+
+@pytest.mark.parametrize("seed,n", [(0, 120), (9, 200)])
+def test_ed1_pairs_matches_naive(seed, n):
+    from reden_ray.stages.fuzzy import ed1_pairs
+
+    rng = np.random.RandomState(seed)
+    alpha = list("abc")
+    rows = [
+        (i, "".join(rng.choice(alpha, size=rng.randint(0, 6))))
+        for i in range(n)
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([r[0] for r in rows], pa.int64()),
+                "name": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(5)
+    got = ed1_pairs(ds, "id", "name", n_partitions=4).to_pandas()
+    got_set = {(r.id_a, r.id_b, r.distance) for r in got.itertuples()}
+    assert got_set == _naive_ed1_pairs(rows)
+
+
+def test_ed1_verify_cases():
+    from reden_ray.stages.fuzzy import _ed_le1_verify
+
+    a = ["kitten", "kitten", "kitten", "abc", "", "a", "abc", "abcd"]
+    b = ["kitten", "mitten", "sitting", "ab", "a", "", "axc", "abc"]
+    want = [_lev(x, y) <= 1 for x, y in zip(a, b)]
+    assert _ed_le1_verify(a, b).tolist() == want
