@@ -624,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": R.chunk_documents,
         "pack_token_budget": R.pack_token_budget,
         "dedup_ed1_pairs": R.dedup_ed1_pairs,
+        "a19_salted_counts": R.a19_salted_counts,
     }
 
 
@@ -1253,5 +1254,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance "
             "FROM part a JOIN part b ON a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) <= 1"
+        ),
+        "a19_salted_counts": (
+            "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
         ),
     }

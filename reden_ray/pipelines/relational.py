@@ -3513,3 +3513,24 @@ def dedup_ed1_pairs(sf_dir: str) -> rd.Dataset:
 
     parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
     return ed1_pairs(parts, "p_partkey", "p_name")
+
+
+def a19_salted_counts(sf_dir: str) -> rd.Dataset:
+    """Hot-key-safe counting exposed to the driver gate: event_type has
+    only 5 values (every key is a celebrity), so this runs the salted
+    two-phase aggregate (stages/aggregates.salted_groupby_count — 16
+    sub-keys per key through the first shuffle, unsalt in a 5x16-row
+    second pass) and must agree exactly with the plain GROUP BY."""
+    from ..stages.aggregates import salted_groupby_count
+
+    ev = _read(sf_dir, "events", ["event_type"])
+    out = salted_groupby_count(ev, ["event_type"], n_salts=16, alias="n")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": t.column("n").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
