@@ -625,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_token_budget": R.pack_token_budget,
         "dedup_ed1_pairs": R.dedup_ed1_pairs,
         "a19_salted_counts": R.a19_salted_counts,
+        "a20_event_entropy": R.a20_event_entropy,
     }
 
 
@@ -1257,5 +1258,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a19_salted_counts": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
+        ),
+        "a20_event_entropy": (
+            "WITH c AS (SELECT user_id, event_type, count(*) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "s AS (SELECT user_id, SUM(n) AS tot, SUM(n * ln(n)) AS nln "
+            "FROM c GROUP BY 1) "
+            "SELECT user_id, CAST(tot AS BIGINT) AS n_events, "
+            "ROUND(greatest(ln(tot) - nln / tot, 0.0), 6) AS entropy FROM s"
         ),
     }

@@ -3534,3 +3534,62 @@ def a19_salted_counts(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def a20_event_entropy(sf_dir: str) -> rd.Dataset:
+    """Shannon entropy of each user's event-type mix — computed with
+    AGGREGATES ONLY via H = ln(N) - sum(n*ln(n))/N: per-block
+    (user,type) count partials, one groupby merge, then per-user Sum of
+    n*ln(n) and Sum of n — no per-user group calls anywhere.  6 dp
+    rounding on both sides (values are irrational; no tie hazard)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([("event_type", "count")])
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "event_type": g.column("event_type"),
+                "n": g.column("event_type_count").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "event_type"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["user_id", "event_type", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def nlogn(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n": t.column("n"),
+                "nln": pa.array(n * np.log(n), pa.float64()),
+            }
+        )
+
+    agg = (
+        counts.map_batches(nlogn, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="tot"), Sum("nln", alias_name="nln"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = t.column("tot").to_numpy(zero_copy_only=False).astype(np.float64)
+        nln = t.column("nln").to_numpy(zero_copy_only=False)
+        h = np.log(tot) - nln / tot
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_events": pa.array(tot.astype(np.int64), pa.int64()),
+                "entropy": pa.array(np.round(np.maximum(h, 0.0), 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
