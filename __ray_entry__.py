@@ -626,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ed1_pairs": R.dedup_ed1_pairs,
         "a19_salted_counts": R.a19_salted_counts,
         "a20_event_entropy": R.a20_event_entropy,
+        "text_bigram_topk": R.text_bigram_topk,
     }
 
 
@@ -1266,5 +1267,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM c GROUP BY 1) "
             "SELECT user_id, CAST(tot AS BIGINT) AS n_events, "
             "ROUND(greatest(ln(tot) - nln / tot, 0.0), 6) AS entropy FROM s"
+        ),
+        "text_bigram_topk": (
+            "WITH f AS (SELECT doc_id, list_filter(list_transform("
+            "string_split_regex(text, '[ \t\n\r\f\v]+'), x -> lower(x)), "
+            "x -> x <> '') AS t FROM documents), "
+            "b AS (SELECT t[i.k] AS w1, t[i.k + 1] AS w2 "
+            "FROM f, generate_series(1, 2047) AS i(k) WHERE i.k < len(t)), "
+            "c AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY 1, 2), "
+            "tot AS (SELECT w1, SUM(n) AS tot FROM c GROUP BY 1), "
+            "r AS (SELECT c.w1, c.w2, c.n, c.n / tot.tot AS p, "
+            "row_number() OVER (PARTITION BY c.w1 "
+            "ORDER BY c.n DESC, c.w2) AS rn FROM c JOIN tot ON c.w1 = tot.w1) "
+            "SELECT w1, w2, CAST(n AS BIGINT) AS n, ROUND(p, 6) AS p "
+            "FROM r WHERE rn <= 3"
         ),
     }

@@ -3593,3 +3593,107 @@ def a20_event_entropy(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def text_bigram_topk(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Bigram language-model head: corpus-wide bigram counts and, per
+    leading word, the top-k continuations with conditional
+    probabilities (count-based Markov LM training at corpus scale).
+    Per-block bigram partials (consecutive filtered tokens within a
+    doc, all vectorized), ONE bigram groupby merge, then a w1-hash
+    partition computes per-word totals + rank-k in segment arithmetic.
+    Tokenizer shared verbatim with TF-IDF/BM25 (whitespace split +
+    lower + empty filter); probabilities rounded HALF-AWAY at 6 dp to
+    match DuckDB ROUND on power-of-two total ties."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column("text")), pattern=r"[ \t\n\r\f\v]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        parent = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False), lens)
+        flat = toks.flatten()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parent = parent[keep]
+        words = np.asarray(flat.filter(pa.array(keep)).to_pylist(), dtype=object)
+        if len(words) < 2:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        same = parent[1:] == parent[:-1]
+        bt = pa.table(
+            {
+                "w1": pa.array(words[:-1][same], pa.string()),
+                "w2": pa.array(words[1:][same], pa.string()),
+            }
+        )
+        g = bt.group_by(["w1", "w2"]).aggregate([("w2", "count")])
+        return pa.table(
+            {
+                "w1": g.column("w1"),
+                "w2": g.column("w2"),
+                "n": g.column("w2_count").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["w1", "w2"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["w1", "w2", "n"]), batch_format="pyarrow"
+        )
+    )
+
+    n_parts = default_join_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["w1"], n_parts))
+
+    def topk(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__part")
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("w1", "ascending"), ("n", "descending"), ("w2", "ascending")],
+        )
+        g = g.take(idx)
+        w1 = np.asarray(g.column("w1").to_pylist(), dtype=object)
+        n = g.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        m = len(w1)
+        first = np.ones(m, dtype=bool)
+        if m:
+            first[1:] = w1[1:] != w1[:-1]
+        seg_id = np.cumsum(first) - 1
+        # per-segment totals and ranks, all segment arithmetic
+        tot = np.zeros(seg_id[-1] + 1 if m else 0)
+        np.add.at(tot, seg_id, n)
+        starts = np.flatnonzero(first)
+        rank = np.arange(m, dtype=np.int64) - starts[seg_id]
+        p = n / tot[seg_id]
+        keep = rank < k
+        kept = g.filter(pa.array(keep))
+        pk = p[keep]
+        return pa.table(
+            {
+                "w1": kept.column("w1"),
+                "w2": kept.column("w2"),
+                "n": kept.column("n"),
+                "p": pa.array(np.floor(pk * 1e6 + 0.5) / 1e6, pa.float64()),
+            }
+        )
+
+    return (
+        counts.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(topk, batch_format="pyarrow")
+    )

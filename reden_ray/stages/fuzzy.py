@@ -164,6 +164,16 @@ def _deletion_variants(t: pa.Table, id_col: str, name_col: str) -> pa.Table:
     import pyarrow.compute as pc
 
     lens = pc.utf8_length(t.column(name_col)).to_numpy(zero_copy_only=False)
+    max_len = int(lens.max()) if len(lens) else 0
+    if max_len > 512:
+        # fail LOUDLY: deletion blocking emits len+1 rows per name, so a
+        # document-sized string silently multiplies the shuffle volume
+        # 500x+ — this operator is for NAME/ALIAS keys; chunk or hash
+        # long fields first
+        raise ValueError(
+            f"ed1_pairs: name of length {max_len} exceeds the 512-char "
+            "key bound (deletion blocking is O(len) rows per name)"
+        )
     outs = [
         pa.table(
             {
@@ -173,7 +183,6 @@ def _deletion_variants(t: pa.Table, id_col: str, name_col: str) -> pa.Table:
             }
         )
     ]
-    max_len = int(lens.max()) if len(lens) else 0
     for k in range(max_len):
         mask = lens > k
         if not mask.any():
