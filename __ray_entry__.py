@@ -506,6 +506,17 @@ def _text_quality(sf_dir: str):
     )
 
 
+def _approx_count_min(sf_dir: str):
+    """Count-Min sketch point-frequency query (stages/cms.py): exact
+    per-part counts plus the sketch's deterministic one-sided flag
+    (est >= exact always — Count-Min never undercounts), so the oracle
+    is plain SQL with TRUE.  Overestimate tightness is pytest-pinned
+    (tests/test_cms.py), mirroring the Misra-Gries precedent."""
+    from reden_ray.stages.cms import approx_count_min
+
+    return approx_count_min(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from reden_ray.pipelines import relational as R
 
@@ -627,6 +638,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a19_salted_counts": R.a19_salted_counts,
         "a20_event_entropy": R.a20_event_entropy,
         "text_bigram_topk": R.text_bigram_topk,
+        # round-4 batch 3
+        "graph_adamic_adar": R.graph_adamic_adar,
+        "text_ppl_buckets": R.text_ppl_buckets,
+        "approx_count_min": _approx_count_min,
     }
 
 
@@ -1281,5 +1296,57 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY c.n DESC, c.w2) AS rn FROM c JOIN tot ON c.w1 = tot.w1) "
             "SELECT w1, w2, CAST(n AS BIGINT) AS n, ROUND(p, 6) AS p "
             "FROM r WHERE rn <= 3"
+        ),
+        # --- round-4 batch 3 ---------------------------------------------
+        "graph_adamic_adar": (
+            "WITH ps AS (SELECT DISTINCT l_orderkey AS p, l_partkey AS s FROM lineitem), "
+            "e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a "
+            "JOIN ps b ON a.p = b.p AND a.s < b.s), "
+            "adj AS (SELECT u AS node, v AS nbr FROM e "
+            "UNION ALL SELECT v AS node, u AS nbr FROM e), "
+            "deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node), "
+            "wed AS (SELECT least(a.nbr, b.nbr) AS u, greatest(a.nbr, b.nbr) AS v, "
+            "1.0 / ln(deg.d) AS w FROM adj a JOIN adj b "
+            "ON a.node = b.node AND a.nbr < b.nbr JOIN deg ON deg.node = a.node), "
+            "sc AS (SELECT u, v, ROUND(sum(w), 4) AS score FROM wed GROUP BY u, v), "
+            "ne AS (SELECT sc.u, sc.v, sc.score FROM sc LEFT JOIN e "
+            "ON e.u = sc.u AND e.v = sc.v WHERE e.u IS NULL), "
+            "ranked AS (SELECT u, v, score, row_number() OVER "
+            "(ORDER BY score DESC, u, v) AS rn FROM ne) "
+            "SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, score "
+            "FROM ranked WHERE rn <= 50"
+        ),
+        "text_ppl_buckets": (
+            "WITH tok AS ("
+            "  SELECT doc_id, lower(t.term) AS term"
+            "  FROM documents, UNNEST(string_split_regex(text, '[ \t\n\r\f\v]+'))"
+            "  AS t(term) WHERE t.term <> ''"
+            "), tf AS (SELECT doc_id, term, count(*) AS tfc FROM tok GROUP BY 1, 2),"
+            " dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY 1),"
+            " vc AS (SELECT term, sum(tfc) AS cnt FROM tf GROUP BY 1),"
+            " tot AS (SELECT sum(cnt) AS total FROM vc),"
+            " scored AS (SELECT tf.doc_id,"
+            "   (tfc * LN(cnt / total)) / dlen AS c"
+            "   FROM tf JOIN dl USING (doc_id) JOIN vc USING (term)"
+            "   CROSS JOIN tot),"
+            " lp AS (SELECT doc_id, ROUND(sum(c), 4) AS logprob "
+            "   FROM scored GROUP BY 1),"
+            " p AS (SELECT count(*) AS n, "
+            "   CAST(ceil(count(*) / 3.0) AS BIGINT) AS h FROM lp),"
+            " ord AS (SELECT logprob, row_number() OVER (ORDER BY logprob) AS rn"
+            "   FROM lp),"
+            " cuts AS (SELECT"
+            "   (SELECT o.logprob FROM ord o, p "
+            "    WHERE o.rn = greatest(p.n - p.h, 0) + 1) AS c_head,"
+            "   (SELECT o.logprob FROM ord o, p "
+            "    WHERE o.rn = greatest(p.n - 2 * p.h, 0) + 1) AS c_mid) "
+            "SELECT doc_id, logprob, CASE WHEN logprob >= c_head THEN 'head' "
+            "WHEN logprob >= c_mid THEN 'middle' ELSE 'tail' END AS bucket "
+            "FROM lp CROSS JOIN cuts"
+        ),
+        "approx_count_min": (
+            "SELECT CAST(l_partkey AS BIGINT) AS l_partkey, "
+            "CAST(count(*) AS BIGINT) AS cnt, TRUE AS cms_never_under "
+            "FROM lineitem GROUP BY 1"
         ),
     }

@@ -2085,6 +2085,51 @@ def text_unigram_logprob(sf_dir: str) -> rd.Dataset:
     )
 
 
+def text_ppl_buckets(sf_dir: str) -> rd.Dataset:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019): split the
+    corpus into head / middle / tail by terciles of the per-doc LM
+    score (here the oracled `text_unigram_logprob`; higher logprob =
+    lower perplexity = head).  Cuts are DISCRETE order statistics of
+    the 4dp-rounded score found by the distributed selection machinery
+    (`stages/selection.select_order_stats` — never collects the
+    column), so both sides bucket by comparing against an actual data
+    value and ties land in the same bucket deterministically.  Head
+    target size = ceil(n/3); value ties at a cut can only GROW a
+    bucket, identically on both sides."""
+    from ..stages.selection import select_order_stats
+
+    lp = text_unigram_logprob(sf_dir).materialize()
+    n = int(lp.count())
+    if n == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "logprob": pa.array([], pa.float64()),
+                    "bucket": pa.array([], pa.string()),
+                }
+            )
+        )
+    h = -(-n // 3)  # ceil(n/3)
+    r_head = max(n - h, 0)  # 0-based ascending rank of the head cut
+    r_mid = max(n - 2 * h, 0)
+    stats = select_order_stats(lp, "logprob", sorted({r_head, r_mid}))
+    c_head, c_mid = stats[r_head], stats[r_mid]
+
+    def bucket(t: pa.Table) -> pa.Table:
+        v = t.column("logprob").to_numpy(zero_copy_only=False)
+        b = np.where(v >= c_head, "head", np.where(v >= c_mid, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "logprob": t.column("logprob"),
+                "bucket": pa.array(b.tolist(), pa.string()),
+            }
+        )
+
+    return lp.map_batches(bucket, batch_format="pyarrow", batch_size=None)
+
+
 def text_bm25_topk(sf_dir: str, k: int = 3, k1: float = 1.2, b: float = 0.75) -> rd.Dataset:
     """BM25 (Robertson; Lucene-style non-negative idf) with per-doc
     top-k terms — TF-IDF's production sibling.  Same plan shape as
@@ -3333,18 +3378,25 @@ def o23_ntile_cume(sf_dir: str, k: int = 4) -> rd.Dataset:
     )
 
 
-def graph_triangles(sf_dir: str) -> rd.Dataset:
-    """Triangle count of the supplier co-supply graph (suppliers
-    adjacent iff some part appears with both in lineitem).  Edge build
-    = distinct (part, supp) pairs -> per-part supplier pair expansion
-    (bounded by per-part supplier fan-in) -> distinct edges; count via
-    the degree-oriented wedge join (stages/triangles.triangle_count).
-    Oracle: the textbook 3-way SQL self-join over the same edge CTE."""
+def _cooccur_edges(sf_dir: str, key: str, val: str) -> rd.Dataset:
+    """Co-occurrence edge list over lineitem: ``val`` nodes adjacent
+    iff they share a ``key`` (e.g. suppliers sharing a part, parts
+    sharing an order): distinct (key, val) pairs -> per-key node pair
+    expansion (bounded by per-key fan-in) -> block-local dedup.
+    Shared by graph_triangles (co-supply) and graph_adamic_adar
+    (co-order)."""
     from ..stages.joins import default_join_partitions
     from ..stages.partition import part_column
-    from ..stages.triangles import triangle_count
 
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    # internal names stay l_partkey (the key) / l_suppkey (the node) —
+    # the expansion body below predates the generalization
+    li = _read(sf_dir, "lineitem", [key, val]).map_batches(
+        lambda t: pa.table(
+            {"l_partkey": t.column(key), "l_suppkey": t.column(val)}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
 
     def distinct_ps(t: pa.Table) -> pa.Table:
         return t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
@@ -3390,12 +3442,35 @@ def graph_triangles(sf_dir: str) -> rd.Dataset:
         )
         return t2.group_by(["u", "v"]).aggregate([])  # block-local dedup
 
-    edges = (
+    return (
         ps.map_batches(tag, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(pairs, batch_format="pyarrow")
     )
-    return triangle_count(edges)
+
+
+def graph_triangles(sf_dir: str) -> rd.Dataset:
+    """Triangle count of the supplier co-supply graph, via the
+    degree-oriented wedge join (stages/triangles.triangle_count).
+    Oracle: the textbook 3-way SQL self-join over the same edge CTE."""
+    from ..stages.triangles import triangle_count
+
+    return triangle_count(_cooccur_edges(sf_dir, "l_partkey", "l_suppkey"))
+
+
+def graph_adamic_adar(sf_dir: str, k: int = 50) -> rd.Dataset:
+    """Adamic-Adar link prediction over the part CO-ORDER graph (parts
+    adjacent iff they appear in the same order — the co-SUPPLY graph
+    is complete at every sf, so it has no non-edges to predict):
+    top-k NON-edge part pairs by summed 1/ln(deg) over shared
+    neighbors (stages/linkpred.adamic_adar_topk — center-grouped wedge
+    expansion, one node-hash shuffle, pair groupby, anti-join against
+    the edge set, partial top-k merge).  Ranking uses the 4dp-ROUNDED
+    score so Ray/DuckDB summation ulp noise cannot reorder the cut.
+    Oracle: adjacency self-join + degree CTE in SQL."""
+    from ..stages.linkpred import adamic_adar_topk
+
+    return adamic_adar_topk(_cooccur_edges(sf_dir, "l_orderkey", "l_partkey"), k=k)
 
 
 def fuzzy_match_parts(sf_dir: str) -> rd.Dataset:

@@ -1,0 +1,157 @@
+"""Graph link prediction: Adamic-Adar scores over an edge list.
+
+The classic common-neighbor family (common-neighbors, Jaccard,
+Adamic-Adar) is a *wedge* computation: a candidate pair (a, b) is any
+two neighbors of a shared center node, and Adamic-Adar weights each
+shared center by 1 / ln(deg(center)).  The distributed shape reuses
+the triangle-count machinery (stages/triangles.py) but groups by the
+*center* instead of the oriented source:
+
+1. distinct canonical edges (duplicates / self-loops / direction
+   dropped — `_distinct_edges`);
+2. adjacency rows BOTH directions (node, nbr) — one map, no join: the
+   center's degree is its own segment length inside the group, so no
+   degree table is ever built or joined;
+3. ONE coarse node-hash shuffle (`part_column`), per-partition lexsort
+   + per-center neighbor-pair expansion with weight 1/ln(d), then a
+   block-local (u, v) pre-combine so repeated pairs collapse before
+   the pair shuffle;
+4. global `groupby(u, v).sum` — the only pair-sized exchange;
+5. anti-join against the edge set (link prediction scores NON-edges);
+6. global top-k without a sort (per-block partial take + one-task
+   merge, the o1 shape).
+
+Scale note: per-center fan-out is O(d^2) — a true hub blows up step 3.
+``max_degree`` caps it (centers above the cap are skipped and counted
+in the ``skipped_hubs`` accounting column of no row — callers that
+need exactness on hubby graphs must leave it None, as the oracled
+query does on the bounded co-supply graph).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .triangles import _distinct_edges
+
+
+def adamic_adar_topk(
+    edges: rd.Dataset,
+    src: str = "u",
+    dst: str = "v",
+    k: int = 50,
+    max_degree: int | None = None,
+) -> rd.Dataset:
+    """Top-k non-edge pairs by Adamic-Adar score.  Output columns
+    ``(u, v, score)`` with u < v, score rounded to 4 dp (ranking uses
+    the ROUNDED score so Ray/SQL float ulp noise cannot reorder the
+    cut), ties broken by (u, v)."""
+    from .joins import default_join_partitions, shuffle_anti_join, staged_nonempty
+    from .partition import part_column
+
+    empty = pa.table(
+        {
+            "u": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+    e = _distinct_edges(edges, src, dst).materialize()
+    if e.count() == 0:
+        return rd.from_arrow(empty)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([u, v]), pa.int64()),
+                "nbr": pa.array(np.concatenate([v, u]), pa.int64()),
+            }
+        )
+
+    n_parts = default_join_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["node"], n_parts))
+
+    def wedge_weights(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__part").sort_by(
+            [("node", "ascending"), ("nbr", "ascending")]
+        )
+        c = g.column("node").to_numpy(zero_copy_only=False)
+        nb = g.column("nbr").to_numpy(zero_copy_only=False)
+        n = len(c)
+        starts = np.flatnonzero(np.concatenate([[True], c[1:] != c[:-1]]))
+        ends = np.concatenate([starts[1:], [n]])
+        us, vs, ws = [], [], []
+        for st, en in zip(starts, ends):  # per CENTER node
+            d = en - st
+            if d < 2 or (max_degree is not None and d > max_degree):
+                continue
+            nbrs = nb[st:en]
+            iu = np.triu_indices(d, 1)
+            a, b = nbrs[iu[0]], nbrs[iu[1]]
+            us.append(a)
+            vs.append(b)
+            ws.append(np.full(len(a), 1.0 / np.log(d)))
+        if not us:
+            return empty.rename_columns(["u", "v", "w"])
+        t2 = pa.table(
+            {
+                "u": pa.array(np.concatenate(us), pa.int64()),
+                "v": pa.array(np.concatenate(vs), pa.int64()),
+                "w": pa.array(np.concatenate(ws), pa.float64()),
+            }
+        )
+        # block-local pre-combine before the pair shuffle
+        t2 = t2.group_by(["u", "v"]).aggregate([("w", "sum")])
+        return t2.rename_columns(["u", "v", "w"])
+
+    scores = (
+        e.map_batches(both_dirs, batch_format="pyarrow", batch_size=None)
+        .map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(wedge_weights, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .sum("w")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = np.round(t.column("sum(w)").to_numpy(zero_copy_only=False), 4)
+        return pa.table(
+            {
+                "u": t.column("u"),
+                "v": t.column("v"),
+                "score": pa.array(s, pa.float64()),
+            }
+        )
+
+    scored = scores.map_batches(finish, batch_format="pyarrow", batch_size=None)
+    # map_groups output commonly leads with a zero-row block (Ray 2.49
+    # first-block schema-broadcast trap) — stage the LEFT side too;
+    # shuffle_anti_join stages only its right.
+    staged = staged_nonempty(scored)
+    if staged is None:
+        return rd.from_arrow(empty)
+    non_edges = shuffle_anti_join(staged, e, on=["u", "v"])
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("score", "descending"),
+                ("u", "ascending"),
+                ("v", "ascending"),
+            ],
+        )
+        return t.take(idx[:k])
+
+    return (
+        non_edges.map_batches(block_topk, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=None)
+    )

@@ -1,0 +1,86 @@
+"""Tests for stages/linkpred.py (Adamic-Adar link prediction)."""
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from reden_ray.stages.linkpred import adamic_adar_topk
+
+
+def _naive_adamic_adar(pairs, k):
+    """All non-edge pairs scored by sum over common neighbors of
+    1/ln(deg(center)), rounded 4dp, top-k by (score desc, u, v)."""
+    adj: dict[int, set[int]] = {}
+    edges = set()
+    for u, v in pairs:
+        if u == v:
+            continue
+        a, b = min(u, v), max(u, v)
+        edges.add((a, b))
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    scores: dict[tuple[int, int], float] = {}
+    for center, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2:
+            continue
+        w = 1.0 / math.log(d)
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                key = (ns[i], ns[j])
+                scores[key] = scores.get(key, 0.0) + w
+    rows = [
+        (u, v, round(s, 4))
+        for (u, v), s in scores.items()
+        if (u, v) not in edges
+    ]
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return rows[:k]
+
+
+@pytest.mark.parametrize("seed,n,m,k", [(0, 12, 40, 10), (7, 25, 120, 15)])
+def test_adamic_adar_matches_naive(seed, n, m, k):
+    rng = np.random.RandomState(seed)
+    pairs = [(int(rng.randint(0, n)), int(rng.randint(0, n))) for _ in range(m)]
+    pairs += [(v, u) for u, v in pairs[:8]]  # duplicates + reversals
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([p[0] for p in pairs], pa.int64()),
+                "v": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    ).repartition(4)
+    got = adamic_adar_topk(ds, k=k).to_pandas()
+    got_rows = list(zip(got["u"], got["v"], got["score"]))
+    want = _naive_adamic_adar(pairs, k)
+    assert len(got_rows) == len(want)
+    for (gu, gv, gs), (wu, wv, ws) in zip(got_rows, want):
+        assert (gu, gv) == (wu, wv)
+        assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_adamic_adar_empty_and_star():
+    empty = rd.from_arrow(
+        pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    assert adamic_adar_topk(empty).count() == 0
+    # star graph: center 0 with leaves 1..4 — every leaf pair is a
+    # non-edge wedge through the center, weight 1/ln(4)
+    star = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([0, 0, 0, 0], pa.int64()),
+                "v": pa.array([1, 2, 3, 4], pa.int64()),
+            }
+        )
+    )
+    out = adamic_adar_topk(star, k=100).to_pandas()
+    assert len(out) == 6  # C(4,2)
+    w = round(1.0 / math.log(4), 4)
+    assert all(abs(s - w) < 1e-9 for s in out["score"])
+    # max_degree cap below the hub's degree yields nothing
+    assert adamic_adar_topk(star, k=10, max_degree=3).count() == 0
