@@ -642,6 +642,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_adamic_adar": R.graph_adamic_adar,
         "text_ppl_buckets": R.text_ppl_buckets,
         "approx_count_min": _approx_count_min,
+        "a21_regr_by_group": R.a21_regr_by_group,
+        "f5_standardize": R.f5_standardize,
+        "o24_pareto_front": R.o24_pareto_front,
+        "io_jsonl_roundtrip": R.io_jsonl_roundtrip,
+        "io_csv_roundtrip": R.io_csv_roundtrip,
     }
 
 
@@ -1348,5 +1353,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(l_partkey AS BIGINT) AS l_partkey, "
             "CAST(count(*) AS BIGINT) AS cnt, TRUE AS cms_never_under "
             "FROM lineitem GROUP BY 1"
+        ),
+        "a21_regr_by_group": (
+            "SELECT l_returnflag, "
+            "ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope, "
+            "ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept, "
+            "ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2 "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "f5_standardize": (
+            "SELECT event_id, event_type, "
+            "ROUND((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) "
+            "AS zvalue FROM events "
+            "WINDOW w AS (PARTITION BY event_type)"
+        ),
+        "o24_pareto_front": (
+            "SELECT CAST(p_partkey AS BIGINT) AS p_partkey, "
+            "ROUND(p_retailprice, 2) AS p_retailprice, "
+            "CAST(p_size AS BIGINT) AS p_size "
+            "FROM part a WHERE NOT EXISTS ("
+            "SELECT 1 FROM part b "
+            "WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size "
+            "AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))"
+        ),
+        "io_jsonl_roundtrip": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "io_csv_roundtrip": (
+            "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(o_orderkey) AS BIGINT) AS keysum "
+            "FROM orders GROUP BY o_orderstatus"
         ),
     }

@@ -2836,24 +2836,24 @@ def kmeans_fixed_assign(sf_dir: str) -> rd.Dataset:
     )
 
 
-def a16_covar_stddev(sf_dir: str) -> rd.Dataset:
-    """Per-group sample covariance + stddevs (price vs quantity) —
-    computed CENTERED (two passes: tiny per-group means broadcast, then
-    centered-moment block partials) so the result is numerically stable
-    enough to hash-match DuckDB's streaming covar_samp at 6 dp; the
-    naive six-sum one-pass formula loses ~10 digits to cancellation at
-    these magnitudes."""
-    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
-
+def _centered_sums(
+    ds: rd.Dataset, key: str, xcol: str, ycol: str
+) -> tuple[rd.Dataset, dict]:
+    """Per-group centered second-moment sums, two passes: tiny per-group
+    means broadcast, then centered block partials, one small groupby.
+    Returns (Dataset with columns ``key, sxy, sxx, syy, n``; means dict
+    ``key -> (mx, my)``).  Two passes because the one-pass six-sum
+    formula loses ~10 digits to cancellation at lineitem magnitudes —
+    shared by a16_covar_stddev and a21_regr_by_group."""
     means = (
-        li.groupby("l_returnflag")
+        ds.groupby(key)
         .aggregate(
-            Mean("l_extendedprice", alias_name="mx"),
-            Mean("l_quantity", alias_name="my"),
+            Mean(xcol, alias_name="mx"),
+            Mean(ycol, alias_name="my"),
         )
         .take_all()
-    )  # <= 3 rows
-    m = {r["l_returnflag"]: (r["mx"], r["my"]) for r in means}
+    )  # group-count rows (tiny by contract)
+    m = {r[key]: (r["mx"], r["my"]) for r in means}
     import ray
 
     m_ref = ray.put(m)
@@ -2862,9 +2862,9 @@ def a16_covar_stddev(sf_dir: str) -> rd.Dataset:
         import pandas as pd
 
         mm = ray.get(m_ref)
-        k = t.column("l_returnflag").to_pylist()
-        x = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        y = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        k = t.column(key).to_pylist()
+        x = t.column(xcol).to_numpy(zero_copy_only=False)
+        y = t.column(ycol).to_numpy(zero_copy_only=False)
         mx = np.array([mm[v][0] for v in k])
         my = np.array([mm[v][1] for v in k])
         dx, dy = x - mx, y - my
@@ -2874,7 +2874,7 @@ def a16_covar_stddev(sf_dir: str) -> rd.Dataset:
         g = df.groupby("k", as_index=False).sum()
         return pa.table(
             {
-                "l_returnflag": pa.array(g.k, pa.string()),
+                key: pa.array(g.k, pa.string()),
                 "sxy": pa.array(g.sxy, pa.float64()),
                 "sxx": pa.array(g.sxx, pa.float64()),
                 "syy": pa.array(g.syy, pa.float64()),
@@ -2883,13 +2883,23 @@ def a16_covar_stddev(sf_dir: str) -> rd.Dataset:
         )
 
     agg = (
-        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("l_returnflag")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(key)
         .aggregate(
             Sum("sxy", alias_name="sxy"), Sum("sxx", alias_name="sxx"),
             Sum("syy", alias_name="syy"), Sum("n", alias_name="n"),
         )
     )
+    return agg, m
+
+
+def a16_covar_stddev(sf_dir: str) -> rd.Dataset:
+    """Per-group sample covariance + stddevs (price vs quantity) —
+    centered two-pass sums (`_centered_sums`) so the result is
+    numerically stable enough to hash-match DuckDB's streaming
+    covar_samp at 6 dp."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+    agg, _ = _centered_sums(li, "l_returnflag", "l_extendedprice", "l_quantity")
 
     def finish(t: pa.Table) -> pa.Table:
         n = t.column("n").to_numpy().astype(np.float64)
@@ -2911,6 +2921,81 @@ def a16_covar_stddev(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def a21_regr_by_group(sf_dir: str) -> rd.Dataset:
+    """Per-group ordinary-least-squares fit of price on quantity —
+    the SQL regr_* aggregate family (slope = Sxy/Sxx, intercept =
+    my - slope*mx, r2 = Sxy^2/(Sxx*Syy)) computed from the same
+    centered two-pass sums as a16 (`_centered_sums`); the group means
+    needed for the intercept ride in the (tiny) broadcast dict.
+    Oracle: DuckDB regr_slope / regr_intercept / regr_r2."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+    agg, means = _centered_sums(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        k = t.column("l_returnflag").to_pylist()
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False)
+        syy = t.column("syy").to_numpy(zero_copy_only=False)
+        mx = np.array([means[v][0] for v in k])
+        my = np.array([means[v][1] for v in k])
+        # regression of price (y here = x of _centered_sums) ON quantity:
+        # _centered_sums' xcol is price, ycol is quantity, so slope of
+        # price-on-quantity = Sxy / Syy with these sums.
+        slope = sxy / syy
+        intercept = mx - slope * my
+        r2 = (sxy * sxy) / (sxx * syy)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "slope": pa.array(np.round(slope, 6), pa.float64()),
+                "intercept": pa.array(np.round(intercept, 6), pa.float64()),
+                "r2": pa.array(np.round(r2, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def f5_standardize(sf_dir: str) -> rd.Dataset:
+    """Per-group z-score standardization of the event value — the
+    feature-scaling staple of every training-data pipeline: ONE small
+    groupby for (mean, sample std) per event_type, stats broadcast via
+    ray.put, then a stateless vectorized map over the stream (no
+    window shuffle — the SQL windowed form is the oracle, not the
+    plan).  Std uses the centered two-pass sums for 6-dp parity with
+    DuckDB's stddev_samp."""
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    agg, means = _centered_sums(ev, "event_type", "value", "value")
+    bundle = {
+        r["event_type"]: (
+            means[r["event_type"]][0],
+            float(np.sqrt(r["sxx"] / (r["n"] - 1))),
+        )
+        for r in agg.take_all()
+    }  # <= distinct-event-type rows
+    import ray
+
+    b_ref = ray.put(bundle)
+
+    def z(t: pa.Table) -> pa.Table:
+        bb = ray.get(b_ref)
+        k = t.column("event_type").to_pylist()
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        m = np.array([bb[x][0] for x in k])
+        s = np.array([bb[x][1] for x in k])
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "zvalue": pa.array(np.round((v - m) / s, 6), pa.float64()),
+            }
+        )
+
+    return ev.map_batches(z, batch_format="pyarrow", batch_size=None)
 
 
 def f4_math_funcs(sf_dir: str) -> rd.Dataset:
@@ -3771,4 +3856,154 @@ def text_bigram_topk(sf_dir: str, k: int = 3) -> rd.Dataset:
         counts.map_batches(tag, batch_format="pyarrow", batch_size=None)
         .groupby("__part")
         .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+def pareto_keep(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Vectorized 2-D skyline mask (minimize ``price``, maximize
+    ``size``): sort by (price asc, size desc); within an equal-price
+    group only the group-max size rows survive (including exact
+    duplicates, which dominate neither way), and a group survives only
+    when its max size is STRICTLY above the best size seen at any
+    smaller price (an equal size at a smaller price dominates via the
+    strict price edge)."""
+    order = np.lexsort((-size, price))
+    p_s, s_s = price[order], size[order]
+    n = len(p_s)
+    new_price = np.concatenate([[True], p_s[1:] != p_s[:-1]])
+    group_id = np.cumsum(new_price) - 1
+    group_max = s_s[new_price]  # first row of each price group
+    prev_best = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(group_max)[:-1]]
+    )
+    keep_sorted = (s_s == group_max[group_id]) & (
+        group_max[group_id] > prev_best[group_id]
+    )
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def o24_pareto_front(sf_dir: str) -> rd.Dataset:
+    """2-D skyline (Pareto frontier) of parts: minimize retail price,
+    maximize size.  A part survives iff no other part is <= on price
+    AND >= on size with at least one strict inequality; equal (price,
+    size) pairs dominate neither way, so whole duplicate groups ride
+    the frontier together.
+
+    Distributed shape: the skyline operator is idempotent under union
+    (a globally non-dominated point is non-dominated in its own block),
+    so block-local vectorized frontiers -> one-task merge frontier.
+    Random 2-D frontiers are O(log n)-sized, so the merge input stays
+    tiny at any corpus scale.  Oracle: the textbook NOT EXISTS
+    dominance anti-join."""
+    pt = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def block_front(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "p_partkey": pa.array([], pa.int64()),
+                    "p_retailprice": pa.array([], pa.float64()),
+                    "p_size": pa.array([], pa.int64()),
+                }
+            )
+        price = t.column("p_retailprice").to_numpy(zero_copy_only=False)
+        size = t.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        kept = t.filter(pa.array(pareto_keep(price, size)))
+        return pa.table(
+            {
+                "p_partkey": kept.column("p_partkey").cast(pa.int64()),
+                "p_retailprice": pa.array(
+                    np.round(
+                        kept.column("p_retailprice").to_numpy(zero_copy_only=False), 2
+                    ),
+                    pa.float64(),
+                ),
+                "p_size": kept.column("p_size").cast(pa.int64()),
+            }
+        )
+
+    return (
+        pt.map_batches(block_front, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(block_front, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def io_jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
+    """JSONL sink + source bridge: stream documents out as sharded
+    line-delimited JSON (`Dataset.write_json` — the interchange format
+    every webtext corpus ships in), read the shards back with
+    `read_json`, and aggregate per language.  The oracle aggregates the
+    parquet directly, so a hash match proves the round trip is
+    lossless for (int64, string) payloads.  Scratch shards go under
+    /tmp in a fresh directory per call (write_json into a reused dir
+    would double-read stale shards)."""
+    import shutil
+    import tempfile
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    tmp = tempfile.mkdtemp(prefix="reden_io_jsonl_")
+    try:
+        docs.write_json(tmp)
+        back = rd.read_json(tmp)
+        out = (
+            back.groupby("lang")
+            .aggregate(
+                Count(alias_name="n_docs"),
+                Sum("n_chars", alias_name="total_chars"),
+            )
+            .materialize()  # consume the shards before they are removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+                "total_chars": t.column("total_chars").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def io_csv_roundtrip(sf_dir: str) -> rd.Dataset:
+    """CSV sink + source bridge (`Dataset.write_csv` / `read_csv`),
+    same contract as io_jsonl_roundtrip: orders stream out as sharded
+    CSV, back in, aggregated per status; hash match vs the parquet
+    oracle proves losslessness for the int/string payload (floats are
+    deliberately excluded — CSV float text round-trips are not
+    bit-exact by construction)."""
+    import shutil
+    import tempfile
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    tmp = tempfile.mkdtemp(prefix="reden_io_csv_")
+    try:
+        orders.write_csv(tmp)
+        back = rd.read_csv(tmp)
+        out = (
+            back.groupby("o_orderstatus")
+            .aggregate(
+                Count(alias_name="n_orders"),
+                Sum("o_orderkey", alias_name="keysum"),
+            )
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus"),
+                "n_orders": t.column("n_orders").cast(pa.int64()),
+                "keysum": t.column("keysum").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
     )
