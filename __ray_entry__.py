@@ -647,6 +647,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o24_pareto_front": R.o24_pareto_front,
         "io_jsonl_roundtrip": R.io_jsonl_roundtrip,
         "io_csv_roundtrip": R.io_csv_roundtrip,
+        "graph_common_neighbors": R.graph_common_neighbors,
+        "graph_jaccard": R.graph_jaccard,
     }
 
 
@@ -1385,5 +1387,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, "
             "CAST(sum(o_orderkey) AS BIGINT) AS keysum "
             "FROM orders GROUP BY o_orderstatus"
+        ),
+        "graph_common_neighbors": (
+            "WITH ps AS (SELECT DISTINCT l_orderkey AS p, l_partkey AS s FROM lineitem), "
+            "e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a "
+            "JOIN ps b ON a.p = b.p AND a.s < b.s), "
+            "adj AS (SELECT u AS node, v AS nbr FROM e "
+            "UNION ALL SELECT v AS node, u AS nbr FROM e), "
+            "wed AS (SELECT least(a.nbr, b.nbr) AS u, greatest(a.nbr, b.nbr) AS v "
+            "FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr), "
+            "sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS score FROM wed GROUP BY u, v), "
+            "ne AS (SELECT sc.u, sc.v, sc.score FROM sc LEFT JOIN e "
+            "ON e.u = sc.u AND e.v = sc.v WHERE e.u IS NULL), "
+            "ranked AS (SELECT u, v, score, row_number() OVER "
+            "(ORDER BY score DESC, u, v) AS rn FROM ne) "
+            "SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, score "
+            "FROM ranked WHERE rn <= 50"
+        ),
+        "graph_jaccard": (
+            "WITH ps AS (SELECT DISTINCT l_orderkey AS p, l_partkey AS s FROM lineitem), "
+            "e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a "
+            "JOIN ps b ON a.p = b.p AND a.s < b.s), "
+            "adj AS (SELECT u AS node, v AS nbr FROM e "
+            "UNION ALL SELECT v AS node, u AS nbr FROM e), "
+            "deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node), "
+            "wed AS (SELECT least(a.nbr, b.nbr) AS u, greatest(a.nbr, b.nbr) AS v "
+            "FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr), "
+            "c AS (SELECT u, v, count(*) AS c FROM wed GROUP BY u, v), "
+            "ne AS (SELECT c.u, c.v, c.c FROM c LEFT JOIN e "
+            "ON e.u = c.u AND e.v = c.v WHERE e.u IS NULL), "
+            "sc AS (SELECT ne.u, ne.v, ROUND(CAST(ne.c AS DOUBLE) / "
+            "(du.d + dv.d - ne.c), 4) AS score FROM ne "
+            "JOIN deg du ON du.node = ne.u JOIN deg dv ON dv.node = ne.v), "
+            "ranked AS (SELECT u, v, score, row_number() OVER "
+            "(ORDER BY score DESC, u, v) AS rn FROM sc) "
+            "SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, score "
+            "FROM ranked WHERE rn <= 50"
         ),
     }

@@ -3558,6 +3558,33 @@ def graph_adamic_adar(sf_dir: str, k: int = 50) -> rd.Dataset:
     return adamic_adar_topk(_cooccur_edges(sf_dir, "l_orderkey", "l_partkey"), k=k)
 
 
+def graph_common_neighbors(sf_dir: str, k: int = 50) -> rd.Dataset:
+    """Common-neighbors link prediction over the part co-order graph —
+    same wedge plan as graph_adamic_adar with unit center weights, so
+    the score is the integer shared-neighbor count (no float ties at
+    the cut; ties broken by (u, v) on both sides)."""
+    from ..stages.linkpred import linkpred_topk
+
+    return linkpred_topk(
+        _cooccur_edges(sf_dir, "l_orderkey", "l_partkey"),
+        k=k,
+        method="common_neighbors",
+    )
+
+
+def graph_jaccard(sf_dir: str, k: int = 50) -> rd.Dataset:
+    """Jaccard link prediction over the part co-order graph: common /
+    (deg u + deg v - common).  Endpoint degrees join in AFTER the
+    anti-join via the cost-based smart_join (node-sized table —
+    broadcast at this scale, hash-shuffle beyond the threshold);
+    ranking uses the 4dp-rounded score, ties by (u, v)."""
+    from ..stages.linkpred import linkpred_topk
+
+    return linkpred_topk(
+        _cooccur_edges(sf_dir, "l_orderkey", "l_partkey"), k=k, method="jaccard"
+    )
+
+
 def fuzzy_match_parts(sf_dir: str) -> rd.Dataset:
     """Blocked fuzzy (Levenshtein) top-1 match: for each of the 20
     lowest-partkey part names, the closest OTHER part name corpus-wide

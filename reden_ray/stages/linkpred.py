@@ -45,12 +45,42 @@ def adamic_adar_topk(
     k: int = 50,
     max_degree: int | None = None,
 ) -> rd.Dataset:
-    """Top-k non-edge pairs by Adamic-Adar score.  Output columns
-    ``(u, v, score)`` with u < v, score rounded to 4 dp (ranking uses
-    the ROUNDED score so Ray/SQL float ulp noise cannot reorder the
-    cut), ties broken by (u, v)."""
-    from .joins import default_join_partitions, shuffle_anti_join, staged_nonempty
+    """Top-k non-edge pairs by Adamic-Adar score (see linkpred_topk)."""
+    return linkpred_topk(
+        edges, src=src, dst=dst, k=k, method="adamic_adar", max_degree=max_degree
+    )
+
+
+def linkpred_topk(
+    edges: rd.Dataset,
+    src: str = "u",
+    dst: str = "v",
+    k: int = 50,
+    method: str = "adamic_adar",
+    max_degree: int | None = None,
+) -> rd.Dataset:
+    """Top-k non-edge pairs by a common-neighbor link-prediction score:
+
+    - ``adamic_adar``: sum over shared centers of 1/ln(deg(center));
+    - ``common_neighbors``: count of shared centers (int score);
+    - ``jaccard``: common / (deg(u) + deg(v) - common) — the endpoint
+      degrees join in AFTER the anti-join (non-edge pairs only), via
+      the cost-based ``smart_join`` so a node-sized degree table
+      broadcasts when small and hash-shuffles when not.
+
+    Output columns ``(u, v, score)`` with u < v, float scores rounded
+    to 4 dp (ranking uses the ROUNDED score so Ray/SQL float ulp noise
+    cannot reorder the cut), ties broken by (u, v)."""
+    from .joins import (
+        default_join_partitions,
+        shuffle_anti_join,
+        smart_join,
+        staged_nonempty,
+    )
     from .partition import part_column
+
+    if method not in ("adamic_adar", "common_neighbors", "jaccard"):
+        raise ValueError(f"unknown link-prediction method: {method}")
 
     empty = pa.table(
         {
@@ -97,7 +127,8 @@ def adamic_adar_topk(
             a, b = nbrs[iu[0]], nbrs[iu[1]]
             us.append(a)
             vs.append(b)
-            ws.append(np.full(len(a), 1.0 / np.log(d)))
+            w = 1.0 / np.log(d) if method == "adamic_adar" else 1.0
+            ws.append(np.full(len(a), w))
         if not us:
             return empty.rename_columns(["u", "v", "w"])
         t2 = pa.table(
@@ -111,24 +142,39 @@ def adamic_adar_topk(
         t2 = t2.group_by(["u", "v"]).aggregate([("w", "sum")])
         return t2.rename_columns(["u", "v", "w"])
 
+    def tag_pair(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["u", "v"], n_parts))
+
+    def pair_sum(g: pa.Table) -> pa.Table:
+        t2 = (
+            g.drop_columns("__part")
+            .group_by(["u", "v"])
+            .aggregate([("w", "sum")])
+        )
+        return t2.rename_columns(["u", "v", "w"])
+
+    # pair reduce = a SECOND coarse-partition map_groups, NOT a native
+    # groupby(["u","v"]).sum: Ray 2.49's multi-key sort aggregate
+    # measured 210 s on the 6.4M-row wedge stream at sf0.01 where the
+    # coarse reduce takes ~4 s (single small-int sort key, Arrow hash
+    # group_by inside each partition).
     scores = (
         e.map_batches(both_dirs, batch_format="pyarrow", batch_size=None)
         .map_batches(tag, batch_format="pyarrow", batch_size=None)
         .groupby("__part")
         .map_groups(wedge_weights, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .sum("w")
+        .map_batches(tag_pair, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(pair_sum, batch_format="pyarrow")
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        s = np.round(t.column("sum(w)").to_numpy(zero_copy_only=False), 4)
-        return pa.table(
-            {
-                "u": t.column("u"),
-                "v": t.column("v"),
-                "score": pa.array(s, pa.float64()),
-            }
-        )
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        if method == "common_neighbors":
+            s = pa.array(np.rint(w).astype(np.int64), pa.int64())
+        else:
+            s = pa.array(np.round(w, 4), pa.float64())
+        return pa.table({"u": t.column("u"), "v": t.column("v"), "score": s})
 
     scored = scores.map_batches(finish, batch_format="pyarrow", batch_size=None)
     # map_groups output commonly leads with a zero-row block (Ray 2.49
@@ -138,6 +184,49 @@ def adamic_adar_topk(
     if staged is None:
         return rd.from_arrow(empty)
     non_edges = shuffle_anti_join(staged, e, on=["u", "v"])
+
+    if method == "jaccard":
+        # undirected degrees: one small groupby over the adjacency rows
+        deg = (
+            e.map_batches(both_dirs, batch_format="pyarrow", batch_size=None)
+            .groupby("node")
+            .count()
+        )
+
+        def _as(t: pa.Table, key: str, dname: str) -> pa.Table:
+            return pa.table(
+                {
+                    key: t.column("node").cast(pa.int64()),
+                    dname: t.column("count()").cast(pa.int64()),
+                }
+            )
+
+        deg = deg.materialize()
+        deg_u = deg.map_batches(
+            lambda t: _as(t, "u", "du"), batch_format="pyarrow", batch_size=None
+        )
+        deg_v = deg.map_batches(
+            lambda t: _as(t, "v", "dv"), batch_format="pyarrow", batch_size=None
+        )
+        joined = smart_join(
+            smart_join(non_edges, deg_u, on=["u"]), deg_v, on=["v"]
+        )
+
+        def jac(t: pa.Table) -> pa.Table:
+            c = t.column("score").to_numpy(zero_copy_only=False)
+            du = t.column("du").to_numpy(zero_copy_only=False).astype(np.float64)
+            dv = t.column("dv").to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table(
+                {
+                    "u": t.column("u"),
+                    "v": t.column("v"),
+                    "score": pa.array(
+                        np.round(c / (du + dv - c), 4), pa.float64()
+                    ),
+                }
+            )
+
+        non_edges = joined.map_batches(jac, batch_format="pyarrow", batch_size=None)
 
     def block_topk(t: pa.Table) -> pa.Table:
         idx = pc.sort_indices(

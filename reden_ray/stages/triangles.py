@@ -30,7 +30,13 @@ from ray.data.aggregate import Sum
 
 def _distinct_edges(edges: rd.Dataset, src: str, dst: str) -> rd.Dataset:
     """Canonicalize to (u < v) and dedup: block-local distinct partial,
-    then one groupby distinct."""
+    then ONE coarse-partition map_groups distinct (NOT a native
+    groupby(["u","v"]) — Ray 2.49's multi-key sort aggregate is the
+    slow path on pair-shaped streams; see linkpred.py pair reduce)."""
+    from .joins import default_join_partitions
+    from .partition import part_column
+
+    n_parts = default_join_partitions()
 
     def canon(t: pa.Table) -> pa.Table:
         a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -40,13 +46,16 @@ def _distinct_edges(edges: rd.Dataset, src: str, dst: str) -> rd.Dataset:
         u = np.minimum(a, b)
         v = np.maximum(a, b)
         tt = pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
-        return tt.group_by(["u", "v"]).aggregate([])
+        tt = tt.group_by(["u", "v"]).aggregate([])
+        return tt.append_column("__part", part_column(tt, ["u", "v"], n_parts))
+
+    def distinct(g: pa.Table) -> pa.Table:
+        return g.drop_columns("__part").group_by(["u", "v"]).aggregate([])
 
     return (
         edges.map_batches(canon, batch_format="pyarrow", batch_size=None)
-        .groupby(["u", "v"])
-        .count()
-        .select_columns(["u", "v"])
+        .groupby("__part")
+        .map_groups(distinct, batch_format="pyarrow")
     )
 
 

@@ -84,3 +84,66 @@ def test_adamic_adar_empty_and_star():
     assert all(abs(s - w) < 1e-9 for s in out["score"])
     # max_degree cap below the hub's degree yields nothing
     assert adamic_adar_topk(star, k=10, max_degree=3).count() == 0
+
+
+def _naive_method(pairs, k, method):
+    adj: dict[int, set[int]] = {}
+    edges = set()
+    for u, v in pairs:
+        if u == v:
+            continue
+        a, b = min(u, v), max(u, v)
+        edges.add((a, b))
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    common: dict[tuple[int, int], int] = {}
+    for center, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                key = (ns[i], ns[j])
+                common[key] = common.get(key, 0) + 1
+    rows = []
+    for (u, v), c in common.items():
+        if (u, v) in edges:
+            continue
+        if method == "common_neighbors":
+            rows.append((u, v, c))
+        else:  # jaccard
+            du, dv = len(adj[u]), len(adj[v])
+            rows.append((u, v, round(c / (du + dv - c), 4)))
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return rows[:k]
+
+
+@pytest.mark.parametrize("method", ["common_neighbors", "jaccard"])
+def test_methods_match_naive(method):
+    from reden_ray.stages.linkpred import linkpred_topk
+
+    rng = np.random.RandomState(3)
+    pairs = [(int(rng.randint(0, 18)), int(rng.randint(0, 18))) for _ in range(70)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([p[0] for p in pairs], pa.int64()),
+                "v": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = linkpred_topk(ds, k=12, method=method).to_pandas()
+    got_rows = list(zip(got["u"], got["v"], got["score"]))
+    want = _naive_method(pairs, 12, method)
+    assert len(got_rows) == len(want)
+    for (gu, gv, gs), (wu, wv, ws) in zip(got_rows, want):
+        assert (gu, gv) == (wu, wv)
+        assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_unknown_method_raises():
+    from reden_ray.stages.linkpred import linkpred_topk
+
+    empty = rd.from_arrow(
+        pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    with pytest.raises(ValueError):
+        linkpred_topk(empty, method="katz")
