@@ -649,6 +649,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "io_csv_roundtrip": R.io_csv_roundtrip,
         "graph_common_neighbors": R.graph_common_neighbors,
         "graph_jaccard": R.graph_jaccard,
+        "profile_lineitem": R.profile_lineitem,
+        "f6_dim_means": R.f6_dim_means,
     }
 
 
@@ -1423,5 +1425,21 @@ def oracle_sql() -> dict[str, str]:
             "(ORDER BY score DESC, u, v) AS rn FROM sc) "
             "SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, score "
             "FROM ranked WHERE rn <= 50"
+        ),
+        "profile_lineitem": " UNION ALL ".join(
+            f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS n_null, "
+            f"ROUND(CAST(min({c}) AS DOUBLE), 6) AS min_v, "
+            f"ROUND(CAST(max({c}) AS DOUBLE), 6) AS max_v, "
+            f"ROUND(avg({c}), 4) AS mean_v FROM lineitem"
+            for c in [
+                "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            ]
+        ),
+        "f6_dim_means": (
+            "SELECT CAST(i - 1 AS BIGINT) AS dim, "
+            "ROUND(avg(embedding[i]), 6) AS mean_v "
+            "FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1"
         ),
     }

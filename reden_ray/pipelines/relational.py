@@ -4034,3 +4034,134 @@ def io_csv_roundtrip(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def profile_lineitem(sf_dir: str) -> rd.Dataset:
+    """One-pass column profiler — the data-quality probe every corpus
+    intake runs first: per numeric column (count, nulls, min, max,
+    mean) computed as per-block vectorized partials (8 columns -> 8
+    tiny rows per block) and ONE group-count-sized groupby.  No
+    per-column scans, no distinct shuffle.  Oracle: a UNION ALL of
+    per-column SQL aggregates."""
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    ]
+    li = _read(sf_dir, "lineitem", cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs, sums = [], [], [], [], [], []
+        for c in cols:
+            col = t.column(c)
+            v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            null_n = col.null_count
+            ok = v[~np.isnan(v)] if null_n else v
+            names.append(c)
+            ns.append(len(v))
+            nulls.append(null_n)
+            mins.append(ok.min() if len(ok) else np.inf)
+            maxs.append(ok.max() if len(ok) else -np.inf)
+            sums.append(ok.sum())
+        return pa.table(
+            {
+                "column_name": pa.array(names, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "n_null": pa.array(nulls, pa.int64()),
+                "min_v": pa.array(mins, pa.float64()),
+                "max_v": pa.array(maxs, pa.float64()),
+                "s": pa.array(sums, pa.float64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("column_name")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+            Sum("s", alias_name="s"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        nn = t.column("n_null").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "column_name": t.column("column_name"),
+                "n": t.column("n").cast(pa.int64()),
+                "n_null": t.column("n_null").cast(pa.int64()),
+                "min_v": pa.array(
+                    np.round(t.column("min_v").to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+                "max_v": pa.array(
+                    np.round(t.column("max_v").to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+                # 4 dp half-AWAY: integer-column means are exact rationals
+                # that land on .5 halves (sum(l_linenumber)/60000 =
+                # 4.00525) where np.round's half-even and DuckDB ROUND's
+                # half-away disagree; float-column means at 6 dp instead
+                # hit summation-order knife-edges (l_tax mean
+                # 0.03993149..), so 4 dp + half-away is the stable pair
+                "mean_v": pa.array(
+                    np.floor((s / (n - nn)) * 1e4 + 0.5) / 1e4, pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def f6_dim_means(sf_dir: str) -> rd.Dataset:
+    """Dimension-wise mean of the embedding column (the centroid
+    statistic of embedding-space monitoring): zero-copy ListArray
+    flatten -> (rows, dim) reshape -> per-block dim sums (dim rows per
+    block, regardless of block size) -> one dim-sized groupby.  Sums
+    run in float64 (the column is float32; DuckDB's avg also
+    accumulates in double).  Oracle: constant generate_series(1, 64)
+    cross join + list indexing."""
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // max(t.num_rows, 1) if t.num_rows else 0
+        if t.num_rows == 0 or dim == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        m = flat.reshape(t.num_rows, dim)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(dim, dtype=np.int64), pa.int64()),
+                "s": pa.array(m.sum(axis=0), pa.float64()),
+                "cnt": pa.array(np.full(dim, t.num_rows, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        emb.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("dim")
+        .aggregate(Sum("s", alias_name="s"), Sum("cnt", alias_name="cnt"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        c = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "dim": t.column("dim"),
+                "mean_v": pa.array(np.round(s / c, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
