@@ -3470,8 +3470,7 @@ def _cooccur_edges(sf_dir: str, key: str, val: str) -> rd.Dataset:
     expansion (bounded by per-key fan-in) -> block-local dedup.
     Shared by graph_triangles (co-supply) and graph_adamic_adar
     (co-order)."""
-    from ..stages.joins import default_join_partitions
-    from ..stages.partition import part_column
+    from ..stages.partition import expansion_partitions, part_column
 
     # internal names stay l_partkey (the key) / l_suppkey (the node) —
     # the expansion body below predates the generalization
@@ -3493,7 +3492,7 @@ def _cooccur_edges(sf_dir: str, key: str, val: str) -> rd.Dataset:
         .select_columns(["l_partkey", "l_suppkey"])
     )
 
-    n_parts = default_join_partitions()
+    n_parts = expansion_partitions()
 
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column("__part", part_column(t, ["l_partkey"], n_parts))

@@ -71,13 +71,8 @@ def linkpred_topk(
     Output columns ``(u, v, score)`` with u < v, float scores rounded
     to 4 dp (ranking uses the ROUNDED score so Ray/SQL float ulp noise
     cannot reorder the cut), ties broken by (u, v)."""
-    from .joins import (
-        default_join_partitions,
-        shuffle_anti_join,
-        smart_join,
-        staged_nonempty,
-    )
-    from .partition import part_column
+    from .joins import shuffle_anti_join, smart_join, staged_nonempty
+    from .partition import expansion_partitions, part_column
 
     if method not in ("adamic_adar", "common_neighbors", "jaccard"):
         raise ValueError(f"unknown link-prediction method: {method}")
@@ -103,7 +98,7 @@ def linkpred_topk(
             }
         )
 
-    n_parts = default_join_partitions()
+    n_parts = expansion_partitions()
 
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column("__part", part_column(t, ["node"], n_parts))
@@ -130,7 +125,14 @@ def linkpred_topk(
             w = 1.0 / np.log(d) if method == "adamic_adar" else 1.0
             ws.append(np.full(len(a), w))
         if not us:
-            return empty.rename_columns(["u", "v", "w"])
+            return pa.table(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.float64()),
+                    "__part": pa.array([], pa.int64()),
+                }
+            )
         t2 = pa.table(
             {
                 "u": pa.array(np.concatenate(us), pa.int64()),
@@ -138,12 +140,12 @@ def linkpred_topk(
                 "w": pa.array(np.concatenate(ws), pa.float64()),
             }
         )
-        # block-local pre-combine before the pair shuffle
+        # block-local pre-combine before the pair shuffle; the pair
+        # partition id is tagged HERE so the 100M-row wedge stream is
+        # touched once, not re-mapped by a separate tagging pass
         t2 = t2.group_by(["u", "v"]).aggregate([("w", "sum")])
-        return t2.rename_columns(["u", "v", "w"])
-
-    def tag_pair(t: pa.Table) -> pa.Table:
-        return t.append_column("__part", part_column(t, ["u", "v"], n_parts))
+        t2 = t2.rename_columns(["u", "v", "w"])
+        return t2.append_column("__part", part_column(t2, ["u", "v"], n_parts))
 
     def pair_sum(g: pa.Table) -> pa.Table:
         t2 = (
@@ -163,7 +165,6 @@ def linkpred_topk(
         .map_batches(tag, batch_format="pyarrow", batch_size=None)
         .groupby("__part")
         .map_groups(wedge_weights, batch_format="pyarrow")
-        .map_batches(tag_pair, batch_format="pyarrow", batch_size=None)
         .groupby("__part")
         .map_groups(pair_sum, batch_format="pyarrow")
     )

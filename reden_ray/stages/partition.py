@@ -76,6 +76,21 @@ def _col_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return uniq[idx]
 
 
+def expansion_partitions() -> int:
+    """Coarse-partition count for EXPANSION-shaped map_groups stages
+    (per-group output >> input: wedge/pair enumeration).  Unlike hash
+    joins (see joins.default_join_partitions), these groups run as
+    plain TASKS, so oversubscription is safe and more partitions =
+    more parallel expansion + smaller output blocks.  Measured on the
+    sf0.1 co-order wedge stage at 32 CPUs: 16 parts 142 s, 64 parts
+    39 s (the sort shuffle coalesces a small input to few blocks, so
+    the partition count is what restores task parallelism)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(8, 2 * cpus)
+
+
 def part_column(t: pa.Table, cols: list[str], n_parts: int) -> pa.Array:
     """int64 partition id per row from the given key columns."""
     h = np.zeros(t.num_rows, dtype=np.uint64)

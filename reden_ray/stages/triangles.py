@@ -33,10 +33,9 @@ def _distinct_edges(edges: rd.Dataset, src: str, dst: str) -> rd.Dataset:
     then ONE coarse-partition map_groups distinct (NOT a native
     groupby(["u","v"]) — Ray 2.49's multi-key sort aggregate is the
     slow path on pair-shaped streams; see linkpred.py pair reduce)."""
-    from .joins import default_join_partitions
-    from .partition import part_column
+    from .partition import expansion_partitions, part_column
 
-    n_parts = default_join_partitions()
+    n_parts = expansion_partitions()
 
     def canon(t: pa.Table) -> pa.Table:
         a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -63,8 +62,8 @@ def triangle_count(edges: rd.Dataset, src: str = "u", dst: str = "v") -> rd.Data
     """Count triangles in the undirected graph given by an edge list
     (duplicates/self-loops/direction ignored).  One row out:
     ``n_triangles``."""
-    from .joins import default_join_partitions, staged_nonempty
-    from .partition import part_column
+    from .joins import staged_nonempty
+    from .partition import expansion_partitions, part_column
 
     e = _distinct_edges(edges, src, dst).materialize()
     if e.count() == 0:
@@ -95,7 +94,7 @@ def triangle_count(edges: rd.Dataset, src: str = "u", dst: str = "v") -> rd.Data
     # data-sized hash join when it doesn't.
     from .joins import smart_join
 
-    n_parts = default_join_partitions()
+    n_parts = expansion_partitions()
     du = deg.rename_columns(["u", "deg_u"])
     dv = deg.rename_columns(["v", "deg_v"])
     ed = smart_join(e, du, on=["u"])
