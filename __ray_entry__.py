@@ -651,6 +651,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_jaccard": R.graph_jaccard,
         "profile_lineitem": R.profile_lineitem,
         "f6_dim_means": R.f6_dim_means,
+        "a22_mad_quantity": R.a22_mad_quantity,
+        "graph_kcore": R.graph_kcore,
     }
 
 
@@ -1441,5 +1443,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(i - 1 AS BIGINT) AS dim, "
             "ROUND(avg(embedding[i]), 6) AS mean_v "
             "FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1"
+        ),
+        "a22_mad_quantity": (
+            "SELECT ROUND(median(l_quantity), 6) AS med, "
+            "ROUND(mad(l_quantity), 6) AS mad FROM lineitem"
         ),
     }

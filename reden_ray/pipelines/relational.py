@@ -4164,3 +4164,64 @@ def f6_dim_means(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def graph_kcore(sf_dir: str) -> rd.Dataset:
+    """Core number per part of the co-order graph via the iterated
+    h-index fixpoint (stages/kcore.py — per-iteration cost is one
+    value join + one coarse reduce, the PageRank shape).  Rows-only
+    for the driver (iterative, not SQL-expressible); the recurrence is
+    golden-locked against sequential peeling in tests/test_kcore.py."""
+    from ..stages.kcore import core_numbers
+
+    return core_numbers(_cooccur_edges(sf_dir, "l_orderkey", "l_partkey"))
+
+
+def a22_mad_quantity(sf_dir: str) -> rd.Dataset:
+    """Median absolute deviation — the robust-statistics pair
+    (median, MAD = median(|x - median|)) computed as TWO chained
+    distributed selections (`stages/selection.select_order_stats`,
+    never collects the column): continuous median = mean of the two
+    middle order statistics for even n, then the same over the
+    absolute-deviation stream.  Matches DuckDB median()/mad()."""
+    from ..stages.selection import select_order_stats
+
+    li = _read(sf_dir, "lineitem", ["l_quantity"])
+
+    def _median(ds: rd.Dataset, col: str) -> float:
+        n = int(ds.count())
+        if n == 0:
+            return float("nan")
+        if n % 2:
+            ranks = [n // 2]
+        else:
+            ranks = [n // 2 - 1, n // 2]
+        stats = select_order_stats(ds, col, sorted(set(ranks)))
+        return float(np.mean([stats[r] for r in ranks]))
+
+    med = _median(li, "l_quantity")
+
+    dev = li.map_batches(
+        lambda t: pa.table(
+            {
+                "adev": pa.array(
+                    np.abs(
+                        t.column("l_quantity").to_numpy(zero_copy_only=False)
+                        - med
+                    ),
+                    pa.float64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    mad = _median(dev, "adev")
+    return rd.from_arrow(
+        pa.table(
+            {
+                "med": pa.array([round(med, 6)], pa.float64()),
+                "mad": pa.array([round(mad, 6)], pa.float64()),
+            }
+        )
+    )
