@@ -653,6 +653,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f6_dim_means": R.f6_dim_means,
         "a22_mad_quantity": R.a22_mad_quantity,
         "graph_kcore": R.graph_kcore,
+        "graph_assortativity": R.graph_assortativity,
+        "graph_clustering_coeff": R.graph_clustering_coeff,
+        "f7_label_centroids": R.f7_label_centroids,
     }
 
 
@@ -1447,5 +1450,36 @@ def oracle_sql() -> dict[str, str]:
         "a22_mad_quantity": (
             "SELECT ROUND(median(l_quantity), 6) AS med, "
             "ROUND(mad(l_quantity), 6) AS mad FROM lineitem"
+        ),
+        "graph_assortativity": (
+            "WITH ps AS (SELECT DISTINCT l_orderkey AS p, l_partkey AS s FROM lineitem), "
+            "e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a "
+            "JOIN ps b ON a.p = b.p AND a.s < b.s), "
+            "adj AS (SELECT u AS node, v AS nbr FROM e "
+            "UNION ALL SELECT v AS node, u AS nbr FROM e), "
+            "deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node), "
+            "de AS (SELECT du.d AS x, dv.d AS y FROM e "
+            "JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v), "
+            "sym AS (SELECT x, y FROM de UNION ALL SELECT y, x FROM de) "
+            "SELECT ROUND(corr(x, y), 6) AS assortativity FROM sym"
+        ),
+        "graph_clustering_coeff": (
+            "WITH ps AS (SELECT DISTINCT l_orderkey AS p, l_partkey AS s FROM lineitem), "
+            "e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a "
+            "JOIN ps b ON a.p = b.p AND a.s < b.s), "
+            "adj AS (SELECT u AS node, v AS nbr FROM e "
+            "UNION ALL SELECT v AS node, u AS nbr FROM e), "
+            "deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node), "
+            "tri AS (SELECT a.node, count(*) AS t FROM adj a "
+            "JOIN adj b ON a.node = b.node AND a.nbr < b.nbr "
+            "JOIN e ON e.u = a.nbr AND e.v = b.nbr GROUP BY a.node) "
+            "SELECT CAST(deg.node AS BIGINT) AS node, CAST(d AS BIGINT) AS d, "
+            "ROUND(COALESCE(2.0 * t / (d * (d - 1)), 0), 6) AS cc "
+            "FROM deg LEFT JOIN tri ON tri.node = deg.node WHERE d >= 2"
+        ),
+        "f7_label_centroids": (
+            "SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim, "
+            "ROUND(avg(embedding[i]), 6) AS mean_v "
+            "FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1, 2"
         ),
     }

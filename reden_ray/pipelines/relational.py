@@ -4225,3 +4225,291 @@ def a22_mad_quantity(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def _coorder_degrees(e: rd.Dataset) -> rd.Dataset:
+    """(node, d) undirected degree table from a canonical edge list —
+    per-block np.unique partials, one node groupby."""
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                t.column("u").to_numpy(zero_copy_only=False),
+                t.column("v").to_numpy(zero_copy_only=False),
+            ]
+        )
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {"node": pa.array(uniq, pa.int64()), "d": pa.array(cnt, pa.int64())}
+        )
+
+    return (
+        e.map_batches(deg_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="d"))
+    )
+
+
+def graph_assortativity(sf_dir: str) -> rd.Dataset:
+    """Degree assortativity of the part co-order graph: Pearson
+    correlation of endpoint degrees over the SYMMETRIZED edge list
+    (Newman 2002).  Degrees join onto edges via cost-based smart_join
+    (node-sized table — broadcast here, hash shuffle at scale); the
+    correlation itself is the a16 centered two-pass shape: tiny means
+    collect, centered block partials, one scalar combine.  Oracle:
+    SQL corr() over the same symmetrized CTE."""
+    from ..stages.joins import smart_join
+    from ..stages.triangles import _distinct_edges
+
+    e = _distinct_edges(
+        _cooccur_edges(sf_dir, "l_orderkey", "l_partkey"), "u", "v"
+    ).materialize()
+    deg = _coorder_degrees(e).materialize()
+    du = deg.map_batches(
+        lambda t: pa.table({"u": t.column("node"), "du": t.column("d")}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    dv = deg.map_batches(
+        lambda t: pa.table({"v": t.column("node"), "dv": t.column("d")}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    de = smart_join(smart_join(e, du, on=["u"]), dv, on=["v"])
+
+    sym = de.map_batches(
+        lambda t: pa.table(
+            {
+                "x": pa.array(
+                    np.concatenate(
+                        [
+                            t.column("du").to_numpy(zero_copy_only=False),
+                            t.column("dv").to_numpy(zero_copy_only=False),
+                        ]
+                    ).astype(np.float64),
+                    pa.float64(),
+                ),
+                "y": pa.array(
+                    np.concatenate(
+                        [
+                            t.column("dv").to_numpy(zero_copy_only=False),
+                            t.column("du").to_numpy(zero_copy_only=False),
+                        ]
+                    ).astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+
+    # centered two-pass correlation (single pseudo-group "k")
+    means = sym.aggregate(Mean("x"), Mean("y"))
+    mx, my = means["mean(x)"], means["mean(y)"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False) - mx
+        y = t.column("y").to_numpy(zero_copy_only=False) - my
+        return pa.table(
+            {
+                "sxy": pa.array([float((x * y).sum())], pa.float64()),
+                "sxx": pa.array([float((x * x).sum())], pa.float64()),
+                "syy": pa.array([float((y * y).sum())], pa.float64()),
+            }
+        )
+
+    sums = sym.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).aggregate(Sum("sxy"), Sum("sxx"), Sum("syy"))
+    r = sums["sum(sxy)"] / np.sqrt(sums["sum(sxx)"] * sums["sum(syy)"])
+    return rd.from_arrow(
+        pa.table({"assortativity": pa.array([round(float(r), 6)], pa.float64())})
+    )
+
+
+def graph_clustering_coeff(sf_dir: str) -> rd.Dataset:
+    """Per-node local clustering coefficient of the part co-order
+    graph: cc(n) = closed wedges at n / C(d, 2).  Wedge expansion per
+    CENTER (the linkpred shape, center carried through), closure
+    tested against a BROADCAST sorted composite-key edge array
+    (np.searchsorted per batch — the edge set is |E|-sized and fits
+    here; at corpus scale swap in shuffle_semi_join), per-center
+    closed-wedge counts via the coarse pair reduce, degrees joined
+    back via smart_join.  Output (node, d, cc) for every node with
+    d >= 2, cc rounded 6 dp half-away (count-ratio halves).  Oracle:
+    adjacency self-join + edge join + LEFT JOIN onto degrees."""
+    import ray
+
+    from ..stages.joins import smart_join
+    from ..stages.partition import expansion_partitions, part_column
+    from ..stages.triangles import _distinct_edges
+
+    e = _distinct_edges(
+        _cooccur_edges(sf_dir, "l_orderkey", "l_partkey"), "u", "v"
+    ).materialize()
+    deg = _coorder_degrees(e).materialize()
+
+    # broadcast the canonical edge set as one sorted composite array
+    def comp(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({"c": pa.array((u << np.uint64(32)) | v, pa.uint64())})
+
+    keys = np.sort(
+        np.concatenate(
+            [
+                t.column("c").to_numpy(zero_copy_only=False)
+                for t in (ray.get(r) for r in e.map_batches(
+                    comp, batch_format="pyarrow", batch_size=None
+                ).to_arrow_refs())
+                if t.num_rows
+            ]
+        )
+    )
+    keys_ref = ray.put(keys)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([u, v]), pa.int64()),
+                "nbr": pa.array(np.concatenate([v, u]), pa.int64()),
+            }
+        )
+
+    n_parts = expansion_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["node"], n_parts))
+
+    def closed_wedges(g: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        g = g.drop_columns("__part").sort_by(
+            [("node", "ascending"), ("nbr", "ascending")]
+        )
+        c = g.column("node").to_numpy(zero_copy_only=False)
+        nb = g.column("nbr").to_numpy(zero_copy_only=False)
+        n = len(c)
+        starts = np.flatnonzero(np.concatenate([[True], c[1:] != c[:-1]]))
+        ends = np.concatenate([starts[1:], [n]])
+        nodes, ts = [], []
+        for st, en in zip(starts, ends):
+            d = en - st
+            if d < 2:
+                continue
+            nbrs = nb[st:en]
+            iu = np.triu_indices(d, 1)
+            a = nbrs[iu[0]].astype(np.uint64)
+            b = nbrs[iu[1]].astype(np.uint64)
+            kk = (a << np.uint64(32)) | b
+            pos = np.searchsorted(ks, kk)
+            pos = np.minimum(pos, len(ks) - 1)
+            t_n = int((ks[pos] == kk).sum())
+            nodes.append(int(c[st]))
+            ts.append(t_n)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "t": pa.array(ts, pa.int64()),
+            }
+        )
+
+    tri = (
+        e.map_batches(both_dirs, batch_format="pyarrow", batch_size=None)
+        .map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(closed_wedges, batch_format="pyarrow")
+    )
+    from ..stages.joins import staged_nonempty
+
+    tri_staged = staged_nonempty(tri)
+    dd = deg.map_batches(
+        lambda t: t.filter(
+            pa.compute.greater_equal(t.column("d"), pa.scalar(2))
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    if tri_staged is None:
+        joined = dd.map_batches(
+            lambda t: t.append_column(
+                "t", pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64())
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    else:
+        joined = smart_join(dd, tri_staged, on=["node"], how="left_outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t.column("d").to_numpy(zero_copy_only=False).astype(np.float64)
+        tt = t.column("t").to_numpy(zero_copy_only=False).astype(np.float64)
+        tt = np.nan_to_num(tt)  # left-outer nulls -> 0 closed wedges
+        cc = 2.0 * tt / (d * (d - 1.0))
+        return pa.table(
+            {
+                "node": t.column("node").cast(pa.int64()),
+                "d": t.column("d").cast(pa.int64()),
+                "cc": pa.array(np.floor(cc * 1e6 + 0.5) / 1e6, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def f7_label_centroids(sf_dir: str) -> rd.Dataset:
+    """Per-label embedding centroids (the grouped tensor aggregate of
+    embedding-space monitoring): each block scatter-adds its vectors
+    into a (labels x dims) partial via np.add.at — label-count x dim
+    rows per block regardless of block size — then one small groupby.
+    Oracle: constant generate_series + list index, GROUP BY label."""
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // t.num_rows
+        m = flat.reshape(t.num_rows, dim)
+        uniq, inv, cnt = np.unique(lab, return_inverse=True, return_counts=True)
+        sums = np.zeros((len(uniq), dim))
+        np.add.at(sums, inv, m)
+        nl = len(uniq)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), nl), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "cnt": pa.array(np.repeat(cnt, dim), pa.int64()),
+            }
+        )
+
+    agg = (
+        emb.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("cnt", alias_name="cnt"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        c = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "label": t.column("label").cast(pa.int64()),
+                "dim": t.column("dim").cast(pa.int64()),
+                "mean_v": pa.array(np.round(s / c, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
