@@ -656,6 +656,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_assortativity": R.graph_assortativity,
         "graph_clustering_coeff": R.graph_clustering_coeff,
         "f7_label_centroids": R.f7_label_centroids,
+        "j14_cross_join": R.j14_cross_join,
+        "d3_except_intersect": R.d3_except_intersect,
+        "graph_degree_hist": R.graph_degree_hist,
     }
 
 
@@ -1481,5 +1484,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim, "
             "ROUND(avg(embedding[i]), 6) AS mean_v "
             "FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1, 2"
+        ),
+        "j14_cross_join": (
+            "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, "
+            "CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name, "
+            "n_regionkey = r_regionkey AS same_region "
+            "FROM nation CROSS JOIN region"
+        ),
+        "d3_except_intersect": (
+            "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, 'intersect' AS op "
+            "FROM (SELECT c_custkey FROM customer "
+            "INTERSECT SELECT o_custkey FROM orders) "
+            "UNION ALL "
+            "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, 'except' AS op "
+            "FROM (SELECT c_custkey FROM customer "
+            "EXCEPT SELECT o_custkey FROM orders)"
+        ),
+        "graph_degree_hist": (
+            "WITH ps AS (SELECT DISTINCT l_orderkey AS p, l_partkey AS s FROM lineitem), "
+            "e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a "
+            "JOIN ps b ON a.p = b.p AND a.s < b.s), "
+            "adj AS (SELECT u AS node, v AS nbr FROM e "
+            "UNION ALL SELECT v AS node, u AS nbr FROM e), "
+            "deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node) "
+            "SELECT CAST(d AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS n_nodes "
+            "FROM deg GROUP BY d"
         ),
     }

@@ -4513,3 +4513,115 @@ def f7_label_centroids(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def j14_cross_join(sf_dir: str) -> rd.Dataset:
+    """Cartesian product (the last join species): region x nation with
+    a derived filter so the output is not a pure blowup.  The small
+    side broadcasts as ONE Arrow table (ray.put, fetched per task);
+    each batch of the streaming side index-repeats itself against it —
+    no shuffle, output |L| x |R| rows produced block-parallel.  At
+    scale the small side must be the broadcast one by contract (a
+    cross join with two big sides is always a modeling error)."""
+    import ray
+
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).materialize()
+    reg_tbl = pa.concat_tables(
+        [t for t in (ray.get(r) for r in reg.to_arrow_refs()) if t.num_rows]
+    )
+    reg_ref = ray.put(reg_tbl)
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+
+    def cross(t: pa.Table) -> pa.Table:
+        r = ray.get(reg_ref)
+        nl, nr = t.num_rows, r.num_rows
+        left = t.take(np.repeat(np.arange(nl, dtype=np.int64), nr))
+        right = r.take(np.tile(np.arange(nr, dtype=np.int64), nl))
+        out = pa.table(
+            {
+                "n_nationkey": left.column("n_nationkey").cast(pa.int64()),
+                "n_name": left.column("n_name"),
+                "r_regionkey": right.column("r_regionkey").cast(pa.int64()),
+                "r_name": right.column("r_name"),
+                "same_region": pa.compute.equal(
+                    left.column("n_regionkey"), right.column("r_regionkey")
+                ),
+            }
+        )
+        return out
+
+    return nat.map_batches(cross, batch_format="pyarrow", batch_size=None)
+
+
+def d3_except_intersect(sf_dir: str) -> rd.Dataset:
+    """Distinct set operations (EXCEPT / INTERSECT) over customer keys:
+    customers INTERSECT order-placers and customers EXCEPT
+    order-placers, emitted as one tagged table.  Composition of the
+    existing primitives — distinct build (block partials), then
+    broadcast semi/anti membership (`stages/joins`), which scale to
+    shuffle variants via the same call sites."""
+    from ..stages.joins import broadcast_anti_join, broadcast_semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    ords = _read(sf_dir, "orders", ["o_custkey"])
+
+    def distinct_c(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.group_by("c_custkey")
+                .aggregate([])
+                .column("c_custkey")
+                .cast(pa.int64())
+            }
+        )
+
+    cd = cust.map_batches(distinct_c, batch_format="pyarrow", batch_size=None)
+
+    inter = broadcast_semi_join(cd, ords.map_batches(
+        lambda t: pa.table({"c_custkey": t.column("o_custkey").cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None,
+    ), on=["c_custkey"]).map_batches(
+        lambda t: t.append_column(
+            "op", pa.array(["intersect"] * t.num_rows, pa.string())
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    exc = broadcast_anti_join(cd, ords.map_batches(
+        lambda t: pa.table({"c_custkey": t.column("o_custkey").cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None,
+    ), on=["c_custkey"]).map_batches(
+        lambda t: t.append_column(
+            "op", pa.array(["except"] * t.num_rows, pa.string())
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return inter.union(exc)
+
+
+def graph_degree_hist(sf_dir: str) -> rd.Dataset:
+    """Degree distribution of the part co-order graph — the first
+    sanity plot of any graph pipeline: degrees via the per-block
+    np.unique partial reduce, then one tiny groupby over the degree
+    value."""
+    from ..stages.triangles import _distinct_edges
+
+    e = _distinct_edges(
+        _cooccur_edges(sf_dir, "l_orderkey", "l_partkey"), "u", "v"
+    )
+    deg = _coorder_degrees(e)
+    return (
+        deg.groupby("d")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "d": t.column("d").cast(pa.int64()),
+                    "n_nodes": t.column("count()").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
