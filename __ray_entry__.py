@@ -659,6 +659,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j14_cross_join": R.j14_cross_join,
         "d3_except_intersect": R.d3_except_intersect,
         "graph_degree_hist": R.graph_degree_hist,
+        "o26_throttle_dedup": R.o26_throttle_dedup,
+        "a23_group_percentile_cont": R.a23_group_percentile_cont,
     }
 
 
@@ -1509,5 +1511,18 @@ def oracle_sql() -> dict[str, str]:
             "deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node) "
             "SELECT CAST(d AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS n_nodes "
             "FROM deg GROUP BY d"
+        ),
+        "o26_throttle_dedup": (
+            "WITH lagd AS (SELECT event_id, user_id, event_type, "
+            "ts - LAG(ts) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) AS d FROM events) "
+            "SELECT CAST(event_id AS BIGINT) AS event_id, "
+            "CAST(user_id AS BIGINT) AS user_id, event_type "
+            "FROM lagd WHERE d IS NULL OR d > INTERVAL 48 HOURS"
+        ),
+        "a23_group_percentile_cont": (
+            "SELECT l_returnflag, "
+            "ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6) "
+            "AS p_cont FROM lineitem GROUP BY l_returnflag"
         ),
     }

@@ -4625,3 +4625,127 @@ def graph_degree_hist(sf_dir: str) -> rd.Dataset:
             batch_size=None,
         )
     )
+
+
+def o26_throttle_dedup(sf_dir: str, window_s: int = 48 * 3600) -> rd.Dataset:
+    """Streaming throttle / rate-limit dedup: keep an event iff the
+    PREVIOUS raw event of the same (user, event_type) is more than
+    ``window_s`` older (or absent) — the alerting/notification
+    suppression primitive.  LAG semantics against the raw stream, so
+    it is one user-hash shuffle + per-partition lexsort + vectorized
+    timestamp diff (the o6 shape; gap closure is per-key, no stitch
+    needed because the key partitioning is total).  Oracle: LAG OVER
+    (PARTITION BY user, type ORDER BY ts, event_id)."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    n_parts = default_join_partitions()
+
+    def norm(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.schema.get_field_index("ts"),
+            "ts",
+            t.column("ts").cast(pa.timestamp("us")),
+        )
+        return t.append_column(
+            "__part", part_column(t, ["user_id", "event_type"], n_parts)
+        )
+
+    def keep_first_outside_window(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__part")
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        # deterministic LAG order: (user, type, ts, event_id)
+        order = np.lexsort((eid, ts, et, uid))
+        uid_s, et_s, ts_s, eid_s = uid[order], et[order], ts[order], eid[order]
+        n = len(uid_s)
+        new_key = np.concatenate(
+            [[True], (uid_s[1:] != uid_s[:-1]) | (et_s[1:] != et_s[:-1])]
+        )
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts_s[1:] - ts_s[:-1]
+        keep_sorted = new_key | (gap > window_s * 1_000_000)
+        keep = np.zeros(n, dtype=bool)
+        keep[order] = keep_sorted
+        kept = g.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_id": kept.column("event_id").cast(pa.int64()),
+                "user_id": kept.column("user_id").cast(pa.int64()),
+                "event_type": kept.column("event_type"),
+            }
+        )
+
+    return (
+        ev.map_batches(norm, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(keep_first_outside_window, batch_format="pyarrow")
+    )
+
+
+def a23_group_percentile_cont(sf_dir: str, q: float = 0.5) -> rd.Dataset:
+    """Per-group CONTINUOUS (interpolated) percentile over a discrete
+    value domain — the companion to a11's discrete quantile: per-block
+    (group, value, count) histogram partials, one tiny shuffle, then a
+    vectorized per-group cumulative scan that interpolates between the
+    values at ranks floor/ceil((n-1)q).  State is bounded by the value
+    DOMAIN (quantity has 50 levels), never by rows.  Matches DuckDB
+    percentile_cont WITHIN GROUP."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["l_returnflag", "l_quantity"]).aggregate(
+            [("l_quantity", "count")]
+        )
+        return agg.rename_columns(["l_returnflag", "l_quantity", "cnt"])
+
+    h = (
+        li.map_batches(hist, batch_format="pyarrow", batch_size=None)
+        .groupby(["l_returnflag", "l_quantity"])
+        .sum("cnt")
+        .map_batches(
+            lambda t: t.rename_columns(["l_returnflag", "l_quantity", "cnt"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .repartition(1)  # <= groups x domain rows by construction
+    )
+
+    def interp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "p_cont": pa.array([], pa.float64()),
+                }
+            )
+        t = t.sort_by(
+            [("l_returnflag", "ascending"), ("l_quantity", "ascending")]
+        )
+        k = np.asarray(t.column("l_returnflag").to_pylist(), dtype=object)
+        v = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        ends = np.concatenate([starts[1:], [len(k)]])
+        names, ps = [], []
+        for st, en in zip(starts, ends):
+            cc = np.cumsum(c[st:en])
+            n = cc[-1]
+            r = (n - 1) * q
+            lo, hi = int(np.floor(r)), int(np.ceil(r))
+            vlo = v[st + np.searchsorted(cc, lo + 1)]
+            vhi = v[st + np.searchsorted(cc, hi + 1)]
+            names.append(k[st])
+            ps.append(vlo + (r - lo) * (vhi - vlo))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(names, pa.string()),
+                "p_cont": pa.array(np.round(ps, 6), pa.float64()),
+            }
+        )
+
+    return h.map_batches(interp, batch_format="pyarrow", batch_size=None)
