@@ -661,6 +661,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degree_hist": R.graph_degree_hist,
         "o26_throttle_dedup": R.o26_throttle_dedup,
         "a23_group_percentile_cont": R.a23_group_percentile_cont,
+        "o27_asof_tolerance": R.o27_asof_tolerance,
+        "text_top_terms_by_lang": R.text_top_terms_by_lang,
     }
 
 
@@ -1524,5 +1526,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, "
             "ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6) "
             "AS p_cont FROM lineitem GROUP BY l_returnflag"
+        ),
+        "o27_asof_tolerance": (
+            "SELECT event_id, user_id, "
+            "CASE WHEN ok THEN click_id END AS click_id, "
+            "CASE WHEN ok THEN click_ts END AS click_ts FROM ("
+            "SELECT event_id, user_id, click_id, click_ts, "
+            "click_ts IS NOT NULL AND ts - click_ts <= INTERVAL 24 HOURS AS ok "
+            "FROM (SELECT e.event_id, e.user_id, e.ts, c.event_id AS click_id, "
+            "c.ts AS click_ts, row_number() OVER (PARTITION BY e.event_id "
+            "ORDER BY c.ts DESC, c.event_id DESC) AS rn "
+            "FROM events e LEFT JOIN "
+            "(SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c "
+            "ON c.user_id = e.user_id AND c.ts <= e.ts) WHERE rn = 1)"
+        ),
+        "text_top_terms_by_lang": (
+            "WITH tok AS (SELECT lang, lower(t.term) AS term "
+            "FROM documents, UNNEST(string_split_regex(text, '[ \t\n\r\f\v]+')) "
+            "AS t(term) WHERE t.term <> ''), "
+            "c AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n "
+            "FROM tok GROUP BY 1, 2), "
+            "r AS (SELECT lang, term, n, row_number() OVER "
+            "(PARTITION BY lang ORDER BY n DESC, term) AS rn FROM c) "
+            "SELECT lang, term, n FROM r WHERE rn <= 5"
         ),
     }

@@ -4749,3 +4749,135 @@ def a23_group_percentile_cont(sf_dir: str, q: float = 0.5) -> rd.Dataset:
         )
 
     return h.map_batches(interp, batch_format="pyarrow", batch_size=None)
+
+
+def o27_asof_tolerance(sf_dir: str, max_gap_s: int = 24 * 3600) -> rd.Dataset:
+    """As-of join WITH TOLERANCE (the kdb/pandas `merge_asof
+    tolerance=` semantics): a backward match only counts when the
+    matched right row is within ``max_gap_s``; staler matches become
+    nulls.  One vectorized post-map over the existing as-of output —
+    the tolerance never changes the shuffle plan.  Oracle: the o8
+    window SQL with a CASE gap filter."""
+    from ..stages.temporal import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def only_clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "click"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "click_ts": t.column("ts"),
+                "click_id": t.column("event_id"),
+            }
+        )
+
+    clicks = ev.map_batches(only_clicks, batch_format="pyarrow")
+    base = asof_join(
+        ev.select_columns(["event_id", "user_id", "ts"]),
+        clicks,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["click_id", "click_ts"],
+        right_tie="click_id",
+    )
+
+    def tol(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        cts = t.column("click_ts").cast(pa.timestamp("us")).cast(pa.int64())
+        gap_ok = pc.and_kleene(
+            pc.is_valid(cts),
+            pc.less_equal(
+                pc.subtract(ts, cts), pa.scalar(max_gap_s * 1_000_000, pa.int64())
+            ),
+        )
+        keep = pc.fill_null(gap_ok, False)
+        return pa.table(
+            {
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "click_id": pc.if_else(
+                    keep, t.column("click_id").cast(pa.int64()), pa.scalar(None, pa.int64())
+                ),
+                "click_ts": pc.if_else(
+                    keep,
+                    t.column("click_ts").cast(pa.timestamp("us")),
+                    pa.scalar(None, pa.timestamp("us")),
+                ),
+            }
+        )
+
+    return base.map_batches(tol, batch_format="pyarrow", batch_size=None)
+
+
+def text_top_terms_by_lang(sf_dir: str, top_n: int = 5) -> rd.Dataset:
+    """Per-GROUP exact top-n terms (top vocabulary per language): the
+    text_top_terms plan with the language key carried through — per
+    block (lang, term) partial counts, one combine, then the o5
+    rank-per-group partial top-k under a coarse lang-hash partition
+    (per-group state bounded by top_n through the merge)."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column("text")), pattern=r"[ \t\n\r\f\v]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lang = np.repeat(
+            np.asarray(t.column("lang").to_pylist(), dtype=object), n_per
+        )
+        flat = toks.flatten()
+        tt = pa.table(
+            {"lang": pa.array(lang, pa.string()), "term": flat}
+        ).filter(pc.not_equal(flat, ""))
+        c = tt.group_by(["lang", "term"]).aggregate([("term", "count")])
+        return c.rename_columns(["lang", "term", "n"])
+
+    n_parts = default_join_partitions()
+    counts = (
+        docs.map_batches(tok, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "term"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["lang", "term", "n"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["lang"], n_parts))
+
+    def group_top(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__part").sort_by(
+            [("lang", "ascending"), ("n", "descending"), ("term", "ascending")]
+        )
+        lang = np.asarray(g.column("lang").to_pylist(), dtype=object)
+        n = len(lang)
+        starts = np.flatnonzero(np.concatenate([[True], lang[1:] != lang[:-1]]))
+        seg = np.zeros(n, dtype=np.int64)
+        seg[starts[1:]] = 1
+        seg = np.cumsum(seg)
+        rank = np.arange(n, dtype=np.int64) - starts[seg]
+        kept = g.filter(pa.array(rank < top_n))
+        return pa.table(
+            {
+                "lang": kept.column("lang"),
+                "term": kept.column("term"),
+                "n": kept.column("n").cast(pa.int64()),
+            }
+        )
+
+    return (
+        counts.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(group_top, batch_format="pyarrow")
+    )
