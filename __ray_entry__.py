@@ -663,6 +663,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a23_group_percentile_cont": R.a23_group_percentile_cont,
         "o27_asof_tolerance": R.o27_asof_tolerance,
         "text_top_terms_by_lang": R.text_top_terms_by_lang,
+        "o28_keep_latest_n": R.o28_keep_latest_n,
+        "f8_conditional_agg": R.f8_conditional_agg,
     }
 
 
@@ -1549,5 +1551,22 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT lang, term, n, row_number() OVER "
             "(PARTITION BY lang ORDER BY n DESC, term) AS rn FROM c) "
             "SELECT lang, term, n FROM r WHERE rn <= 5"
+        ),
+        "o28_keep_latest_n": (
+            "SELECT CAST(event_id AS BIGINT) AS event_id, "
+            "CAST(user_id AS BIGINT) AS user_id, event_type FROM ("
+            "SELECT event_id, user_id, event_type, row_number() OVER "
+            "(PARTITION BY user_id, event_type "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "WHERE rn <= 3"
+        ),
+        "f8_conditional_agg": (
+            "SELECT l_returnflag, "
+            "ROUND(COALESCE(sum(l_extendedprice * (1 - l_discount)) "
+            "FILTER (l_discount > 0.05), 0), 2) AS disc_rev, "
+            "CAST(count(*) FILTER (l_quantity >= 30) AS BIGINT) AS n_bigqty, "
+            "ROUND(CAST(count(*) FILTER (l_discount > 0.05) AS DOUBLE) "
+            "/ count(*), 6) AS disc_share "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
     }

@@ -4881,3 +4881,131 @@ def text_top_terms_by_lang(sf_dir: str, top_n: int = 5) -> rd.Dataset:
         .groupby("__part")
         .map_groups(group_top, batch_format="pyarrow")
     )
+
+
+def o28_keep_latest_n(sf_dir: str, n: int = 3) -> rd.Dataset:
+    """Retention trim: keep only the latest ``n`` events per
+    (user, event_type) — the bounded-history dedup every event store
+    applies.  One key-hash shuffle, per-partition lexsort, vectorized
+    within-segment rank (no per-group Python): rows ranked newest-first
+    by (ts, event_id) survive while rank < n.  Oracle: row_number()
+    OVER (PARTITION ... ORDER BY ts DESC, event_id DESC) <= n."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    n_parts = default_join_partitions()
+
+    def norm(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.schema.get_field_index("ts"),
+            "ts",
+            t.column("ts").cast(pa.timestamp("us")),
+        )
+        return t.append_column(
+            "__part", part_column(t, ["user_id", "event_type"], n_parts)
+        )
+
+    def latest_n(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__part")
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((-eid, -ts, et, uid))  # newest first per key
+        uid_s, et_s = uid[order], et[order]
+        m = len(uid_s)
+        new_key = np.concatenate(
+            [[True], (uid_s[1:] != uid_s[:-1]) | (et_s[1:] != et_s[:-1])]
+        )
+        seg = np.cumsum(new_key) - 1
+        starts = np.flatnonzero(new_key)
+        rank = np.arange(m, dtype=np.int64) - starts[seg]
+        keep = np.zeros(m, dtype=bool)
+        keep[order] = rank < n
+        kept = g.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_id": kept.column("event_id").cast(pa.int64()),
+                "user_id": kept.column("user_id").cast(pa.int64()),
+                "event_type": kept.column("event_type"),
+            }
+        )
+
+    return (
+        ev.map_batches(norm, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(latest_n, batch_format="pyarrow")
+    )
+
+
+def f8_conditional_agg(sf_dir: str) -> rd.Dataset:
+    """FILTER-clause conditional aggregates per group (the CASE/FILTER
+    SQL idiom): revenue only from discounted rows, counts above a
+    quantity threshold, discounted-row share — all computed in one
+    vectorized block partial + one tiny groupby (no second scan per
+    condition).  Half-away 6 dp on the share (count ratio)."""
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_extendedprice", "l_discount", "l_quantity"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        k = t.column("l_returnflag").to_pylist()
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        discounted = disc > 0.05
+        df = pd.DataFrame(
+            {
+                "k": k,
+                "disc_rev": np.where(discounted, price * (1 - disc), 0.0),
+                "n_bigqty": (qty >= 30).astype(np.int64),
+                "n_disc": discounted.astype(np.int64),
+                "n": 1,
+            }
+        )
+        g = df.groupby("k", as_index=False).sum()
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g.k, pa.string()),
+                "disc_rev": pa.array(g.disc_rev, pa.float64()),
+                "n_bigqty": pa.array(g.n_bigqty, pa.int64()),
+                "n_disc": pa.array(g.n_disc, pa.int64()),
+                "n": pa.array(g.n, pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("disc_rev", alias_name="disc_rev"),
+            Sum("n_bigqty", alias_name="n_bigqty"),
+            Sum("n_disc", alias_name="n_disc"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        share = (
+            t.column("n_disc").to_numpy(zero_copy_only=False)
+            / t.column("n").to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "disc_rev": pa.array(
+                    np.round(t.column("disc_rev").to_numpy(zero_copy_only=False), 2),
+                    pa.float64(),
+                ),
+                "n_bigqty": t.column("n_bigqty").cast(pa.int64()),
+                "disc_share": pa.array(
+                    np.floor(share * 1e6 + 0.5) / 1e6, pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
