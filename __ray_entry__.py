@@ -665,6 +665,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_top_terms_by_lang": R.text_top_terms_by_lang,
         "o28_keep_latest_n": R.o28_keep_latest_n,
         "f8_conditional_agg": R.f8_conditional_agg,
+        "dq_checks": R.dq_checks,
+        "o29_gapfill_daily": R.o29_gapfill_daily,
+        "f9_quantile_bucket": R.f9_quantile_bucket,
     }
 
 
@@ -1568,5 +1571,53 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CAST(count(*) FILTER (l_discount > 0.05) AS DOUBLE) "
             "/ count(*), 6) AS disc_share "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "dq_checks": (
+            "SELECT 'customer_null_name' AS check_name, "
+            "CAST(count(*) FILTER (c_name IS NULL) AS BIGINT) AS violations "
+            "FROM customer "
+            "UNION ALL SELECT 'events_null_value', "
+            "count(*) FILTER (value IS NULL) FROM events "
+            "UNION ALL SELECT 'lineitem_orphans', "
+            "(SELECT count(*) FROM lineitem l WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) "
+            "UNION ALL SELECT 'lineitem_qty_out_of_range', "
+            "count(*) FILTER (l_quantity < 1 OR l_quantity > 50) FROM lineitem "
+            "UNION ALL SELECT 'orders_dup_keys', "
+            "count(*) - count(DISTINCT o_orderkey) FROM orders "
+            "UNION ALL SELECT 'orders_nonpositive_price', "
+            "count(*) FILTER (o_totalprice <= 0) FROM orders "
+            "UNION ALL SELECT 'orders_null_custkey', "
+            "count(*) FILTER (o_custkey IS NULL) FROM orders"
+        ),
+        "o29_gapfill_daily": (
+            "WITH RECURSIVE bounds AS (SELECT user_id, "
+            "min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi "
+            "FROM events GROUP BY user_id), "
+            "days(user_id, d, hi) AS ("
+            "SELECT user_id, lo, hi FROM bounds "
+            "UNION ALL SELECT user_id, d + 1, hi FROM days WHERE d < hi), "
+            "counts AS (SELECT user_id, CAST(ts AS DATE) AS d, "
+            "count(*) AS n FROM events GROUP BY 1, 2) "
+            "SELECT days.user_id, strftime(days.d, '%Y-%m-%d') AS day, "
+            "CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_events "
+            "FROM days LEFT JOIN counts "
+            "ON days.user_id = counts.user_id AND days.d = counts.d"
+        ),
+        "f9_quantile_bucket": (
+            "WITH q AS (SELECT "
+            "percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS q1, "
+            "percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS q2, "
+            "percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS q3 "
+            "FROM orders), "
+            "b AS (SELECT CASE WHEN o_totalprice <= q1 THEN 1 "
+            "WHEN o_totalprice <= q2 THEN 2 "
+            "WHEN o_totalprice <= q3 THEN 3 ELSE 4 END AS bucket, "
+            "o_totalprice FROM orders, q) "
+            "SELECT CAST(bucket AS BIGINT) AS bucket, "
+            "count(*) AS n_orders, "
+            "ROUND(min(o_totalprice), 2) AS min_price, "
+            "ROUND(max(o_totalprice), 2) AS max_price "
+            "FROM b GROUP BY bucket"
         ),
     }

@@ -5009,3 +5009,234 @@ def f8_conditional_agg(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def dq_checks(sf_dir: str) -> pa.Table:
+    """Data-quality validation suite — the expectations pass every
+    training-data ingest runs before spending compute downstream
+    (null keys, duplicate primary keys, referential-integrity orphans,
+    range violations).  Each check is scale-safe on its own terms:
+
+    - null / range checks: per-block Sum partials -> one tiny aggregate
+      (never a second scan per condition);
+    - duplicate keys: count minus exact distinct via per-block unique
+      partials + one key-hash groupby;
+    - orphans: both-sides-large ``shuffle_anti_join`` on the key (no
+      driver collect, no broadcast of a corpus-sized key set).
+
+    Output is a tiny (check_name, violations) table; the checks
+    themselves stream."""
+    from ..stages.joins import shuffle_anti_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    cust = _read(sf_dir, "customer", ["c_name"])
+    ev = _read(sf_dir, "events", ["value"])
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "nonpos_price": pa.array(
+                    [int((price <= 0).sum())], pa.int64()
+                ),
+                "null_cust": pa.array(
+                    [t.column("o_custkey").null_count], pa.int64()
+                ),
+            }
+        )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"qty_oob": pa.array([int(((q < 1) | (q > 50)).sum())], pa.int64())}
+        )
+
+    def null_partial(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"n_null": pa.array([t.column(col).null_count], pa.int64())})
+
+        return f
+
+    ord_sums = (
+        orders.map_batches(ord_partial, batch_format="pyarrow", batch_size=None)
+        .aggregate(Sum("nonpos_price"), Sum("null_cust"))
+    )
+    li_oob = (
+        li.map_batches(li_partial, batch_format="pyarrow", batch_size=None)
+        .aggregate(Sum("qty_oob"))["sum(qty_oob)"]
+    )
+    cust_null = (
+        cust.map_batches(null_partial("c_name"), batch_format="pyarrow", batch_size=None)
+        .aggregate(Sum("n_null"))["sum(n_null)"]
+    )
+    ev_null = (
+        ev.map_batches(null_partial("value"), batch_format="pyarrow", batch_size=None)
+        .aggregate(Sum("n_null"))["sum(n_null)"]
+    )
+
+    # exact distinct o_orderkey: per-block unique partial, one groupby
+    def key_unique(t: pa.Table) -> pa.Table:
+        k = np.unique(t.column("o_orderkey").to_numpy(zero_copy_only=False))
+        return pa.table({"o_orderkey": pa.array(k, pa.int64())})
+
+    n_orders = orders.count()
+    n_distinct = (
+        orders.select_columns(["o_orderkey"])
+        .map_batches(key_unique, batch_format="pyarrow", batch_size=None)
+        .groupby("o_orderkey")
+        .count()
+        .count()
+    )
+
+    orphans = shuffle_anti_join(
+        li.select_columns(["l_orderkey"]).rename_columns({"l_orderkey": "o_orderkey"}),
+        orders.select_columns(["o_orderkey"]),
+        on=["o_orderkey"],
+    ).count()
+
+    checks = {
+        "customer_null_name": int(cust_null),
+        "events_null_value": int(ev_null),
+        "lineitem_orphans": int(orphans),
+        "lineitem_qty_out_of_range": int(li_oob),
+        "orders_dup_keys": int(n_orders - n_distinct),
+        "orders_nonpositive_price": int(ord_sums["sum(nonpos_price)"]),
+        "orders_null_custkey": int(ord_sums["sum(null_cust)"]),
+    }
+    names = sorted(checks)
+    return pa.table(
+        {
+            "check_name": pa.array(names, pa.string()),
+            "violations": pa.array([checks[n] for n in names], pa.int64()),
+        }
+    )
+
+
+def o29_gapfill_daily(sf_dir: str) -> rd.Dataset:
+    """Per-user daily resample with zero-fill — the gap-fill /
+    ``resample`` primitive time-series feature pipelines need (missing
+    days must materialize as 0, not be absent).  ONE user-hash shuffle:
+    the per-block (user, day) count partials ride a coarse
+    ``__part`` column into ``map_groups``, where each partition
+    finishes the (user, day) reduce AND expands every user's
+    [min_day, max_day] span vectorized (np.repeat spans, cumulative
+    offsets — no per-user Python loop).  Expansion-sized output ->
+    ``expansion_partitions`` coarse parts, per CLAUDE.md."""
+    from ..stages.partition import expansion_partitions, part_column
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        day = pc.floor(pc.divide(us.cast(pa.float64()), 86400e6)).cast(pa.int64())
+        tt = pa.table({"user_id": t.column("user_id"), "day": day})
+        g = tt.group_by(["user_id", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "day", "n"])
+
+    n_parts = expansion_partitions()
+
+    def tag_part(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    partials = ev.map_batches(
+        day_partial, batch_format="pyarrow", batch_size=None
+    ).map_batches(tag_part, batch_format="pyarrow", batch_size=None)
+
+    def expand(g: pa.Table) -> pa.Table:
+        g = g.group_by(["user_id", "day"]).aggregate([("n", "sum")])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        n = g.column("n_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((day, uid))
+        uid, day, n = uid[order], day[order], n[order]
+        # per-user span bounds via boundary indices
+        new = np.empty(len(uid), dtype=bool)
+        if len(uid):
+            new[0] = True
+            new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(uid)]
+        lo = day[starts]
+        hi = day[ends - 1]
+        spans = (hi - lo + 1).astype(np.int64)
+        out_uid = np.repeat(uid[starts], spans)
+        # each user's days: lo .. hi
+        offs = np.concatenate([[0], np.cumsum(spans)])
+        idx = np.arange(offs[-1], dtype=np.int64) - np.repeat(offs[:-1], spans)
+        out_day = np.repeat(lo, spans) + idx
+        # scatter observed counts into the dense grid
+        out_n = np.zeros(offs[-1], dtype=np.int64)
+        dense_pos = np.repeat(offs[:-1], np.diff(np.r_[starts, len(uid)])) + (
+            day - np.repeat(lo, np.diff(np.r_[starts, len(uid)]))
+        )
+        out_n[dense_pos] = n
+        day_str = (
+            out_day.astype("datetime64[D]").astype("datetime64[s]")
+            .astype("datetime64[D]").astype(str)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(out_uid, pa.int64()),
+                "day": pa.array(day_str, pa.string()),
+                "n_events": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return partials.groupby("__part").map_groups(
+        expand, batch_format="pyarrow", num_cpus=1
+    )
+
+
+def f9_quantile_bucket(sf_dir: str) -> rd.Dataset:
+    """Quantile binning — the feature-engineering primitive that tags
+    each row with its global quartile.  Exact quartile breakpoints come
+    from the distributed-selection ``percentile_cont`` (no sort, no
+    collect); they broadcast as three floats into a vectorized
+    ``np.searchsorted`` bucket map, then ONE tiny 4-row groupby.
+    Half-away 2 dp on min/max (DuckDB ROUND is half-away)."""
+    from ..stages.selection import percentile_cont
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+    qs = percentile_cont(orders, "o_totalprice", [0.25, 0.5, 0.75])
+    breaks = np.array([qs[0.25], qs[0.5], qs[0.75]], dtype=np.float64)
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(breaks, price, side="left") + 1
+        tt = pa.table(
+            {
+                "bucket": pa.array(b.astype(np.int64)),
+                "price": pa.array(price, pa.float64()),
+            }
+        )
+        g = tt.group_by("bucket").aggregate(
+            [("price", "count"), ("price", "min"), ("price", "max")]
+        )
+        return g.rename_columns(["bucket", "n", "mn", "mx"])
+
+    agg = (
+        orders.map_batches(bucket_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .aggregate(
+            Sum("n", alias_name="n_orders"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        def r2(col):
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            return pa.array(np.floor(v * 100 + 0.5) / 100, pa.float64())
+
+        return pa.table(
+            {
+                "bucket": t.column("bucket").cast(pa.int64()),
+                "n_orders": t.column("n_orders").cast(pa.int64()),
+                "min_price": r2("mn"),
+                "max_price": r2("mx"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
