@@ -668,6 +668,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_checks": R.dq_checks,
         "o29_gapfill_daily": R.o29_gapfill_daily,
         "f9_quantile_bucket": R.f9_quantile_bucket,
+        "merge_cdc_latest": R.merge_cdc_latest,
+        "emb_covariance": R.emb_covariance,
+        "f10_explode_tokens": R.f10_explode_tokens,
     }
 
 
@@ -1619,5 +1622,28 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(min(o_totalprice), 2) AS min_price, "
             "ROUND(max(o_totalprice), 2) AS max_price "
             "FROM b GROUP BY bucket"
+        ),
+        "merge_cdc_latest": (
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "event_type AS last_type, "
+            "ROUND(value, 2) AS last_value FROM ("
+            "SELECT user_id, event_type, value, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM events) WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        "emb_covariance": (
+            "SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, "
+            "ROUND(covar_pop(list_extract(embedding, i + 1), "
+            "list_extract(embedding, j + 1)), 6) AS cov "
+            "FROM embeddings, range(8) ti(i), range(8) tj(j) "
+            "GROUP BY i, j"
+        ),
+        "f10_explode_tokens": (
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') "
+            "AS tk FROM documents) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, k AS pos, "
+            "tk[k + 1] AS token "
+            "FROM toks, range(32) t(k) WHERE k < len(tk)"
         ),
     }

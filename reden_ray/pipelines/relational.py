@@ -5240,3 +5240,175 @@ def f9_quantile_bucket(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def merge_cdc_latest(sf_dir: str) -> rd.Dataset:
+    """CDC-apply with tombstones — the upsert/delete merge every
+    incremental ingest needs: the event stream is a change log keyed
+    by user; the LATEST change wins (ts desc, event_id desc, the o28
+    tie-break) and a latest ``error`` event is a tombstone that deletes
+    the key.  Per-block keep-latest partial (<=1 row per user per
+    block) collapses the stream BEFORE the single user-hash shuffle;
+    the coarse-partition map_groups finishes the argmax and drops
+    tombstones.  Value rounded 2 dp on both sides."""
+    from ..stages.partition import expansion_partitions, part_column
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def keep_latest(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        t = t.set_column(t.schema.get_field_index("ts"), "ts", us)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        tsv = t.column("ts").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((-eid, -tsv, uid))
+        first = np.empty(len(order), dtype=bool)
+        if len(order):
+            su = uid[order]
+            first[0] = True
+            first[1:] = su[1:] != su[:-1]
+        return t.take(pa.array(order[first]))
+
+    n_parts = expansion_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    partials = ev.map_batches(
+        keep_latest, batch_format="pyarrow", batch_size=None
+    ).map_batches(tag, batch_format="pyarrow", batch_size=None)
+
+    def finish(g: pa.Table) -> pa.Table:
+        g = keep_latest(g)
+        live = pc.invert(pc.equal(g.column("event_type"), "error"))
+        g = g.filter(live)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": g.column("user_id").cast(pa.int64()),
+                "last_type": g.column("event_type"),
+                "last_value": pa.array(
+                    np.floor(val * 100 + 0.5) / 100, pa.float64()
+                ),
+            }
+        )
+
+    return partials.groupby("__part").map_groups(
+        finish, batch_format="pyarrow", num_cpus=1
+    )
+
+
+_COV_DIMS = 8
+
+
+def emb_covariance(sf_dir: str) -> rd.Dataset:
+    """Distributed covariance matrix over the first 8 embedding dims —
+    the X^T X partial-sums pattern that PCA / whitening / Mahalanobis
+    pipelines run at corpus scale: each block contributes ONE numpy
+    matmul (d x d sums, d sums, n) re-shaped to d^2 partial rows; a
+    64-row groupby combines; cov = E[xy] - E[x]E[y] (population).
+    Nothing corpus-sized ever leaves the blocks."""
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+    d = _COV_DIMS
+    ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False)
+        dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
+        mat = (
+            flat[offsets[0]: offsets[-1]]
+            .astype(np.float64)
+            .reshape(-1, dim)[:, :d]
+        )
+        n = mat.shape[0]
+        xtx = mat.T @ mat
+        sx = mat.sum(axis=0)
+        return pa.table(
+            {
+                "i": pa.array(ii.ravel(), pa.int64()),
+                "j": pa.array(jj.ravel(), pa.int64()),
+                "sxy": pa.array(xtx.ravel(), pa.float64()),
+                "sxi": pa.array(np.repeat(sx, d), pa.float64()),
+                "sxj": pa.array(np.tile(sx, d), pa.float64()),
+                "n": pa.array(np.full(d * d, n, dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        emb.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["i", "j"])
+        .aggregate(
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxi", alias_name="sxi"),
+            Sum("sxj", alias_name="sxj"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False)
+        sxi = t.column("sxi").to_numpy(zero_copy_only=False)
+        sxj = t.column("sxj").to_numpy(zero_copy_only=False)
+        cov = sxy / n - (sxi / n) * (sxj / n)
+        return pa.table(
+            {
+                "i": t.column("i").cast(pa.int64()),
+                "j": t.column("j").cast(pa.int64()),
+                "cov": pa.array(np.round(cov, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def f10_explode_tokens(sf_dir: str) -> rd.Dataset:
+    """Positional explode (UNNEST WITH ORDINALITY): the first 32
+    whitespace tokens of every document with their position — fully
+    vectorized Arrow regex split + numpy offset arithmetic (repeat doc
+    ids by list length, position = arange minus each list's start);
+    empty tokens from leading/repeated separators are masked BEFORE
+    positions are assigned, matching the oracle's list_filter."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cap = 32
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(col, pattern=r"\s+")
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = int(offsets[0]) if len(offsets) else 0
+        vals = toks.values
+        vnp = vals.to_numpy(zero_copy_only=False)[base:]
+        counts = np.diff(offsets - base)
+        did = np.repeat(
+            t.column("doc_id").to_numpy(zero_copy_only=False), counts
+        )
+        keep = vnp != ""
+        did, vnp = did[keep], vnp[keep]
+        # positions within each doc's surviving token run (runs stay
+        # contiguous after the mask)
+        if len(did):
+            new = np.empty(len(did), dtype=bool)
+            new[0] = True
+            new[1:] = did[1:] != did[:-1]
+            starts = np.flatnonzero(new)
+            runs = np.diff(np.r_[starts, len(did)])
+            pos = np.arange(len(did), dtype=np.int64) - np.repeat(starts, runs)
+        else:
+            pos = np.empty(0, dtype=np.int64)
+        inside = pos < cap
+        return pa.table(
+            {
+                "doc_id": pa.array(did[inside], pa.int64()),
+                "pos": pa.array(pos[inside], pa.int64()),
+                "token": pa.array(vnp[inside], pa.string()),
+            }
+        )
+
+    return docs.map_batches(explode, batch_format="pyarrow", batch_size=None)
