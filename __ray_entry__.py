@@ -343,6 +343,26 @@ def _multimodal_audio_chunks(sf_dir: str):
     )
 
 
+def _multimodal_video_frames(sf_dir: str):
+    """Multimodal video pipeline as a driver query, STRICT mode: REAL
+    YUV4MPEG2 (Y4M, C444) payloads -> actor-pool pure-numpy container
+    decode -> evenly-spaced frame sampling -> per-frame luma stats +
+    mean-pooled thumbnails (stages/multimodal.decode_y4m).  No stub on
+    this path."""
+    import ray.data as rd
+
+    from reden_ray.stages.multimodal import VideoFrameFeatures, synth_y4m_table
+
+    video = rd.from_arrow(synth_y4m_table(n=24, seed=9))
+    return video.map_batches(
+        VideoFrameFeatures,
+        fn_constructor_kwargs={"n_sample": 4, "grid": 4, "strict": True},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+
+
 def _kg_significance_t(sf_dir: str):
     """Paired-t summary over the tagged-vs-NER significance pairs
     (SignificanceTesting.java analogue) as a one-row table."""
@@ -671,6 +691,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_cdc_latest": R.merge_cdc_latest,
         "emb_covariance": R.emb_covariance,
         "f10_explode_tokens": R.f10_explode_tokens,
+        "cohort_matrix": R.cohort_matrix,
+        "zorder_layout": R.zorder_layout,
+        "multimodal_video_frames": _multimodal_video_frames,
     }
 
 
@@ -1645,5 +1668,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, k AS pos, "
             "tk[k + 1] AS token "
             "FROM toks, range(32) t(k) WHERE k < len(tk)"
+        ),
+        "cohort_matrix": (
+            "WITH w AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events), "
+            "c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY 1) "
+            "SELECT c.cohort_wk, w.wk - c.cohort_wk AS wk_offset, "
+            "count(DISTINCT w.user_id) AS n_users "
+            "FROM w JOIN c USING (user_id) GROUP BY 1, 2"
+        ),
+        "zorder_layout": (
+            "WITH z AS (SELECT l_orderkey, l_linenumber, "
+            "(SELECT sum((((l_partkey >> b) & 1) << (2 * b)) "
+            "+ (((l_suppkey >> b) & 1) << (2 * b + 1))) "
+            "FROM range(16) t(b)) AS zkey FROM lineitem) "
+            "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, "
+            "CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            "CAST(zkey AS BIGINT) AS zkey FROM z "
+            "ORDER BY zkey, l_orderkey, l_linenumber LIMIT 20"
         ),
     }

@@ -5412,3 +5412,102 @@ def f10_explode_tokens(sf_dir: str) -> rd.Dataset:
         )
 
     return docs.map_batches(explode, batch_format="pyarrow", batch_size=None)
+
+
+def cohort_matrix(sf_dir: str) -> rd.Dataset:
+    """Cohort retention matrix — (signup-week cohort x week offset ->
+    distinct active users), the table behind every retention heat map.
+    ONE user-hash coarse shuffle: inside each partition every user's
+    rows are complete, so first-week (cohort) assignment, the
+    (user, cohort, offset) dedupe, and the per-(cohort, offset)
+    distinct-user partial all happen locally; the global combine is a
+    tiny groupby sum over <= parts x weeks^2 rows.  Week = epoch
+    seconds floored // 604800 (the o18 convention)."""
+    from ..stages.partition import expansion_partitions, part_column
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def wk_partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        wk = pc.divide(pc.divide(us, 1_000_000), 604_800)
+        tt = pa.table({"user_id": t.column("user_id"), "wk": wk})
+        # per-block (user, wk) dedupe shrinks the shuffle
+        return tt.group_by(["user_id", "wk"]).aggregate([])
+
+    n_parts = expansion_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    partials = ev.map_batches(
+        wk_partial, batch_format="pyarrow", batch_size=None
+    ).map_batches(tag, batch_format="pyarrow", batch_size=None)
+
+    def per_part(g: pa.Table) -> pa.Table:
+        g = g.group_by(["user_id", "wk"]).aggregate([])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        wk = g.column("wk").to_numpy(zero_copy_only=False)
+        order = np.lexsort((wk, uid))
+        uid, wk = uid[order], wk[order]
+        new = np.empty(len(uid), dtype=bool)
+        if len(uid):
+            new[0] = True
+            new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        runs = np.diff(np.r_[starts, len(uid)])
+        cohort = np.repeat(wk[starts], runs)  # sorted -> first wk = min
+        off = wk - cohort
+        tt = pa.table(
+            {
+                "cohort_wk": pa.array(cohort, pa.int64()),
+                "wk_offset": pa.array(off, pa.int64()),
+            }
+        )
+        cg = tt.group_by(["cohort_wk", "wk_offset"]).aggregate([([], "count_all")])
+        return cg.rename_columns(["cohort_wk", "wk_offset", "n"])
+
+    return (
+        partials.groupby("__part")
+        .map_groups(per_part, batch_format="pyarrow", num_cpus=1)
+        .groupby(["cohort_wk", "wk_offset"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
+def zorder_layout(sf_dir: str) -> rd.Dataset:
+    """Z-order (Morton) layout key — the space-filling-curve sort that
+    co-locates rows close in BOTH join keys so min/max row-group stats
+    prune 2-D range scans (the Delta/Iceberg OPTIMIZE ZORDER idea).
+    16-bit lanes here (fixture keys < 2^16; production uses 32-bit
+    lanes, same shift arithmetic).  The interleave is pure vectorized
+    int64 bit math; the global top-20 never sorts the corpus — per-block
+    partial top-k, then one small merge sort (the o1 shape)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+    k = 20
+
+    def zkey_topk(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(p), dtype=np.int64)
+        for b in range(16):
+            z |= ((p >> b) & 1) << (2 * b)
+            z |= ((s >> b) & 1) << (2 * b + 1)
+        tt = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "l_linenumber": t.column("l_linenumber").cast(pa.int64()),
+                "zkey": pa.array(z, pa.int64()),
+            }
+        )
+        idx = pc.sort_indices(
+            tt,
+            sort_keys=[
+                ("zkey", "ascending"),
+                ("l_orderkey", "ascending"),
+                ("l_linenumber", "ascending"),
+            ],
+        )
+        return tt.take(idx[:k])
+
+    partials = li.map_batches(zkey_topk, batch_format="pyarrow", batch_size=None)
+    return partials.sort(["zkey", "l_orderkey", "l_linenumber"]).limit(k)

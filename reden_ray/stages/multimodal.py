@@ -481,3 +481,179 @@ def synth_media_table(n: int = 32, seed: int = 5) -> pa.Table:
         ],
         schema=MEDIA_SCHEMA,
     )
+
+
+# --- REAL video: YUV4MPEG2 (Y4M), uncompressed ---------------------------
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("mime", pa.string()),
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_frames", pa.int32()),
+    ]
+)
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Encode (n, h, w, 3) uint8 YUV frames as a YUV4MPEG2 stream with
+    C444 chroma (one full-resolution plane per component per frame) —
+    the uncompressed public container ffmpeg/mplayer exchange raw video
+    in."""
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("frames must be (n, h, w, 3) uint8 YUV")
+    n, h, w, _ = frames.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C444\n".encode()]
+    for f in range(n):
+        out.append(b"FRAME\n")
+        # plane-ordered: all Y, all U, all V
+        out.append(np.ascontiguousarray(frames[f].transpose(2, 0, 1)).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """Decode a C444 YUV4MPEG2 stream to (n, h, w, 3) uint8 — pure
+    numpy.  Chroma-subsampled streams (C420 etc.) need a resampler and
+    raise ``NotImplementedError`` here."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload (missing magic)")
+    hdr_end = payload.index(b"\n")
+    params = payload[:hdr_end].decode().split()[1:]
+    w = h = None
+    chroma = "C420jpeg"  # Y4M default when the C tag is absent
+    for p in params:
+        if p.startswith("W"):
+            w = int(p[1:])
+        elif p.startswith("H"):
+            h = int(p[1:])
+        elif p.startswith("C"):
+            chroma = p
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if chroma != "C444":
+        raise NotImplementedError(
+            f"only C444 Y4M decodes here (got {chroma}); plug ffmpeg for "
+            "subsampled chroma"
+        )
+    frame_bytes = 3 * w * h
+    frames = []
+    pos = hdr_end + 1
+    buf = memoryview(payload)
+    while pos < len(payload):
+        nl = payload.index(b"\n", pos)  # FRAME line (may carry params)
+        if not payload[pos:nl].startswith(b"FRAME"):
+            raise ValueError("malformed Y4M: expected FRAME marker")
+        start = nl + 1
+        planes = np.frombuffer(buf[start: start + frame_bytes], dtype=np.uint8)
+        if planes.size != frame_bytes:
+            raise ValueError("truncated Y4M frame")
+        frames.append(planes.reshape(3, h, w).transpose(1, 2, 0))
+        pos = start + frame_bytes
+    return np.stack(frames) if frames else np.empty((0, h, w, 3), np.uint8)
+
+
+class VideoFrameFeatures:
+    """Actor-pool video stage, strict-capable: decode Y4M, sample
+    ``n_sample`` evenly-spaced frames, emit per-frame luma statistics
+    and a mean-pooled ``grid``x``grid`` Y-plane thumbnail (the shape a
+    real embedding model would consume).  Per-payload decode is
+    inherently per-row (opaque binary); everything inside a frame is
+    vectorized."""
+
+    def __init__(self, n_sample: int = 4, grid: int = 4, strict: bool = False):
+        self.n_sample = n_sample
+        self.grid = grid
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, mean_y, std_y, thumbs = [], [], [], [], []
+        for media_id, mime, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("mime").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if mime == "video/x-yuv4mpeg" or payload[:9] == b"YUV4MPEG2":
+                frames = decode_y4m(payload)
+            elif self.strict:
+                raise NotImplementedError(
+                    f"no in-sandbox decoder for {mime}; plug ffmpeg/PyAV"
+                )
+            else:
+                frames = _decode_video_stub(payload)
+            n = frames.shape[0]
+            if n == 0:
+                continue
+            take = np.unique(
+                np.linspace(0, n - 1, min(self.n_sample, n)).astype(np.int64)
+            )
+            g = self.grid
+            for f in take:
+                y = frames[f, :, :, 0].astype(np.float64)
+                h, w = y.shape
+                gh, gw = max(1, h // g), max(1, w // g)
+                pooled = (
+                    y[: gh * g, : gw * g]
+                    .reshape(g, gh, g, gw)
+                    .mean(axis=(1, 3))
+                    .astype(np.uint8)
+                )
+                ids.append(media_id)
+                fidx.append(int(f))
+                mean_y.append(float(np.round(y.mean(), 4)))
+                std_y.append(float(np.round(y.std(), 4)))
+                thumbs.append(pooled.tobytes())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame": pa.array(fidx, pa.int32()),
+                "mean_y": pa.array(mean_y, pa.float64()),
+                "std_y": pa.array(std_y, pa.float64()),
+                "thumb": pa.array(thumbs, pa.binary()),
+            }
+        )
+
+
+def _decode_video_stub(payload: bytes) -> np.ndarray:
+    """DETERMINISTIC FAKE (test mode only): 4 frames of byte-seeded
+    noise — keeps plumbing drivable for mimes with no in-sandbox
+    codec."""
+    seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(), "big")
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(4, 16, 16, 3)).astype(np.uint8)
+
+
+def synth_y4m_table(n: int = 12, seed: int = 9) -> pa.Table:
+    """Deterministic REAL Y4M rows: seeded moving-gradient frames
+    through encode_y4m, so strict-mode video decoding exercises the
+    genuine container path end to end."""
+    rng = np.random.RandomState(seed)
+    ids, mimes, payloads, ws, hs, nf = [], [], [], [], [], []
+    for i in range(n):
+        w = int(rng.randint(8, 25))
+        h = int(rng.randint(8, 25))
+        k = int(rng.randint(3, 9))
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = np.empty((k, h, w, 3), np.uint8)
+        for f in range(k):
+            frames[f, :, :, 0] = ((xx * 7 + yy * 3 + f * 11) % 256).astype(np.uint8)
+            frames[f, :, :, 1] = ((xx * 2 + f * 5) % 256).astype(np.uint8)
+            frames[f, :, :, 2] = ((yy * 5 + f * 2) % 256).astype(np.uint8)
+        ids.append(i)
+        mimes.append("video/x-yuv4mpeg")
+        payloads.append(encode_y4m(frames))
+        ws.append(w)
+        hs.append(h)
+        nf.append(k)
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.int64()),
+            pa.array(mimes, pa.string()),
+            pa.array(payloads, pa.binary()),
+            pa.array(ws, pa.int32()),
+            pa.array(hs, pa.int32()),
+            pa.array(nf, pa.int32()),
+        ],
+        schema=VIDEO_SCHEMA,
+    )

@@ -124,3 +124,77 @@ def test_strict_still_refuses_compressed():
     )
     with pytest.raises(NotImplementedError):
         ImageFeatures(strict=True)(fake)
+
+
+def test_y4m_round_trip_exact():
+    from reden_ray.stages.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.RandomState(11)
+    for n, h, w in [(1, 1, 1), (3, 9, 13), (6, 16, 8)]:
+        fr = rng.randint(0, 256, size=(n, h, w, 3)).astype(np.uint8)
+        assert (decode_y4m(encode_y4m(fr)) == fr).all()
+
+
+def test_y4m_rejects_subsampled_and_garbage():
+    from reden_ray.stages.multimodal import decode_y4m
+
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n" + b"\0" * 24)
+    with pytest.raises(ValueError):
+        decode_y4m(b"nonsense")
+    with pytest.raises(ValueError):  # truncated frame payload
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\n" + b"\0" * 10)
+
+
+def test_strict_video_pipeline_end_to_end(ray_session):
+    import ray.data as rd
+
+    from reden_ray.stages.multimodal import (
+        VideoFrameFeatures,
+        decode_y4m,
+        synth_y4m_table,
+    )
+
+    tbl = synth_y4m_table(n=8, seed=9)
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            VideoFrameFeatures,
+            fn_constructor_kwargs={"n_sample": 3, "grid": 2, "strict": True},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+    # every video contributes min(n_sample, n_frames) frames
+    nf = {m: int(k) for m, k in zip(tbl.column("media_id").to_pylist(),
+                                    tbl.column("n_frames").to_pylist())}
+    counts = out.groupby("media_id").size().to_dict()
+    assert counts == {m: min(3, k) for m, k in nf.items()}
+    # spot-check one frame's mean luma against a direct decode
+    row = out.iloc[0]
+    frames = decode_y4m(
+        tbl.filter(pa.compute.equal(tbl.column("media_id"), int(row.media_id)))
+        .column("payload").to_pylist()[0]
+    )
+    want = float(np.round(frames[int(row.frame), :, :, 0].astype(np.float64).mean(), 4))
+    assert row.mean_y == want
+    assert len(row.thumb) == 4  # 2x2 uint8 grid
+
+
+def test_strict_video_refuses_unknown_mime():
+    from reden_ray.stages.multimodal import VideoFrameFeatures
+
+    bad = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "mime": pa.array(["video/mp4"], pa.string()),
+            "payload": pa.array([b"\x00\x00\x00\x18ftypmp42"], pa.binary()),
+        }
+    )
+    with pytest.raises(NotImplementedError):
+        VideoFrameFeatures(strict=True)(bad)
+    # test mode: deterministic stub keeps the plumbing drivable
+    out = VideoFrameFeatures(strict=False)(bad)
+    assert out.num_rows == 4
