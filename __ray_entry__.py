@@ -694,6 +694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_matrix": R.cohort_matrix,
         "zorder_layout": R.zorder_layout,
         "multimodal_video_frames": _multimodal_video_frames,
+        "pmi_part_pairs": R.pmi_part_pairs,
     }
 
 
@@ -1686,5 +1687,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(l_linenumber AS BIGINT) AS l_linenumber, "
             "CAST(zkey AS BIGINT) AS zkey FROM z "
             "ORDER BY zkey, l_orderkey, l_linenumber LIMIT 20"
+        ),
+        "pmi_part_pairs": (
+            "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "pcnt AS (SELECT l_partkey, count(*) AS c FROM op GROUP BY 1), "
+            "tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM op), "
+            "pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v, "
+            "count(*) AS cuv FROM op a JOIN op b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2) "
+            "SELECT u, v, cuv, "
+            "ROUND(ln(CAST(cuv AS DOUBLE) * tot.n / (cu.c * cv.c)), 6) AS pmi "
+            "FROM pairs, tot "
+            "JOIN pcnt cu ON cu.l_partkey = u JOIN pcnt cv ON cv.l_partkey = v "
+            "WHERE cuv >= 3 "
+            "ORDER BY pmi DESC, u, v LIMIT 20"
         ),
     }

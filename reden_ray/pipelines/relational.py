@@ -5511,3 +5511,130 @@ def zorder_layout(sf_dir: str) -> rd.Dataset:
 
     partials = li.map_batches(zkey_topk, batch_format="pyarrow", batch_size=None)
     return partials.sort(["zkey", "l_orderkey", "l_linenumber"]).limit(k)
+
+
+def pmi_part_pairs(sf_dir: str) -> rd.Dataset:
+    """Pointwise-mutual-information association mining over parts that
+    co-occur in an order — the market-basket / collocation primitive
+    (PMI = ln(c_uv * N / (c_u * c_v)), support >= 3, top-20).
+
+    Scale shape: distinct (order, part) dedupe -> per-ORDER pair
+    expansion inside a coarse key-hash map_groups (fan-in bounded) with
+    block-local (u, v) pre-combine -> ONE pair-hash coarse-partition
+    reduce (never a native pair-keyed groupby, per CLAUDE.md) ->
+    node-sized count table attached via cost-based smart_join
+    (broadcasts while small, hash-shuffles past the threshold) ->
+    per-block partial top-20 + one small merge (the o1 shape; the
+    pair-sized stream is never globally sorted).  Ordering ties break
+    on the ROUNDED pmi then (u, v) on both sides."""
+    from ..stages.joins import smart_join
+    from ..stages.partition import expansion_partitions, part_column
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def distinct_op(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    op = (
+        li.map_batches(distinct_op, batch_format="pyarrow", batch_size=None)
+        .groupby(["l_orderkey", "l_partkey"])
+        .count()
+        .select_columns(["l_orderkey", "l_partkey"])
+        .materialize()  # three consumers: N, part counts, pair expansion
+    )
+
+    n_orders = int(
+        op.groupby("l_orderkey").count().count()
+    )
+
+    part_counts = op.groupby("l_partkey").count()  # node-sized: (part, count())
+
+    n_parts = expansion_partitions()
+
+    def tag_order(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["l_orderkey"], n_parts))
+
+    def expand(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__part").sort_by(
+            [("l_orderkey", "ascending"), ("l_partkey", "ascending")]
+        )
+        o = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        p = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        n = len(o)
+        if n == 0:
+            return pa.table(
+                {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+                 "cuv": pa.array([], pa.int64())}
+            )
+        starts = np.flatnonzero(np.concatenate([[True], o[1:] != o[:-1]]))
+        ends = np.concatenate([starts[1:], [n]])
+        us, vs = [], []
+        for st, en in zip(starts, ends):  # per ORDER (basket-size bounded)
+            nb = p[st:en]
+            if len(nb) > 1:
+                iu, iv = np.triu_indices(len(nb), k=1)
+                us.append(nb[iu])
+                vs.append(nb[iv])
+        if not us:
+            return pa.table(
+                {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+                 "cuv": pa.array([], pa.int64())}
+            )
+        tt = pa.table(
+            {"u": pa.array(np.concatenate(us), pa.int64()),
+             "v": pa.array(np.concatenate(vs), pa.int64())}
+        )
+        # block-local pre-combine before the pair shuffle
+        cg = tt.group_by(["u", "v"]).aggregate([([], "count_all")])
+        return cg.rename_columns(["u", "v", "cuv"])
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["u", "v"], n_parts))
+
+    def reduce_pairs(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__part")
+        return g.group_by(["u", "v"]).aggregate([("cuv", "sum")]).rename_columns(
+            ["u", "v", "cuv"]
+        )
+
+    pairs = (
+        op.map_batches(tag_order, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(expand, batch_format="pyarrow", num_cpus=1)
+        .map_batches(tag_pair, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(reduce_pairs, batch_format="pyarrow", num_cpus=1)
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("cuv"), 3)),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+
+    cu = part_counts.rename_columns({"l_partkey": "u", "count()": "cu"})
+    cv = part_counts.rename_columns({"l_partkey": "v", "count()": "cv"})
+    joined = smart_join(smart_join(pairs, cu, on=["u"]), cv, on=["v"])
+
+    k = 20
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        cuv = t.column("cuv").to_numpy(zero_copy_only=False).astype(np.float64)
+        cun = t.column("cu").to_numpy(zero_copy_only=False).astype(np.float64)
+        cvn = t.column("cv").to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.round(np.log(cuv * n_orders / (cun * cvn)), 6)
+        tt = pa.table(
+            {
+                "u": t.column("u").cast(pa.int64()),
+                "v": t.column("v").cast(pa.int64()),
+                "cuv": t.column("cuv").cast(pa.int64()),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+        idx = pc.sort_indices(
+            tt,
+            sort_keys=[("pmi", "descending"), ("u", "ascending"), ("v", "ascending")],
+        )
+        return tt.take(idx[:k])
+
+    partials = joined.map_batches(score_topk, batch_format="pyarrow", batch_size=None)
+    return partials.sort(["pmi", "u", "v"], descending=[True, False, False]).limit(k)
