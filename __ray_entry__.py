@@ -695,6 +695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout": R.zorder_layout,
         "multimodal_video_frames": _multimodal_video_frames,
         "pmi_part_pairs": R.pmi_part_pairs,
+        "mix_sources_balanced": R.mix_sources_balanced,
+        "split_train_val_test": R.split_train_val_test,
     }
 
 
@@ -1702,5 +1704,22 @@ def oracle_sql() -> dict[str, str]:
             "JOIN pcnt cu ON cu.l_partkey = u JOIN pcnt cv ON cv.l_partkey = v "
             "WHERE cuv >= 3 "
             "ORDER BY pmi DESC, u, v LIMIT 20"
+        ),
+        "mix_sources_balanced": (
+            "WITH cnt AS (SELECT source, count(*) AS n FROM documents "
+            "GROUP BY 1), lam AS (SELECT min(n) AS mn FROM cnt) "
+            "SELECT d.doc_id, d.source FROM documents d "
+            "JOIN cnt USING (source), lam "
+            "WHERE (d.doc_id * 2654435761) % 4294967296 < "
+            "CAST(CAST(lam.mn AS DOUBLE) / cnt.n * 4294967296 AS BIGINT)"
+        ),
+        "split_train_val_test": (
+            "SELECT source, CASE "
+            "WHEN (doc_id * 2654435761) % 4294967296 < "
+            "CAST(0.8 * 4294967296 AS BIGINT) THEN 'train' "
+            "WHEN (doc_id * 2654435761) % 4294967296 < "
+            "CAST(0.9 * 4294967296 AS BIGINT) THEN 'val' "
+            "ELSE 'test' END AS split, count(*) AS n_docs "
+            "FROM documents GROUP BY 1, 2"
         ),
     }

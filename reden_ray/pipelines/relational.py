@@ -5638,3 +5638,63 @@ def pmi_part_pairs(sf_dir: str) -> rd.Dataset:
 
     partials = joined.map_batches(score_topk, batch_format="pyarrow", batch_size=None)
     return partials.sort(["pmi", "u", "v"], descending=[True, False, False]).limit(k)
+
+
+_KNUTH = 2654435761
+_MOD32 = 4294967296
+
+
+def mix_sources_balanced(sf_dir: str) -> rd.Dataset:
+    """Domain mixing / source rebalancing — the Pile/Dolma-style
+    \"sample each domain toward target proportions\" step of a training
+    mix.  Equal target weights here: every source is deterministically
+    downsampled toward the SMALLEST source's size (rate_s = min_n /
+    n_s) with the o10 Knuth multiplicative hash, so the selection is
+    reproducible row-by-row on both sides and needs no shuffle at all:
+    per-source counts are one tiny groupby; the selection itself is a
+    stateless vectorized filter over the stream."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    cnt = docs.groupby("source").count().take_all()  # dimension-sized rows
+    min_n = min(r["count()"] for r in cnt)
+    # threshold_s = round_half_away(rate_s * 2^32), matching DuckDB's
+    # double->BIGINT cast
+    thr = {
+        r["source"]: int(np.floor(min_n / r["count()"] * _MOD32 + 0.5))
+        for r in cnt
+    }
+
+    def pick(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        h = (did * _KNUTH) % _MOD32
+        lim = np.array([thr[s] for s in src], dtype=np.int64)
+        return t.filter(pa.array(h < lim))
+
+    return docs.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
+def split_train_val_test(sf_dir: str) -> rd.Dataset:
+    """Deterministic 80/10/10 train/val/test split by key hash — the
+    canonical leakage-safe split (same doc always lands in the same
+    split, regardless of partitioning or cluster size).  Output is the
+    (source, split, n_docs) audit table; the assignment itself is a
+    stateless vectorized map."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    t80 = int(np.floor(0.8 * _MOD32 + 0.5))
+    t90 = int(np.floor(0.9 * _MOD32 + 0.5))
+
+    def assign(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (did * _KNUTH) % _MOD32
+        split = np.where(h < t80, "train", np.where(h < t90, "val", "test"))
+        tt = pa.table(
+            {"source": t.column("source"), "split": pa.array(split, pa.string())}
+        )
+        g = tt.group_by(["source", "split"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "split", "n"])
+
+    return (
+        docs.map_batches(assign, batch_format="pyarrow", batch_size=None)
+        .groupby(["source", "split"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
