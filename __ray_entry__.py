@@ -697,6 +697,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_part_pairs": R.pmi_part_pairs,
         "mix_sources_balanced": R.mix_sources_balanced,
         "split_train_val_test": R.split_train_val_test,
+        "io_partitioned_write": R.io_partitioned_write,
+        "emb_quantize_error": R.emb_quantize_error,
     }
 
 
@@ -1721,5 +1723,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(0.9 * 4294967296 AS BIGINT) THEN 'val' "
             "ELSE 'test' END AS split, count(*) AS n_docs "
             "FROM documents GROUP BY 1, 2"
+        ),
+        "io_partitioned_write": (
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents WHERE lang = 'en' GROUP BY 1"
+        ),
+        "emb_quantize_error": (
+            "WITH s AS (SELECT i, CASE WHEN "
+            "max(abs(list_extract(embedding, i + 1))) > 0 THEN "
+            "max(abs(list_extract(embedding, i + 1))) ELSE 1 END AS sc "
+            "FROM embeddings, range(64) t(i) GROUP BY i), "
+            "e AS (SELECT vec_id, "
+            "CAST(list_extract(embedding, i + 1) AS DOUBLE) AS x, sc "
+            "FROM embeddings, s), "
+            "q AS (SELECT vec_id, "
+            "abs(x - GREATEST(-127, LEAST(127, ROUND(x * 127 / sc))) "
+            "* sc / 127) AS err FROM e) "
+            "SELECT vec_id, ROUND(max(err), 6) AS max_err "
+            "FROM q GROUP BY vec_id"
         ),
     }

@@ -5698,3 +5698,103 @@ def split_train_val_test(sf_dir: str) -> rd.Dataset:
         .groupby(["source", "split"])
         .aggregate(Sum("n", alias_name="n_docs"))
     )
+
+
+def io_partitioned_write(sf_dir: str) -> rd.Dataset:
+    """Hive-partitioned parquet sink + partition-pruned re-read — the
+    resumable-output layout this engine writes at scale (one directory
+    per key so a failed run skips finished partitions, and a reader
+    interested in one key touches one directory).  Documents are
+    written partitioned by ``lang``, a SINGLE partition directory is
+    then re-read (path-level pruning: the other partitions' bytes are
+    never opened), and per-source stats over that slice are oracled
+    against the parquet directly — a hash match proves the partitioned
+    round trip is lossless AND the pruning reads exactly the one
+    partition."""
+    import shutil
+    import tempfile
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    tmp = tempfile.mkdtemp(prefix="reden_io_part_")
+    try:
+        docs.write_parquet(tmp, partition_cols=["lang"])
+        # partition-pruned read: ONLY the lang=en directory
+        back = rd.read_parquet(f"{tmp}/lang=en")
+        out = (
+            back.groupby("source")
+            .aggregate(
+                Count(alias_name="n_docs"),
+                Sum("n_chars", alias_name="total_chars"),
+            )
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+                "total_chars": t.column("total_chars").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def emb_quantize_error(sf_dir: str) -> rd.Dataset:
+    """Int8 vector quantization + reconstruction-error audit — the
+    compression step vector stores apply before ANN serving (scale =
+    per-DIMENSION max |x| over the corpus; q = round(x * 127 / scale);
+    err = max_dim |x - q * scale / 127|).  Two streaming passes: per-
+    block |x| max partials -> one 64-row dim groupby (broadcast back as
+    a numpy row); then a stateless vectorized quantize/dequantize map.
+    Rounding is half-AWAY on both sides (np.round is half-even and
+    DuckDB ROUND is not; sign-split floor(|x|+0.5) matches)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _mat(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False)
+        dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
+        mat = flat[offsets[0]: offsets[-1]].astype(np.float64).reshape(-1, dim)
+        return mat, offsets
+
+    def absmax_partial(t: pa.Table) -> pa.Table:
+        mat, _ = _mat(t)
+        am = np.abs(mat).max(axis=0)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(len(am)), pa.int64()),
+                "am": pa.array(am, pa.float64()),
+            }
+        )
+
+    scale_rows = (
+        emb.map_batches(absmax_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("dim")
+        .aggregate(Max("am", alias_name="am"))
+        .take_all()  # <= dim rows
+    )
+    scale = np.empty(len(scale_rows), dtype=np.float64)
+    for r in scale_rows:
+        scale[r["dim"]] = r["am"] if r["am"] > 0 else 1.0
+
+    def quant_err(t: pa.Table) -> pa.Table:
+        mat, _ = _mat(t)
+        x = mat * (127.0 / scale)
+        q = np.sign(x) * np.floor(np.abs(x) + 0.5)  # half-away, like DuckDB
+        q = np.clip(q, -127, 127)
+        err = np.abs(mat - q * (scale / 127.0)).max(axis=1)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "max_err": pa.array(np.floor(err * 1e6 + 0.5) / 1e6, pa.float64()),
+            }
+        )
+
+    return emb.map_batches(quant_err, batch_format="pyarrow", batch_size=None)

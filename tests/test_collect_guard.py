@@ -24,7 +24,7 @@ WHITELIST = {
     "stages/selection.py": (2, "<= n_buckets histogram rows; <= collect_limit residual values"),
     "stages/kmeans.py": (2, "<= k rows per iteration (init buckets; merged partials)"),
     "stages/aggregates.py": (1, "<= top_n+1 rows per merged MG block"),
-    "pipelines/relational.py": (4, "approx_top_terms exact side (<= top_n rows); _centered_sums per-group means (<= group-count rows, broadcast); f5 per-group stats bundle (same bound); mix_sources per-source counts (dimension-sized)"),
+    "pipelines/relational.py": (5, "approx_top_terms exact side (<= top_n rows); _centered_sums per-group means (<= group-count rows, broadcast); f5 per-group stats bundle (same bound); mix_sources per-source counts + emb_quantize per-dim scales (both dimension-sized)"),
     "sources/endpoint.py": (1, "per-shard ingest manifest (27 letter shards)"),
     "stages/scan.py": (1, "<= n_buckets bucket totals (scan phase 2)"),
 }
