@@ -699,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_train_val_test": R.split_train_val_test,
         "io_partitioned_write": R.io_partitioned_write,
         "emb_quantize_error": R.emb_quantize_error,
+        "o30_rolling_anomaly": R.o30_rolling_anomaly,
     }
 
 
@@ -1742,5 +1743,18 @@ def oracle_sql() -> dict[str, str]:
             "* sc / 127) AS err FROM e) "
             "SELECT vec_id, ROUND(max(err), 6) AS max_err "
             "FROM q GROUP BY vec_id"
+        ),
+        "o30_rolling_anomaly": (
+            "WITH w AS (SELECT user_id, event_id, value, "
+            "avg(value) OVER win AS m, "
+            "stddev_samp(value) OVER win AS s, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn FROM events "
+            "WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(event_id AS BIGINT) AS event_id, "
+            "ROUND((value - m) / s, 4) AS z "
+            "FROM w WHERE rn >= 6 AND s > 0 AND abs((value - m) / s) > 2"
         ),
     }

@@ -5798,3 +5798,79 @@ def emb_quantize_error(sf_dir: str) -> rd.Dataset:
         )
 
     return emb.map_batches(quant_err, batch_format="pyarrow", batch_size=None)
+
+
+def o30_rolling_anomaly(sf_dir: str) -> rd.Dataset:
+    """Rolling z-score anomaly detection — the streaming-ops primitive
+    that flags a value far outside its trailing BASELINE (|z| > 2
+    against the mean/sample-stddev of the 5 PRECEDING events per user,
+    current row excluded — including it bounds |z| at (n-1)/sqrt(n) and
+    nothing can ever fire).  ONE user-hash coarse shuffle; inside each
+    partition the per-user segments are lexsorted once and the rolling
+    mean/variance come from cumulative-sum differences (allocation-free,
+    no per-row Python).  Rows with fewer than 5 preceding events are
+    skipped (their stddev is noise)."""
+    from ..stages.partition import expansion_partitions, part_column
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    win = 5
+
+    n_parts = expansion_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        t = t.set_column(t.schema.get_field_index("ts"), "ts", us)
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    def detect(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        tsv = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((eid, tsv, uid))
+        uid, eid, val = uid[order], eid[order], val[order]
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "event_id": pa.array([], pa.int64()),
+                 "z": pa.array([], pa.float64())}
+            )
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        runs = np.diff(np.r_[starts, n])
+        rn = np.arange(n, dtype=np.int64) - np.repeat(starts, runs) + 1
+        c = np.concatenate([[0.0], np.cumsum(val)])
+        c2 = np.concatenate([[0.0], np.cumsum(val * val)])
+        # trailing window of `win` rows ending at i-1, only valid where
+        # rn >= win+1 (so the window never crosses a user boundary)
+        idx = np.arange(1, n + 1)
+        hi = idx - 1  # window is the `win` rows strictly BEFORE i
+        lo = hi - win
+        ok = rn >= win + 1
+        lo_ok = np.where(ok, lo, 0)
+        hi_ok = np.where(ok, hi, 0)
+        s1 = c[hi_ok] - c[lo_ok]
+        s2 = c2[hi_ok] - c2[lo_ok]
+        m = s1 / win
+        var = (s2 - win * m * m) / (win - 1)
+        var = np.maximum(var, 0.0)
+        s = np.sqrt(var)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (val - m) / s
+        keep = ok & (s > 0) & (np.abs(z) > 2)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "z": pa.array(np.round(z[keep], 4), pa.float64()),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(detect, batch_format="pyarrow", num_cpus=1)
+    )
