@@ -5319,6 +5319,8 @@ def emb_covariance(sf_dir: str) -> rd.Dataset:
         offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         flat = col.values.to_numpy(zero_copy_only=False)
         dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
+        if not np.all(np.diff(offsets) == dim):  # fail loudly on ragged rows
+            raise ValueError("emb_covariance requires fixed-dim embeddings")
         mat = (
             flat[offsets[0]: offsets[-1]]
             .astype(np.float64)
@@ -5761,6 +5763,8 @@ def emb_quantize_error(sf_dir: str) -> rd.Dataset:
         offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         flat = col.values.to_numpy(zero_copy_only=False)
         dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
+        if not np.all(np.diff(offsets) == dim):  # fail loudly on ragged rows
+            raise ValueError("emb_quantize_error requires fixed-dim embeddings")
         mat = flat[offsets[0]: offsets[-1]].astype(np.float64).reshape(-1, dim)
         return mat, offsets
 
@@ -5786,6 +5790,11 @@ def emb_quantize_error(sf_dir: str) -> rd.Dataset:
 
     def quant_err(t: pa.Table) -> pa.Table:
         mat, _ = _mat(t)
+        if mat.shape[1] != len(scale):  # cross-BLOCK raggedness
+            raise ValueError(
+                "emb_quantize_error requires fixed-dim embeddings "
+                f"(block dim {mat.shape[1]} != corpus dim {len(scale)})"
+            )
         x = mat * (127.0 / scale)
         q = np.sign(x) * np.floor(np.abs(x) + 0.5)  # half-away, like DuckDB
         q = np.clip(q, -127, 127)
