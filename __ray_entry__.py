@@ -700,7 +700,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "io_partitioned_write": R.io_partitioned_write,
         "emb_quantize_error": R.emb_quantize_error,
         "o30_rolling_anomaly": R.o30_rolling_anomaly,
+        # round-4 continuation 3 (relational2 module)
+        "j15_skew_join": _R2("j15_skew_join"),
+        "graph_bfs_hops": _R2("graph_bfs_hops"),
+        "semdedup_embeddings": _R2("semdedup_embeddings"),
+        "emb_pca_project": _R2("emb_pca_project"),
+        "o31_range_frame": _R2("o31_range_frame"),
+        "a24_unpivot": _R2("a24_unpivot"),
+        "io_compact_small_files": _R2("io_compact_small_files"),
     }
+
+
+def _R2(name: str):
+    def run(sf_dir: str):
+        from reden_ray.pipelines import relational2
+
+        return getattr(relational2, name)(sf_dir)
+
+    return run
 
 
 def _kmeans_fixed_assign_sql() -> str:
@@ -728,6 +745,43 @@ def _kmeans_fixed_assign_sql() -> str:
         f"WITH s AS (SELECT vec_id, {', '.join(scores)} FROM embeddings) "
         f"SELECT cluster, count(*) AS n FROM "
         f"(SELECT CAST({case} AS BIGINT) AS cluster FROM s) GROUP BY 1"
+    )
+
+
+def _semdedup_sql() -> str:
+    """SemDedup oracle: same rendered fixed centroids as
+    kmeans_fixed_assign (assignment = argmax of e·c − |c|²/2, first
+    index wins), planted clones (vec_id % 5, ×1.001, cosine 1.0), and
+    the first-id-wins drop rule as a correlated EXISTS.  τ=0.95 sits
+    in a ≥0.34 measured gap — see relational2.semdedup_embeddings."""
+    from reden_ray.pipelines.relational import kmeans_fixed_centroids
+
+    cents = kmeans_fixed_centroids()
+    scores = []
+    for i, c in enumerate(cents):
+        vec = "[" + ", ".join(repr(float(v)) for v in c) + "]"
+        half_sq = repr(float((c * c).sum() / 2.0))
+        scores.append(f"list_dot_product(e, {vec}) - {half_sq} AS s{i}")
+    k = len(cents)
+    cases = []
+    for i in range(k - 1):
+        conds = " AND ".join(f"s{i} >= s{j}" for j in range(i + 1, k))
+        cases.append(f"WHEN {conds} THEN {i}")
+    case = "CASE " + " ".join(cases) + f" ELSE {k - 1} END"
+    return (
+        "WITH base AS ("
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        "CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+        "UNION ALL "
+        "SELECT CAST(vec_id + 1000000 AS BIGINT), "
+        "list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001) "
+        "FROM embeddings WHERE vec_id % 5 = 0), "
+        f"s AS (SELECT vec_id, e, {', '.join(scores)} FROM base), "
+        f"a AS (SELECT vec_id, e, CAST({case} AS BIGINT) AS cluster FROM s) "
+        "SELECT a.vec_id, a.cluster, "
+        "EXISTS(SELECT 1 FROM a b WHERE b.cluster = a.cluster "
+        "AND b.vec_id < a.vec_id "
+        "AND list_cosine_similarity(b.e, a.e) > 0.95) AS dropped FROM a"
     )
 
 
@@ -1756,5 +1810,46 @@ def oracle_sql() -> dict[str, str]:
             "CAST(event_id AS BIGINT) AS event_id, "
             "ROUND((value - m) / s, 4) AS z "
             "FROM w WHERE rn >= 6 AND s > 0 AND abs((value - m) / s) > 2"
+        ),
+        "j15_skew_join": (
+            "SELECT CAST(l_suppkey AS BIGINT) AS suppkey, s_name, "
+            "count(*) AS n_lines, ROUND(sum(l_quantity), 2) AS sum_qty "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "GROUP BY 1, 2"
+        ),
+        "graph_bfs_hops": (
+            "WITH RECURSIVE e AS ("
+            "SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey), "
+            "bfs(node, d) AS ("
+            "SELECT CAST(p_partkey AS BIGINT), 0 FROM part WHERE p_partkey <= 5 "
+            "UNION "
+            "SELECT e.v, bfs.d + 1 FROM bfs JOIN e ON e.u = bfs.node "
+            "WHERE bfs.d < 3) "
+            "SELECT node, CAST(min(d) AS BIGINT) AS hops FROM bfs GROUP BY 1"
+        ),
+        "semdedup_embeddings": _semdedup_sql(),
+        "o31_range_frame": (
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(event_id AS BIGINT) AS event_id, "
+            "count(*) OVER win AS n_win, "
+            "ROUND(sum(value) OVER win, 4) AS sum_win "
+            "FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ),
+        "a24_unpivot": (
+            "WITH a AS (SELECT l_returnflag, "
+            "ROUND(sum(l_quantity), 2) AS q, "
+            "ROUND(sum(l_extendedprice), 2) AS p, "
+            "ROUND(sum(l_discount), 2) AS d FROM lineitem GROUP BY 1) "
+            "SELECT l_returnflag, 'sum_qty' AS measure, q AS value FROM a "
+            "UNION ALL SELECT l_returnflag, 'sum_price', p FROM a "
+            "UNION ALL SELECT l_returnflag, 'sum_disc', d FROM a"
+        ),
+        "io_compact_small_files": (
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents WHERE lang = 'en' GROUP BY 1"
         ),
     }

@@ -1,0 +1,303 @@
+"""Driver-gated query families, continuation module 2 (round 4).
+
+Same contract as ``relational.py`` (each function takes ``sf_dir`` and
+returns a Dataset whose columns match its ``oracle_sql()`` entry
+verbatim); split into a second module purely to keep file size sane.
+Reuses relational.py's pruned readers and partitioning rules.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from . import relational as R
+
+_read = R._read
+
+
+# --------------------------------------------------------------- skew join
+
+
+def j15_skew_join(sf_dir: str) -> rd.Dataset:
+    """Per-supplier line count + quantity through the SALTED hot-key
+    split join (stages/skewjoin.skew_join): suppliers above the hot
+    threshold take the broadcast path (their fact rows never pile into
+    one hash partition), the cold tail takes the regular shuffle join.
+    Row-identical to a plain join — the oracle is the plain SQL join.
+    threshold=600 splits sf0.01's ~Poisson(600) per-supplier counts
+    roughly in half, so BOTH paths are exercised under the gate."""
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity"])
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda t: pa.table(
+            {"l_suppkey": t.column("s_suppkey").cast(pa.int64()),
+             "s_name": t.column("s_name")}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    from ..stages.skewjoin import skew_join
+
+    joined = skew_join(li, sup, on="l_suppkey", how="inner", hot_threshold=600)
+    agg = joined.groupby(["l_suppkey", "s_name"]).aggregate(
+        Count(alias_name="n_lines"), Sum("l_quantity", alias_name="sq")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "suppkey": t.column("l_suppkey").cast(pa.int64()),
+                "s_name": t.column("s_name"),
+                "n_lines": t.column("n_lines").cast(pa.int64()),
+                "sum_qty": pc.round(t.column("sq"), 2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------- BFS hops
+
+
+def graph_bfs_hops(sf_dir: str) -> rd.Dataset:
+    """Minimum hop distance (≤ 3) from seed parts {p_partkey ≤ 5} over
+    the part co-order graph — frontier-join BFS (stages/bfs.bfs_hops),
+    one value join + one coarse dedup reduce per superstep.  Oracle:
+    recursive CTE with the same depth cap."""
+    from ..stages.bfs import bfs_hops
+
+    half = R._cooccur_edges(sf_dir, "l_orderkey", "l_partkey")
+
+    def both(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([u, v]), pa.int64()),
+                "v": pa.array(np.concatenate([v, u]), pa.int64()),
+            }
+        )
+
+    edges = half.map_batches(both, batch_format="pyarrow", batch_size=None)
+    seeds = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("p_partkey"), 5)).select(
+            ["p_partkey"]
+        ).rename_columns(["node"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
+# --------------------------------------------------------------- SemDedup
+
+
+def semdedup_embeddings(sf_dir: str) -> rd.Dataset:
+    """SemDedup (cluster-then-cosine) over the embeddings table with
+    deterministic planted near-duplicates: every vec_id % 5 == 0 row
+    gets a clone (id + 1_000_000, vector × 1.001 — cosine exactly 1.0
+    with its source), since the synthetic table has no natural pair
+    above cosine 0.61 (measured; τ=0.95 sits in a ≥0.34 gap on every
+    sf, and cluster-argmax margins are ≥ 5e-6 — no knife edges).  The
+    oracle re-derives assignment from the same rendered centroids and
+    the drop rule as a correlated EXISTS."""
+    from ..stages.semdedup import assign_and_dedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def with_clones(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").cast(pa.int64())
+        vecs = t.column("embedding").combine_chunks()
+        offs = vecs.offsets.to_numpy()
+        dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        flat = (
+            vecs.values.to_numpy(zero_copy_only=False)[offs[0] : offs[-1]]
+            .astype(np.float64)
+            .reshape(-1, dim)
+        )
+        idv = ids.to_numpy(zero_copy_only=False)
+        mask = idv % 5 == 0
+        clones = flat[mask] * 1.001
+        out_ids = np.concatenate([idv, idv[mask] + 1_000_000])
+        out_vec = np.vstack([flat, clones])
+        return pa.table(
+            {
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": pa.array(list(out_vec), pa.list_(pa.float64())),
+            }
+        )
+
+    ds = emb.map_batches(with_clones, batch_format="pyarrow", batch_size=None)
+    return assign_and_dedup(ds, R.kmeans_fixed_centroids(), tau=0.95)
+
+
+# --------------------------------------------------------------- PCA
+
+
+def emb_pca_project(sf_dir: str) -> rd.Dataset:
+    """Top-2 principal-component projection of the embeddings —
+    streaming moments pass + driver-side d×d eigh + broadcast
+    projection (stages/pca).  Not SQL-expressible (eigendecomposition);
+    rows-only under the driver, numpy-golden in pytest."""
+    from ..stages.pca import pca_project
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pca_project(emb, q=2)
+
+
+# --------------------------------------------------------------- windows
+
+
+def o31_range_frame(sf_dir: str) -> rd.Dataset:
+    """Per-user RANGE frame (INTERVAL 1 HOUR PRECEDING .. CURRENT ROW)
+    count + sum — the TIME-based window the ROWS-frame family (o13/o30)
+    can't express.  ONE user-hash coarse shuffle; inside a partition
+    the per-user segments share one global searchsorted after each
+    user's timestamps are shifted onto a disjoint range (offset >
+    global ts span + frame width), so no per-user Python loop.
+    RANGE-frame tie semantics (all equal-ts peers included) fall out
+    of the side='right' bound."""
+    from ..stages.partition import expansion_partitions, part_column
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    n_parts = expansion_partitions()
+    frame_us = 3_600_000_000  # 1 hour
+
+    def tag(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        t = t.set_column(t.schema.get_field_index("ts"), "ts", us)
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    def win(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        tsv = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "n_win": pa.array([], pa.int64()),
+                    "sum_win": pa.array([], pa.float64()),
+                }
+            )
+        order = np.lexsort((eid, tsv, uid))
+        uid, tsv, eid, val = uid[order], tsv[order], eid[order], val[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        seg = np.cumsum(new) - 1
+        span = int(tsv.max() - tsv.min()) + 2 * frame_us + 1
+        shifted = tsv + seg.astype(np.int64) * span
+        lo = np.searchsorted(shifted, shifted - frame_us, side="left")
+        hi = np.searchsorted(shifted, shifted, side="right")
+        c = np.concatenate([[0.0], np.cumsum(val)])
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "n_win": pa.array(hi - lo, pa.int64()),
+                "sum_win": pa.array(np.round(c[hi] - c[lo], 4), pa.float64()),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(win, batch_format="pyarrow", num_cpus=1)
+    )
+
+
+# --------------------------------------------------------------- unpivot
+
+
+def a24_unpivot(sf_dir: str) -> rd.Dataset:
+    """UNPIVOT/melt: the wide per-returnflag aggregate turned into
+    (flag, measure, value) rows — numpy repeat/tile over the aggregate
+    block, no per-row Python.  Oracle: UNION ALL."""
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    agg = li.groupby("l_returnflag").aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Sum("l_discount", alias_name="sum_disc"),
+    )
+    measures = ["sum_qty", "sum_price", "sum_disc"]
+
+    def melt(t: pa.Table) -> pa.Table:
+        flags = t.column("l_returnflag").to_pylist()
+        n = len(flags)
+        vals = np.concatenate(
+            [t.column(m).to_numpy(zero_copy_only=False) for m in measures]
+        )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(flags * 3),
+                "measure": pa.array(
+                    [m for m in measures for _ in range(n)]
+                ),
+                "value": pa.array(np.round(vals, 2), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(melt, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------- compaction
+
+
+def io_compact_small_files(sf_dir: str) -> rd.Dataset:
+    """Small-file compaction (the 100-TB housekeeping op): write the
+    English documents as 48 tiny parquet shards, compact them into
+    data-sized blocks (≥ 8× fewer files, asserted), re-read the
+    compacted layout and aggregate — the oracle checks the round-trip
+    content, the file-count assertion checks the compaction itself.
+    Fresh tempdirs per call (a REUSED write dir double-reads stale
+    shards)."""
+    import os
+    import tempfile
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "lang", "n_chars"])
+    en = docs.map_batches(
+        lambda t: t.filter(pc.equal(t.column("lang"), "en")),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    small_dir = tempfile.mkdtemp(prefix="compact_in_")
+    en.repartition(48).write_parquet(small_dir)
+    n_small = len([f for f in os.listdir(small_dir) if f.endswith(".parquet")])
+
+    compacted_dir = tempfile.mkdtemp(prefix="compact_out_")
+    small = rd.read_parquet(small_dir).materialize()
+    # size to ~128 MB blocks, floor 1 — at fixture scale this is 1 file
+    total = sum(b.size_bytes() or 0 for b in small.iter_internal_ref_bundles())
+    n_out = max(1, int(np.ceil(total / (128 << 20))))
+    small.repartition(n_out).write_parquet(compacted_dir)
+    n_big = len([f for f in os.listdir(compacted_dir) if f.endswith(".parquet")])
+    if n_big * 8 > n_small:
+        raise AssertionError(
+            f"compaction failed: {n_small} files -> {n_big} (expected >= 8x fewer)"
+        )
+
+    out = rd.read_parquet(compacted_dir)
+    agg = out.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+                "total_chars": t.column("total_chars").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -27,6 +27,8 @@ WHITELIST = {
     "pipelines/relational.py": (5, "approx_top_terms exact side (<= top_n rows); _centered_sums per-group means (<= group-count rows, broadcast); f5 per-group stats bundle (same bound); mix_sources per-source counts + emb_quantize per-dim scales (both dimension-sized)"),
     "sources/endpoint.py": (1, "per-shard ingest manifest (27 letter shards)"),
     "stages/scan.py": (1, "<= n_buckets bucket totals (scan phase 2)"),
+    "stages/pca.py": (1, "ONE d^2-float partial row per input block (moments pass)"),
+    "stages/skewjoin.py": (1, "hot keys only (>= threshold), max_hot_keys-guarded"),
 }
 
 
