@@ -708,6 +708,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o31_range_frame": _R2("o31_range_frame"),
         "a24_unpivot": _R2("a24_unpivot"),
         "io_compact_small_files": _R2("io_compact_small_files"),
+        "j16_overlap_join": _R2("j16_overlap_join"),
+        "text_containment_pairs": _R2("text_containment_pairs"),
+        "o20_watermark_late": _R2("o20_watermark_late"),
     }
 
 
@@ -1851,5 +1854,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents WHERE lang = 'en' GROUP BY 1"
+        ),
+        "j16_overlap_join": (
+            "WITH iv AS (SELECT l_orderkey, epoch_us(min(l_shipdate)) AS s, "
+            "epoch_us(max(l_shipdate)) AS e FROM lineitem GROUP BY 1), "
+            "wk AS (SELECT k, epoch_us(TIMESTAMP '1992-01-01') "
+            "+ k * 604800000000 AS ws FROM range(400) t(k)), "
+            "ov AS (SELECT l_orderkey, k FROM iv JOIN wk "
+            "ON iv.s <= wk.ws + 604799999999 AND wk.ws <= iv.e) "
+            "SELECT CAST(k AS BIGINT) AS wk, count(*) AS n_orders "
+            "FROM ov GROUP BY 1"
+        ),
+        "text_containment_pairs": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), x -> x <> '') AS w FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g "
+            "FROM toks, unnest(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3), "
+            "counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+            "shr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared "
+            "FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, shared, "
+            "ROUND(shared * 1.0 / least(ca.n, cb.n), 6) AS containment "
+            "FROM shr JOIN counts ca ON ca.doc_id = doc_a "
+            "JOIN counts cb ON cb.doc_id = doc_b "
+            "WHERE shared * 1.0 / least(ca.n, cb.n) >= 0.9"
+        ),
+        "o20_watermark_late": (
+            "WITH w AS (SELECT user_id, event_id, ts, "
+            "max(ts) OVER (PARTITION BY user_id "
+            "ORDER BY (event_id * 2654435761) % 4294967296, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw "
+            "FROM events) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(event_id AS BIGINT) AS event_id, "
+            "CAST((epoch_us(hw) - epoch_us(ts) - 600000000) // 1000000 AS BIGINT) "
+            "AS late_s FROM w "
+            "WHERE hw IS NOT NULL AND epoch_us(ts) < epoch_us(hw) - 600000000"
         ),
     }

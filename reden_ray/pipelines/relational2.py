@@ -12,7 +12,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from . import relational as R
 
@@ -301,3 +301,154 @@ def io_compact_small_files(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------- overlap join
+
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+_EPOCH_1992_US = 694_224_000_000_000  # TIMESTAMP '1992-01-01' in µs
+
+
+def j16_overlap_join(sf_dir: str) -> rd.Dataset:
+    """Interval-OVERLAP join (stages/intervals.overlap_join): per-order
+    shipping-activity intervals [min,max l_shipdate] × a weekly
+    calendar grid — any overlapping (order, week) pair matches; the
+    banded plan turns the theta join into one equi-join with each pair
+    claimed by a single band (no dedup pass).  Output: orders active
+    per week."""
+    from ..stages.intervals import overlap_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def iv_partial(t: pa.Table) -> pa.Table:
+        us = t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        g = pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "us": us}
+        ).group_by(["l_orderkey"]).aggregate([("us", "min"), ("us", "max")])
+        return g.rename_columns(["l_orderkey", "a_start", "a_end"])
+
+    iv = (
+        li.map_batches(iv_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("l_orderkey")
+        .aggregate(
+            Min("a_start", alias_name="a_start"),
+            Max("a_end", alias_name="a_end"),
+        )
+    )
+    ks = np.arange(400, dtype=np.int64)
+    grid = rd.from_arrow(
+        pa.table(
+            {
+                "wk": ks,
+                "w_start": _EPOCH_1992_US + ks * _WEEK_US,
+                "w_end": _EPOCH_1992_US + (ks + 1) * _WEEK_US - 1,
+            }
+        )
+    )
+    pairs = overlap_join(
+        iv,
+        grid,
+        band_width=_WEEK_US,
+        left_bounds=("a_start", "a_end"),
+        right_bounds=("w_start", "w_end"),
+    )
+    agg = pairs.groupby("wk").aggregate(Count(alias_name="n_orders"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "wk": t.column("wk").cast(pa.int64()),
+                "n_orders": t.column("n_orders").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+# --------------------------------------------------------- containment
+
+
+def text_containment_pairs(sf_dir: str) -> rd.Dataset:
+    """Asymmetric n-gram CONTAINMENT near-dup pairs — shared /
+    min(|A|,|B|) ≥ 0.9 (catches short-doc-inside-long-doc that
+    symmetric Jaccard dilutes); same inverted-index single-shuffle
+    plan as dedup_ngram_pairs, different final score."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.9, metric="containment")
+
+
+# --------------------------------------------------------- watermark
+
+
+def o20_watermark_late(sf_dir: str) -> rd.Dataset:
+    """Streaming watermark late-event detection: an event is LATE iff
+    its ts falls more than 10 minutes behind the per-user high-water
+    mark of previously ARRIVED events.  The fixture's event_id order
+    is perfectly ts-sorted (zero natural disorder — measured), so
+    arrival order is a deterministic Knuth-hash shuffle of event_id
+    ((id*2654435761) mod 2^32, the house injection pattern) applied
+    identically in the oracle.  ONE user-hash coarse shuffle; the
+    high-water mark is a loop-free segmented cumulative max, the
+    lateness an exact int64 µs subtraction."""
+    from ..stages.partition import expansion_partitions, part_column
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    n_parts = expansion_partitions()
+    late_us = 600_000_000  # 10 minutes
+
+    def tag(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        t = t.set_column(t.schema.get_field_index("ts"), "ts", us)
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    def detect(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        tsv = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "late_s": pa.array([], pa.int64()),
+                }
+            )
+        arrival = (eid.astype(np.int64) * 2654435761) % 4294967296
+        order = np.lexsort((eid, arrival, uid))
+        uid, tsv, eid = uid[order], tsv[order], eid[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        seg = np.cumsum(new) - 1
+        # segmented cumulative max with NO per-user loop: shift each
+        # user's timestamps onto a disjoint ascending range (span >
+        # global ts range), run ONE global cummax, shift back — earlier
+        # segments are strictly below later ones so the max never
+        # leaks across a user boundary
+        span = int(tsv.max() - tsv.min()) + 1
+        shifted = (tsv - tsv.min()) + seg.astype(np.int64) * span
+        run_cummax = np.maximum.accumulate(shifted) - seg * span + tsv.min()
+        hw = np.empty(n, dtype=np.int64)
+        hw[0] = np.iinfo(np.int64).min
+        hw[1:] = run_cummax[:-1]
+        hw[new] = np.iinfo(np.int64).min  # first arrival has no watermark
+        keep = hw != np.iinfo(np.int64).min
+        keep &= tsv < hw - late_us
+        late = (hw[keep] - tsv[keep] - late_us) // 1_000_000
+        return pa.table(
+            {
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "late_s": pa.array(late, pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(detect, batch_format="pyarrow", num_cpus=1)
+    )

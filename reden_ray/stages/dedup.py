@@ -669,6 +669,7 @@ def ngram_jaccard_pairs(
     text_column: str = "text",
     max_df: int | None = None,
     num_partitions: int | None = None,
+    metric: str = "jaccard",
 ) -> rd.Dataset:
     """EXACT n-gram Jaccard near-dup pairs as a streaming Dataset —
     the non-approximate sibling of ``minhash_lsh_pairs``, built as an
@@ -687,6 +688,12 @@ def ngram_jaccard_pairs(
          jaccard = shared / (n_a + n_b - shared), filtered at
          ``threshold`` — the only rows that survive are true near-dups.
 
+    ``metric="containment"`` switches the score to asymmetric n-gram
+    CONTAINMENT, shared / min(|A|, |B|) — the RefinedWeb/Lee-style
+    signal that catches a short document embedded inside a longer one,
+    which symmetric Jaccard dilutes below threshold.  Same plan, only
+    the final vectorized score changes.
+
     Exactness caveat at scale: a gram with document frequency D emits
     D*(D-1)/2 candidate rows.  ``max_df`` (default None = exact) skips
     grams hotter than the cap — for near-dup detection a gram shared by
@@ -696,6 +703,8 @@ def ngram_jaccard_pairs(
     from .joins import default_join_partitions
     from .partition import part_column
 
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
     n_parts = num_partitions or default_join_partitions()
 
     def gram_rows(t: pa.Table) -> pa.Table:
@@ -760,8 +769,11 @@ def ngram_jaccard_pairs(
         s = agg.column("ps_sum").to_numpy(zero_copy_only=False).astype(np.int64)
         na = agg.column("n_a").to_numpy(zero_copy_only=False).astype(np.int64)
         nb = agg.column("n_b").to_numpy(zero_copy_only=False).astype(np.int64)
-        jac = s / (na + nb - s)
-        keep = jac >= threshold
+        if metric == "containment":
+            score = s / np.minimum(na, nb)
+        else:
+            score = s / (na + nb - s)
+        keep = score >= threshold
         return pa.table(
             {
                 "doc_a": pa.array(
@@ -771,7 +783,7 @@ def ngram_jaccard_pairs(
                     agg.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
                 ),
                 "shared": pa.array(s[keep]),
-                "jaccard": pa.array(np.round(jac[keep], 6)),
+                metric: pa.array(np.round(score[keep], 6)),
             }
         )
 

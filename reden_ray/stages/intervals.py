@@ -196,3 +196,88 @@ def interval_join(
         .groupby("__part")
         .map_groups(bind, batch_format="pyarrow")
     )
+
+
+def overlap_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    band_width: int,
+    left_bounds: tuple[str, str] = ("start", "end"),
+    right_bounds: tuple[str, str] = ("start", "end"),
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """General interval-OVERLAP join (a.start <= b.end AND b.start <=
+    a.end, closed bounds, int64 coordinates) — the third interval
+    shape next to band containment and point-in-interval: both sides
+    are interval SETS and any overlapping pair matches.
+
+    Banding turns the theta join into ONE equi-join: each interval is
+    replicated to every ``band_width``-sized bucket it touches
+    (vectorized np.repeat — replication factor = interval span /
+    band_width, so pick the band near the typical span), buckets
+    equi-join, and the overlap predicate filters.  A pair overlapping
+    several shared bands would duplicate, so each pair is claimed ONLY
+    by the band containing max(a.start, b.start) — no distinct pass
+    needed.  Column names must be disjoint across sides (rename first).
+    """
+    from .joins import default_join_partitions, staged_nonempty
+
+    ls, le = left_bounds
+    rs, re_ = right_bounds
+
+    def explode(bounds: tuple[str, str]):
+        s_col, e_col = bounds
+
+        def fn(t: pa.Table) -> pa.Table:
+            s = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            e = t.column(e_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            b0 = s // band_width
+            b1 = e // band_width
+            reps = (b1 - b0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(s), dtype=np.int64), reps)
+            # band id per replica: cumulative offset within each run
+            off = np.arange(len(idx), dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+            )
+            band = np.repeat(b0, reps) + off
+            out = t.take(pa.array(idx, pa.int64()))
+            return out.append_column("__band", pa.array(band, pa.int64()))
+
+        return fn
+
+    lw = staged_nonempty(
+        left.map_batches(
+            explode((ls, le)), batch_format="pyarrow", batch_size=None
+        ).materialize()
+    )
+    rw = staged_nonempty(
+        right.map_batches(
+            explode((rs, re_)), batch_format="pyarrow", batch_size=None
+        ).materialize()
+    )
+    if lw is None or rw is None:
+        # empty side -> empty overlap result with the joined schema
+        lt = left.schema().base_schema.empty_table()
+        rt = right.schema().base_schema.empty_table()
+        both = lt
+        for f in rt.schema:
+            both = both.append_column(f.name, pa.nulls(0, f.type))
+        return rd.from_arrow(both)
+    joined = lw.join(
+        rw,
+        join_type="inner",
+        on=("__band",),
+        num_partitions=num_partitions or default_join_partitions(),
+    )
+
+    def keep_overlaps(t: pa.Table) -> pa.Table:
+        a0 = t.column(ls).to_numpy(zero_copy_only=False).astype(np.int64)
+        a1 = t.column(le).to_numpy(zero_copy_only=False).astype(np.int64)
+        b0 = t.column(rs).to_numpy(zero_copy_only=False).astype(np.int64)
+        b1 = t.column(re_).to_numpy(zero_copy_only=False).astype(np.int64)
+        band = t.column("__band").to_numpy(zero_copy_only=False).astype(np.int64)
+        overlap = (a0 <= b1) & (b0 <= a1)
+        claimed = np.maximum(a0, b0) // band_width == band
+        return t.filter(pa.array(overlap & claimed)).drop_columns("__band")
+
+    return joined.map_batches(keep_overlaps, batch_format="pyarrow", batch_size=None)

@@ -282,3 +282,107 @@ def test_emb_pca_project_query_golden():
     w = {int(i): (want[k, 0], want[k, 1]) for k, i in enumerate(ids)}
     for i in got:
         np.testing.assert_allclose(got[i], w[i], atol=1e-4)
+
+
+# ------------------------------------------------------------ overlap join
+
+
+def test_overlap_join_matches_naive():
+    import ray.data as rd
+
+    from reden_ray.stages.intervals import overlap_join
+
+    rng = _rng(13)
+    na, nb = 120, 80
+    a0 = rng.integers(0, 10_000, size=na).astype(np.int64)
+    a1 = a0 + rng.integers(0, 900, size=na)
+    b0 = rng.integers(0, 10_000, size=nb).astype(np.int64)
+    b1 = b0 + rng.integers(0, 400, size=nb)
+    left = rd.from_arrow(
+        pa.table({"aid": np.arange(na, dtype=np.int64), "a_start": a0, "a_end": a1})
+    ).repartition(4)
+    right = rd.from_arrow(
+        pa.table({"bid": np.arange(nb, dtype=np.int64), "b_start": b0, "b_end": b1})
+    ).repartition(3)
+    out = overlap_join(
+        left, right, band_width=500,
+        left_bounds=("a_start", "a_end"), right_bounds=("b_start", "b_end"),
+    )
+    got = {(r["aid"], r["bid"]) for r in out.take_all()}
+    want = {
+        (i, j)
+        for i in range(na)
+        for j in range(nb)
+        if a0[i] <= b1[j] and b0[j] <= a1[i]
+    }
+    assert got == want
+
+
+def test_overlap_join_empty_side():
+    import ray.data as rd
+
+    from reden_ray.stages.intervals import overlap_join
+
+    left = rd.from_arrow(
+        pa.table({"aid": pa.array([], pa.int64()),
+                  "a_start": pa.array([], pa.int64()),
+                  "a_end": pa.array([], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"bid": pa.array([1], pa.int64()),
+                  "b_start": pa.array([0], pa.int64()),
+                  "b_end": pa.array([10], pa.int64())})
+    )
+    out = overlap_join(
+        left, right, band_width=100,
+        left_bounds=("a_start", "a_end"), right_bounds=("b_start", "b_end"),
+    )
+    assert out.count() == 0
+
+
+# ------------------------------------------------------------ containment
+
+
+def test_ngram_containment_vs_naive():
+    import ray.data as rd
+
+    from reden_ray.stages.dedup import _doc_word_ngrams, ngram_jaccard_pairs
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # contained in 0
+        (2, "completely different text about ray data pipelines at scale"),
+        (3, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 0
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+             "text": pa.array([t for _, t in docs])}
+        )
+    ).repartition(2)
+    out = ngram_jaccard_pairs(ds, n=3, threshold=0.9, metric="containment")
+    got = {(r["doc_a"], r["doc_b"]): r["containment"] for r in out.take_all()}
+
+    want = {}
+    gs = {d: _doc_word_ngrams(t, 3) for d, t in docs}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            shared = len(gs[i] & gs[j])
+            if min(len(gs[i]), len(gs[j])) == 0:
+                continue
+            c = shared / min(len(gs[i]), len(gs[j]))
+            if c >= 0.9:
+                want[(i, j)] = round(c, 6)
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 1.0  # containment catches the subset
+    assert (0, 3) in got
+
+
+def test_ngram_metric_guard():
+    import ray.data as rd
+
+    from reden_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([0], pa.int64()), "text": ["x"]}))
+    with pytest.raises(ValueError, match="unknown metric"):
+        ngram_jaccard_pairs(ds, metric="dice")
