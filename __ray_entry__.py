@@ -711,6 +711,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j16_overlap_join": _R2("j16_overlap_join"),
         "text_containment_pairs": _R2("text_containment_pairs"),
         "o20_watermark_late": _R2("o20_watermark_late"),
+        # round-4 continuation 4
+        "a25_division": _R2("a25_division"),
+        "dq_iqr_outliers": _R2("dq_iqr_outliers"),
+        "o32_ewma": _R2("o32_ewma"),
     }
 
 
@@ -1890,5 +1894,59 @@ def oracle_sql() -> dict[str, str]:
             "CAST((epoch_us(hw) - epoch_us(ts) - 600000000) // 1000000 AS BIGINT) "
             "AS late_s FROM w "
             "WHERE hw IS NOT NULL AND epoch_us(ts) < epoch_us(hw) - 600000000"
+        ),
+        "a25_division": (
+            "WITH pc AS (SELECT o_custkey, "
+            "count(DISTINCT o_orderpriority) AS np, count(*) AS n_orders "
+            "FROM orders GROUP BY 1) "
+            "SELECT CAST(o_custkey AS BIGINT) AS custkey, n_orders FROM pc "
+            "WHERE np = (SELECT count(DISTINCT o_orderpriority) FROM orders)"
+        ),
+        "dq_iqr_outliers": (
+            "WITH q AS (SELECT l_returnflag, "
+            "percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1v, "
+            "percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q3v "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT q.l_returnflag, ROUND(q1v, 2) AS q1, ROUND(q3v, 2) AS q3, "
+            "CAST(count(*) FILTER (l.l_quantity < q1v - 0.25 * (q3v - q1v) "
+            "OR l.l_quantity > q3v + 0.25 * (q3v - q1v)) AS BIGINT) AS n_out, "
+            "count(*) AS n_total "
+            "FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag "
+            "GROUP BY 1, 2, 3"
+        ),
+        "o32_ewma": (
+            "WITH r AS (SELECT user_id, value, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn, "
+            "count(*) OVER (PARTITION BY user_id) AS n FROM events), "
+            "t AS (SELECT user_id, value, rn, least(n, 20) AS k "
+            "FROM r WHERE rn <= 20) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "ROUND(sum(CASE WHEN rn = k THEN pow(0.7, k - 1) * value "
+            "ELSE 0.3 * pow(0.7, rn - 1) * value END), 4) AS ewma "
+            "FROM t GROUP BY 1"
+        ),
+        "text_quality_langid": (
+            "WITH w AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-zà-ÿ]+')[1:400] AS ws "
+            "FROM documents), "
+            "u AS (SELECT doc_id, unnest(ws) AS wd FROM w), "
+            "v AS (SELECT doc_id, "
+            "count(*) FILTER (wd IN ('le','la','les','de','des','du','un',"
+            "'une','et','est','en','que','qui','dans','pour','sur','pas',"
+            "'par','au','ce')) AS vfr, "
+            "count(*) FILTER (wd IN ('the','of','and','to','a','in','is',"
+            "'it','that','for','on','was','with','as','at','by','be','this'"
+            ")) AS ven, "
+            "count(*) FILTER (wd IN ('der','die','das','und','ist','in',"
+            "'den','von','zu','mit','sich','auf','für','nicht','ein','eine'"
+            ")) AS vde "
+            "FROM u GROUP BY 1) "
+            "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+            "CASE WHEN coalesce(vfr, 0) + coalesce(ven, 0) + coalesce(vde, 0) = 0 "
+            "THEN 'other' "
+            "WHEN vfr >= ven AND vfr >= vde THEN 'fr' "
+            "WHEN ven >= vde THEN 'en' ELSE 'de' END AS lang_pred "
+            "FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id"
         ),
     }

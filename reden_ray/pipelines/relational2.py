@@ -452,3 +452,210 @@ def o20_watermark_late(sf_dir: str) -> rd.Dataset:
         .groupby("__part")
         .map_groups(detect, batch_format="pyarrow", num_cpus=1)
     )
+
+
+# --------------------------------------------------------------- division
+
+
+def a25_division(sf_dir: str) -> rd.Dataset:
+    """Relational DIVISION (Codd's ÷): customers whose orders cover
+    EVERY distinct order priority.  The classic "suppliers of all
+    parts" operator, expressed shuffle-minimally: per-block
+    (custkey, priority) count partials collapse the fact table to at
+    most |cust| x |priority-domain| rows BEFORE the only key shuffle,
+    then one per-customer aggregate compares distinct-priority counts
+    against the (domain-sized, metadata-only) global distinct count.
+    The divisor cardinality reaches the driver as a single int via
+    ``ds.count()`` — no row ever does."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["o_custkey", "o_orderpriority"]).aggregate(
+            [("o_orderpriority", "count")]
+        )
+        return agg.rename_columns(["o_custkey", "o_orderpriority", "n"])
+
+    pairs = (
+        orders.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["o_custkey", "o_orderpriority"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["o_custkey", "o_orderpriority", "n"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .materialize()  # used twice below; |cust| x |domain| rows, spillable
+    )
+    n_pri = int(pairs.groupby("o_orderpriority").count().count())
+
+    per_cust = pairs.groupby("o_custkey").aggregate(
+        Count(alias_name="np"), Sum("n", alias_name="n_orders")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("np"), n_pri))
+        return pa.table(
+            {
+                "custkey": t.column("o_custkey").cast(pa.int64()),
+                "n_orders": t.column("n_orders").cast(pa.int64()),
+            }
+        )
+
+    return per_cust.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+# ------------------------------------------------------------ IQR outliers
+
+
+def dq_iqr_outliers(sf_dir: str, k: float = 0.25) -> rd.Dataset:
+    """Tukey-fence outlier audit per return flag: exact interpolated
+    Q1/Q3 over the (domain-bounded) quantity histogram, fences at
+    q1 - k*IQR / q3 + k*IQR, and the outlier count read straight off
+    the SAME histogram — quantiles, fences and counts all come from
+    one tiny (groups x 50-level domain) aggregate, ZERO extra scans.
+    k=0.25 (tighter than Tukey's 1.5) so both tails are non-empty
+    under the sf gate; fences land on exact binary quarters of an
+    integer domain, so the <, > comparisons are knife-edge-free vs
+    DuckDB.  Same histogram+interp shape as a23_group_percentile_cont
+    (relational.py:4690)."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["l_returnflag", "l_quantity"]).aggregate(
+            [("l_quantity", "count")]
+        )
+        return agg.rename_columns(["l_returnflag", "l_quantity", "cnt"])
+
+    h = (
+        li.map_batches(hist, batch_format="pyarrow", batch_size=None)
+        .groupby(["l_returnflag", "l_quantity"])
+        .sum("cnt")
+        .map_batches(
+            lambda t: t.rename_columns(["l_returnflag", "l_quantity", "cnt"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .repartition(1)  # <= groups x domain rows by construction
+    )
+
+    def fences(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "q1": pa.array([], pa.float64()),
+                    "q3": pa.array([], pa.float64()),
+                    "n_out": pa.array([], pa.int64()),
+                    "n_total": pa.array([], pa.int64()),
+                }
+            )
+        t = t.sort_by(
+            [("l_returnflag", "ascending"), ("l_quantity", "ascending")]
+        )
+        key = np.asarray(t.column("l_returnflag").to_pylist(), dtype=object)
+        v = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        ends = np.concatenate([starts[1:], [len(key)]])
+        names, q1s, q3s, outs, totals = [], [], [], [], []
+        for st, en in zip(starts, ends):
+            cc = np.cumsum(c[st:en])
+            n = int(cc[-1])
+            qv = []
+            for q in (0.25, 0.75):
+                r = (n - 1) * q
+                lo, hi = int(np.floor(r)), int(np.ceil(r))
+                vlo = v[st + np.searchsorted(cc, lo + 1)]
+                vhi = v[st + np.searchsorted(cc, hi + 1)]
+                qv.append(vlo + (r - lo) * (vhi - vlo))
+            q1, q3 = qv
+            lo_f = q1 - k * (q3 - q1)
+            hi_f = q3 + k * (q3 - q1)
+            out_mask = (v[st:en] < lo_f) | (v[st:en] > hi_f)
+            names.append(key[st])
+            q1s.append(q1)
+            q3s.append(q3)
+            outs.append(int(c[st:en][out_mask].sum()))
+            totals.append(n)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(names, pa.string()),
+                "q1": pa.array(np.round(q1s, 2), pa.float64()),
+                "q3": pa.array(np.round(q3s, 2), pa.float64()),
+                "n_out": pa.array(outs, pa.int64()),
+                "n_total": pa.array(totals, pa.int64()),
+            }
+        )
+
+    return h.map_batches(fences, batch_format="pyarrow", batch_size=None)
+
+
+# ------------------------------------------------------------ trailing EWMA
+
+
+def o32_ewma(sf_dir: str, alpha: float = 0.3, window: int = 20) -> rd.Dataset:
+    """Trailing-window EWMA per user: the exponentially-weighted moving
+    average y_i = a*x_i + (1-a)*y_{i-1} (seeded y_1 = x_1) over each
+    user's LAST ``window`` events by (ts, event_id) — the bounded-tail
+    closed form every metrics store uses, so the weight exponents never
+    overflow regardless of per-user history length.  ONE user-hash
+    coarse shuffle, then loop-free segment math: lexsort, rank-from-end
+    per segment, closed-form weights a*(1-a)^d (seed row (1-a)^(k-1)),
+    and a bincount-segmented dot product.  a and 1-a are both taken
+    from literals (0.3 / 0.7) so the doubles match the SQL oracle
+    exactly — 1-0.3 in float64 is NOT the 0.7 literal."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    beta = 0.7 if alpha == 0.3 else 1.0 - alpha
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    n_parts = default_join_partitions()
+
+    def norm(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        t = t.set_column(t.schema.get_field_index("ts"), "ts", us)
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    def ewma_part(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "ewma": pa.array([], pa.float64()),
+                }
+            )
+        order = np.lexsort((eid, tsv, uid))  # oldest first per user
+        uid_s, val_s = uid[order], val[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid_s[1:] != uid_s[:-1]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        seg_len = np.diff(np.append(starts, n))
+        # distance from each row to its segment END (0 = newest)
+        d = (starts[seg] + seg_len[seg] - 1) - np.arange(n, dtype=np.int64)
+        keep = d < window
+        k_seg = np.minimum(seg_len, window)  # effective tail length
+        w = alpha * np.power(beta, d.astype(np.float64))
+        is_seed = d == (k_seg[seg] - 1)
+        w[is_seed] = np.power(beta, (k_seg[seg][is_seed] - 1).astype(np.float64))
+        sums = np.bincount(
+            seg[keep], weights=w[keep] * val_s[keep], minlength=len(starts)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s[starts], pa.int64()),
+                "ewma": pa.array(np.round(sums, 4), pa.float64()),
+            }
+        )
+
+    return (
+        ev.map_batches(norm, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(ewma_part, batch_format="pyarrow", num_cpus=1)
+    )
