@@ -715,6 +715,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a25_division": _R2("a25_division"),
         "dq_iqr_outliers": _R2("dq_iqr_outliers"),
         "o32_ewma": _R2("o32_ewma"),
+        "graph_cc_labels": _R2("graph_cc_labels"),
+        "a26_grouping_sets": _R2("a26_grouping_sets"),
     }
 
 
@@ -1948,5 +1950,29 @@ def oracle_sql() -> dict[str, str]:
             "WHEN vfr >= ven AND vfr >= vde THEN 'fr' "
             "WHEN ven >= vde THEN 'en' ELSE 'de' END AS lang_pred "
             "FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id"
+        ),
+        "graph_cc_labels": (
+            "WITH RECURSIVE "
+            "op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
+            "pc AS (SELECT a.p AS u, b.p AS v, count(*) AS n FROM op a "
+            "JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), "
+            "e AS (SELECT u, v FROM pc WHERE n >= 2), "
+            "sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), "
+            "nodes AS (SELECT DISTINCT u AS node FROM sym), "
+            "reach(node, r) AS ("
+            "SELECT node, node FROM nodes "
+            "UNION "
+            "SELECT sym.v, reach.r FROM reach JOIN sym ON sym.u = reach.node) "
+            "SELECT CAST(node AS BIGINT) AS node, "
+            "CAST(min(r) AS BIGINT) AS label FROM reach GROUP BY 1"
+        ),
+        "a26_grouping_sets": (
+            "SELECT 'priority' AS grp, o_orderpriority AS k, count(*) AS n, "
+            "ROUND(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY 2 "
+            "UNION ALL "
+            "SELECT 'status', o_orderstatus, count(*), "
+            "ROUND(sum(o_totalprice), 2) FROM orders GROUP BY 2 "
+            "UNION ALL "
+            "SELECT 'all', NULL, count(*), ROUND(sum(o_totalprice), 2) FROM orders"
         ),
     }

@@ -659,3 +659,160 @@ def o32_ewma(sf_dir: str, alpha: float = 0.3, window: int = 20) -> rd.Dataset:
         .groupby("__part")
         .map_groups(ewma_part, batch_format="pyarrow", num_cpus=1)
     )
+
+
+# --------------------------------------------------- connected components
+
+
+def graph_cc_labels(sf_dir: str, min_support: int = 2) -> rd.Dataset:
+    """Connected-component labels over the SUPPORT-THRESHOLDED co-order
+    part graph (parts adjacent iff they share >= ``min_support``
+    distinct orders), each node labelled with its component's minimum
+    part id — the first DuckDB-oracled connected-components query,
+    driven by the O(log n)-round large-star/small-star contraction
+    primitive (``stages/cc.cc_min_labels``; the KG path's join-CC is
+    linear in diameter — 12 propagation rounds on this graph vs 4
+    star rounds, measured 105 s -> far less at 4 CPUs).
+
+    Scale shape: distinct (order, part) -> per-order pair expansion in
+    a coarse key-hash map_groups with block-local (u, v) pre-combine ->
+    ONE pair-hash coarse reduce (never a native pair-keyed groupby, per
+    CLAUDE.md) -> support filter -> log-round star contraction.
+    Oracle: recursive-CTE min-reachable-id."""
+    from ..stages.cc import cc_min_labels
+    from ..stages.partition import expansion_partitions, part_column
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def distinct_op(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    op = (
+        li.map_batches(distinct_op, batch_format="pyarrow", batch_size=None)
+        .groupby(["l_orderkey", "l_partkey"])
+        .count()
+        .select_columns(["l_orderkey", "l_partkey"])
+    )
+
+    n_parts = expansion_partitions()
+
+    def tag_order(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["l_orderkey"], n_parts))
+
+    def expand(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__part").sort_by(
+            [("l_orderkey", "ascending"), ("l_partkey", "ascending")]
+        )
+        o = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        p = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        n = len(o)
+        empty = pa.table(
+            {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+             "cuv": pa.array([], pa.int64())}
+        )
+        if n == 0:
+            return empty
+        starts = np.flatnonzero(np.concatenate([[True], o[1:] != o[:-1]]))
+        ends = np.concatenate([starts[1:], [n]])
+        us, vs = [], []
+        for st, en in zip(starts, ends):  # per ORDER (basket-size bounded)
+            nb = p[st:en]
+            if len(nb) > 1:
+                iu, iv = np.triu_indices(len(nb), k=1)
+                us.append(nb[iu])
+                vs.append(nb[iv])
+        if not us:
+            return empty
+        tt = pa.table(
+            {"u": pa.array(np.concatenate(us), pa.int64()),
+             "v": pa.array(np.concatenate(vs), pa.int64())}
+        )
+        cg = tt.group_by(["u", "v"]).aggregate([([], "count_all")])
+        return cg.rename_columns(["u", "v", "cuv"])
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["u", "v"], n_parts))
+
+    def reduce_pairs(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__part")
+        agg = g.group_by(["u", "v"]).aggregate([("cuv", "sum")])
+        agg = agg.rename_columns(["u", "v", "cuv"])
+        t = agg.filter(pc.greater_equal(agg.column("cuv"), min_support))
+        return t.select(["u", "v"])
+
+    pairs = (
+        op.map_batches(tag_order, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(expand, batch_format="pyarrow", num_cpus=1)
+        .map_batches(tag_pair, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(reduce_pairs, batch_format="pyarrow", num_cpus=1)
+    )
+
+    labels, _converged = cc_min_labels(pairs)
+    return labels
+
+
+# --------------------------------------------------------- grouping sets
+
+
+def a26_grouping_sets(sf_dir: str) -> rd.Dataset:
+    """GROUPING SETS ((o_orderpriority), (o_orderstatus), ()) in ONE
+    scan: each block emits partials for ALL THREE sets tagged by a
+    set-name column, one combined (grp, key) groupby merges them — no
+    per-set rescan (the naive UNION-of-GROUP-BYs plan reads the fact
+    table three times; this reads it once).  The grand-total row rides
+    with a sentinel key swapped back to NULL after the merge."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    SENT = "\x00ALL"
+
+    def partial(t: pa.Table) -> pa.Table:
+        outs = []
+        for grp, col in (("priority", "o_orderpriority"), ("status", "o_orderstatus")):
+            g = t.group_by([col]).aggregate(
+                [([], "count_all"), ("o_totalprice", "sum")]
+            )
+            g = g.rename_columns([col, "n", "sp"])
+            outs.append(
+                pa.table(
+                    {
+                        "grp": pa.array([grp] * g.num_rows, pa.string()),
+                        "k": g.column(col),
+                        "n": g.column("n").cast(pa.int64()),
+                        "sp": g.column("sp"),
+                    }
+                )
+            )
+        outs.append(
+            pa.table(
+                {
+                    "grp": pa.array(["all"], pa.string()),
+                    "k": pa.array([SENT], pa.string()),
+                    "n": pa.array([t.num_rows], pa.int64()),
+                    "sp": pa.array(
+                        [pc.sum(t.column("o_totalprice")).as_py() or 0.0],
+                        pa.float64(),
+                    ),
+                }
+            )
+        )
+        return pa.concat_tables(outs)
+
+    merged = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["grp", "k"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sp", alias_name="sp"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        k = pc.if_else(pc.equal(t.column("k"), SENT), pa.scalar(None, pa.string()), t.column("k"))
+        return pa.table(
+            {
+                "grp": t.column("grp"),
+                "k": k,
+                "n": t.column("n").cast(pa.int64()),
+                "sum_price": pc.round(t.column("sp"), 2),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow", batch_size=None)

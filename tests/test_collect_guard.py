@@ -29,6 +29,7 @@ WHITELIST = {
     "stages/scan.py": (1, "<= n_buckets bucket totals (scan phase 2)"),
     "stages/pca.py": (1, "ONE d^2-float partial row per input block (moments pass)"),
     "stages/skewjoin.py": (1, "hot keys only (>= threshold), max_hot_keys-guarded"),
+    "stages/cc.py": (1, "per-block fingerprint scalars (one int row per block)"),
 }
 
 
