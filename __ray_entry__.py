@@ -717,6 +717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o32_ewma": _R2("o32_ewma"),
         "graph_cc_labels": _R2("graph_cc_labels"),
         "a26_grouping_sets": _R2("a26_grouping_sets"),
+        "text_collocations_pmi": _R2("text_collocations_pmi"),
     }
 
 
@@ -1974,5 +1975,23 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(sum(o_totalprice), 2) FROM orders GROUP BY 2 "
             "UNION ALL "
             "SELECT 'all', NULL, count(*), ROUND(sum(o_totalprice), 2) FROM orders"
+        ),
+        "text_collocations_pmi": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split_regex("
+            "lower(text), '[ \\t\\n\\r\\f\\v]+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "uni AS (SELECT unnest(w) AS t FROM toks), "
+            "uc AS (SELECT t, count(*) AS c FROM uni GROUP BY 1), "
+            "big AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM toks, "
+            "unnest(range(1, len(w))) AS r(i)), "
+            "bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2), "
+            "tot AS (SELECT (SELECT count(*) FROM uni) AS ntok, "
+            "(SELECT count(*) FROM big) AS nbig) "
+            "SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, "
+            "ROUND(ln((c12 * 1.0 * ntok * ntok) / (nbig * 1.0 * c1.c * c2.c)), 4) "
+            "AS pmi "
+            "FROM bc, tot "
+            "JOIN uc c1 ON c1.t = bc.w1 JOIN uc c2 ON c2.t = bc.w2 "
+            "WHERE c12 >= 5"
         ),
     }

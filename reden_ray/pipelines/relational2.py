@@ -816,3 +816,135 @@ def a26_grouping_sets(sf_dir: str) -> rd.Dataset:
         )
 
     return merged.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+# ------------------------------------------------------- PMI collocations
+
+
+def text_collocations_pmi(sf_dir: str, min_count: int = 5) -> rd.Dataset:
+    """Collocation mining over the corpus: every bigram with support >=
+    ``min_count`` scored by pointwise mutual information against the
+    unigram token distribution, PMI = ln(c12 * N_tok^2 / (N_big * c1
+    * c2)) — the classic association measure (Church & Hanks '90).
+
+    ONE pass over documents emits BOTH unigram and bigram count
+    partials as kind-tagged rows (no token stream is ever
+    materialized; intra-doc adjacency is only valid pre-shuffle, so
+    bigrams are formed inside the read-adjacent block map exactly like
+    text_bigram_topk), ONE (kind, w1, w2) groupby merges them, the
+    unigram side rides back onto bigrams through two cost-based
+    ``smart_join``s (broadcast while the vocab is small, hash-shuffle
+    past the threshold).  N_tok / N_big reach the driver as two scalar
+    sums.  No top-k cut: the row set is fixed by the INTEGER support
+    filter, so the oracle cannot diverge on float ordering ties.
+    Tokenizer shared verbatim with TF-IDF/BM25/bigram oracles."""
+    from ..stages.joins import smart_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column("text")), pattern=r"[ \t\n\r\f\v]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        parent = np.repeat(
+            t.column("doc_id").to_numpy(zero_copy_only=False), lens
+        )
+        flat = toks.flatten()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parent = parent[keep]
+        words = np.asarray(flat.filter(pa.array(keep)).to_pylist(), dtype=object)
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.string()),
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(words) == 0:
+            return empty
+        ut = pa.table({"w1": pa.array(words, pa.string())})
+        ug = ut.group_by(["w1"]).aggregate([([], "count_all")])
+        uni = pa.table(
+            {
+                "kind": pa.array(["u"] * ug.num_rows, pa.string()),
+                "w1": ug.column("w1"),
+                "w2": pa.array([""] * ug.num_rows, pa.string()),
+                "n": ug.column("count_all").cast(pa.int64()),
+            }
+        )
+        if len(words) < 2:
+            return uni
+        same = parent[1:] == parent[:-1]
+        bt = pa.table(
+            {
+                "w1": pa.array(words[:-1][same], pa.string()),
+                "w2": pa.array(words[1:][same], pa.string()),
+            }
+        )
+        bg = bt.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        big = pa.table(
+            {
+                "kind": pa.array(["b"] * bg.num_rows, pa.string()),
+                "w1": bg.column("w1"),
+                "w2": bg.column("w2"),
+                "n": bg.column("count_all").cast(pa.int64()),
+            }
+        )
+        return pa.concat_tables([uni, big])
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["kind", "w1", "w2"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["kind", "w1", "w2", "n"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .materialize()  # consumed four times (split x2, two scalar sums)
+    )
+
+    uni = counts.filter(expr="kind == 'u'").select_columns(["w1", "n"])
+    big = counts.filter(expr="kind == 'b'").select_columns(["w1", "w2", "n"])
+    n_tok = float(uni.sum("n") or 0)
+    n_big = float(big.sum("n") or 0)
+
+    def as_c12(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("n"), min_count))
+        return t.rename_columns(["w1", "w2", "c12"])
+
+    def as_c1(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["w1", "c1"])
+
+    def as_c2(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["w2", "c2"])
+
+    big_f = big.map_batches(as_c12, batch_format="pyarrow", batch_size=None)
+    j1 = smart_join(
+        big_f, uni.map_batches(as_c1, batch_format="pyarrow", batch_size=None),
+        on=["w1"],
+    )
+    j2 = smart_join(
+        j1, uni.map_batches(as_c2, batch_format="pyarrow", batch_size=None),
+        on=["w2"],
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        c12 = t.column("c12").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = t.column("c1").to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = t.column("c2").to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log((c12 * n_tok * n_tok) / (n_big * c1 * c2))
+        return pa.table(
+            {
+                "w1": t.column("w1"),
+                "w2": t.column("w2"),
+                "c12": t.column("c12").cast(pa.int64()),
+                "pmi": pa.array(np.round(pmi, 4), pa.float64()),
+            }
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow", batch_size=None)
