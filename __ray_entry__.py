@@ -718,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_cc_labels": _R2("graph_cc_labels"),
         "a26_grouping_sets": _R2("a26_grouping_sets"),
         "text_collocations_pmi": _R2("text_collocations_pmi"),
+        "fuzzy_jw_parts": _R2("fuzzy_jw_parts"),
     }
 
 
@@ -1993,5 +1994,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM bc, tot "
             "JOIN uc c1 ON c1.t = bc.w1 JOIN uc c2 ON c2.t = bc.w2 "
             "WHERE c12 >= 5"
+        ),
+        "fuzzy_jw_parts": (
+            "WITH probes AS (SELECT p_partkey AS probe_id, p_name AS probe "
+            "FROM part ORDER BY p_partkey LIMIT 20), "
+            "scored AS (SELECT a.probe_id, a.probe, b.p_name AS best_match, "
+            "jaro_winkler_similarity(a.probe, b.p_name) AS s "
+            "FROM probes a JOIN part b ON b.p_name <> a.probe), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id "
+            "ORDER BY s DESC, best_match) AS rn FROM scored) "
+            "SELECT probe_id, probe, best_match, ROUND(s, 4) AS similarity "
+            "FROM ranked WHERE rn = 1"
         ),
     }

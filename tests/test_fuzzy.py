@@ -109,3 +109,39 @@ def test_ed1_verify_cases():
     b = ["kitten", "mitten", "sitting", "ab", "a", "", "axc", "abc"]
     want = [_lev(x, y) <= 1 for x, y in zip(a, b)]
     assert _ed_le1_verify(a, b).tolist() == want
+
+
+def test_jaro_winkler_matches_duckdb():
+    """Kernel semantics pinned to DuckDB's jaro_winkler_similarity
+    (boost threshold 0.7, prefix cap 4, empty -> 0.0) by fuzz."""
+    import random
+
+    import duckdb
+
+    from reden_ray.stages.fuzzy import _pad_codes, jaro_winkler_probe_block
+
+    random.seed(42)
+    con = duckdb.connect()
+    for _ in range(12):
+        probe = "".join(random.choices("abcdef ", k=random.randint(0, 12)))
+        names = [
+            "".join(random.choices("abcdef ", k=random.randint(0, 14)))
+            for _ in range(40)
+        ]
+        chars, lens = _pad_codes(names)
+        got = jaro_winkler_probe_block(probe, chars, lens)
+        for nm, g in zip(names, got):
+            ref = con.sql(
+                "select jaro_winkler_similarity(?, ?)", params=[probe, nm]
+            ).fetchone()[0]
+            assert abs(ref - g) < 1e-12, (probe, nm, ref, g)
+
+
+def test_jaro_winkler_known_values():
+    from reden_ray.stages.fuzzy import _pad_codes, jaro_winkler_probe_block
+
+    chars, lens = _pad_codes(["marhta", "martha", "", "dwayne"])
+    got = jaro_winkler_probe_block("martha", chars, lens)
+    assert abs(got[0] - 0.9611111111111111) < 1e-12
+    assert got[1] == 1.0
+    assert got[2] == 0.0
