@@ -719,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a26_grouping_sets": _R2("a26_grouping_sets"),
         "text_collocations_pmi": _R2("text_collocations_pmi"),
         "fuzzy_jw_parts": _R2("fuzzy_jw_parts"),
+        "text_vocab_ids": _R2("text_vocab_ids"),
     }
 
 
@@ -2005,5 +2006,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY s DESC, best_match) AS rn FROM scored) "
             "SELECT probe_id, probe, best_match, ROUND(s, 4) AS similarity "
             "FROM ranked WHERE rn = 1"
+        ),
+        "text_vocab_ids": (
+            "WITH toks AS (SELECT list_filter(string_split_regex(lower(text), "
+            "'[ \\t\\n\\r\\f\\v]+'), x -> x <> '') AS w FROM documents), "
+            "uni AS (SELECT unnest(w) AS t FROM toks), "
+            "uc AS (SELECT t AS term, count(*) AS n FROM uni GROUP BY 1) "
+            "SELECT term, CAST(n AS BIGINT) AS n, "
+            "CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS vocab_id "
+            "FROM uc WHERE n >= 10"
         ),
     }

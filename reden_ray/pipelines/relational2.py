@@ -978,3 +978,66 @@ def fuzzy_jw_parts(sf_dir: str) -> rd.Dataset:
     ]
     parts = _read(sf_dir, "part", ["p_name"])
     return jaro_winkler_top1(parts, "p_name", probes)
+
+
+# ------------------------------------------------------------- vocabulary
+
+
+def text_vocab_ids(sf_dir: str, min_count: int = 10) -> rd.Dataset:
+    """Word2vec-style vocabulary construction: corpus token counts,
+    ``min_count`` pruning, and DENSE vocab ids by (count DESC, term
+    ASC) — the id-assignment step every embedding/tokenizer trainer
+    runs.  Counting is fully distributed (per-block partials, one term
+    groupby); the id assignment happens on the PRUNED table only, which
+    is bounded by contract (min_count caps vocab size — real trainers
+    hold exactly this table in memory), so the single sort+arange task
+    at the tail is vocab-sized, never corpus-sized.  Tokenizer shared
+    verbatim with TF-IDF/BM25/PMI."""
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column("text")), pattern=r"[ \t\n\r\f\v]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if len(flat) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        g = pa.table({"term": flat}).group_by(["term"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"term": g.column("term"), "n": g.column("count_all").cast(pa.int64())}
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["term", "n"]).filter(
+                pc.greater_equal(t.column(1), min_count)
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("n", "descending"), ("term", "ascending")])
+        return pa.table(
+            {
+                "term": t.column("term"),
+                "n": t.column("n").cast(pa.int64()),
+                "vocab_id": pa.array(
+                    np.arange(1, t.num_rows + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    # vocab-sized by the min_count contract: one id-assignment task
+    return counts.repartition(1).map_batches(
+        assign, batch_format="pyarrow", batch_size=None
+    )
