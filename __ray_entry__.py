@@ -537,6 +537,19 @@ def _approx_count_min(sf_dir: str):
     return approx_count_min(sf_dir)
 
 
+def _bpe_merges(sf_dir: str):
+    """Distributed BPE merge training over the documents corpus
+    (rows-only; merge sequence, tie-breaks and the greedy-left overlap
+    rule are golden-locked against a naive Sennrich reference in
+    tests/test_bpe.py)."""
+    import ray.data as rd
+
+    from reden_ray.stages.bpe import bpe_train_merges
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bpe_train_merges(docs, n_merges=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from reden_ray.pipelines import relational as R
 
@@ -720,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_collocations_pmi": _R2("text_collocations_pmi"),
         "fuzzy_jw_parts": _R2("fuzzy_jw_parts"),
         "text_vocab_ids": _R2("text_vocab_ids"),
+        "bpe_merges": _bpe_merges,
     }
 
 

@@ -30,6 +30,7 @@ WHITELIST = {
     "stages/pca.py": (1, "ONE d^2-float partial row per input block (moments pass)"),
     "stages/skewjoin.py": (1, "hot keys only (>= threshold), max_hot_keys-guarded"),
     "stages/cc.py": (1, "per-block fingerprint scalars (one int row per block)"),
+    "stages/bpe.py": (1, "exactly ONE argmax row per merge iteration"),
 }
 
 
