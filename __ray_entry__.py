@@ -550,6 +550,19 @@ def _bpe_merges(sf_dir: str):
     return bpe_train_merges(docs, n_merges=10)
 
 
+def _bpe_token_counts(sf_dir: str):
+    """Train 10 BPE merges on the corpus, then tokenize the same corpus
+    with them (per-word-type memoized apply; golden-locked vs a naive
+    encoder in tests/test_bpe.py).  Rows-only."""
+    import ray.data as rd
+
+    from reden_ray.stages.bpe import bpe_encode_docs, bpe_train_merges
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = bpe_train_merges(docs.select_columns(["text"]), n_merges=10)
+    return bpe_encode_docs(docs, merges).select_columns(["doc_id", "n_bpe_tokens"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from reden_ray.pipelines import relational as R
 
@@ -734,6 +747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_jw_parts": _R2("fuzzy_jw_parts"),
         "text_vocab_ids": _R2("text_vocab_ids"),
         "bpe_merges": _bpe_merges,
+        "bpe_token_counts": _bpe_token_counts,
     }
 
 

@@ -227,3 +227,74 @@ def bpe_train_merges(
             "pair_count": pa.array(counts, pa.int64()),
         }
     )
+
+
+class BpeEncode:
+    """Actor-pool stage: tokenize each document with a LEARNED merge
+    table (lowest-rank pair first, the standard BPE apply loop) and
+    append ``n_bpe_tokens``.  The merge table is tiny by construction
+    (n_merges rows) and rides in ``__init__`` once per actor; encoding
+    is memoized PER WORD TYPE, so the apply loop runs once per distinct
+    word an actor ever sees, not once per occurrence — the hot path per
+    batch is the vectorized tokenizer + a dict lookup."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.rank = {pair: i for i, pair in enumerate(merges)}
+        self.cache: dict[str, int] = {}
+
+    def _encode_len(self, w: str) -> int:
+        n = self.cache.get(w)
+        if n is not None:
+            return n
+        s = list(w)
+        while len(s) > 1:
+            best_i, best_r = -1, len(self.rank)
+            for i in range(len(s) - 1):
+                r = self.rank.get((s[i], s[i + 1]), len(self.rank))
+                if r < best_r:
+                    best_i, best_r = i, r
+            if best_i < 0 or best_r >= len(self.rank):
+                break
+            s[best_i : best_i + 2] = [s[best_i] + s[best_i + 1]]
+        n = len(s)
+        self.cache[w] = n
+        return n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column("text")), pattern=r"[ \t\n\r\f\v]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy()
+        lens = np.diff(offs)
+        flat = toks.values.to_numpy(zero_copy_only=False)[offs[0] : offs[-1]]
+        rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = flat != ""
+        flat, rows = flat[keep], rows[keep]
+        # one encode per distinct type in the batch; inverse-map back
+        uniq, inv = np.unique(flat.astype(str), return_inverse=True)
+        per_type = np.fromiter(
+            (self._encode_len(w) for w in uniq), dtype=np.int64, count=len(uniq)
+        )
+        n_bpe = np.bincount(rows, weights=per_type[inv], minlength=t.num_rows)
+        return t.append_column(
+            "n_bpe_tokens", pa.array(n_bpe.astype(np.int64), pa.int64())
+        )
+
+
+def bpe_encode_docs(
+    docs: rd.Dataset, merges: pa.Table, concurrency=(1, 8)
+) -> rd.Dataset:
+    """Append ``n_bpe_tokens`` to a documents Dataset using a trained
+    merge table (output of ``bpe_train_merges``)."""
+    pairs = list(
+        zip(merges.column("left").to_pylist(), merges.column("right").to_pylist())
+    )
+    return docs.map_batches(
+        BpeEncode,
+        fn_constructor_args=(pairs,),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency,
+    )

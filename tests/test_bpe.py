@@ -108,3 +108,34 @@ def test_min_count_prunes_types(ray_session):
         for r in word_type_table(ds, min_count=2).take_all()
     }
     assert rows == {"x": 4}
+
+
+def _naive_encode_len(w, merges):
+    rank = {p: i for i, p in enumerate(merges)}
+    s = list(w)
+    while len(s) > 1:
+        best_i, best_r = -1, len(rank)
+        for i in range(len(s) - 1):
+            r = rank.get((s[i], s[i + 1]), len(rank))
+            if r < best_r:
+                best_i, best_r = i, r
+        if best_i < 0 or best_r >= len(rank):
+            break
+        s[best_i : best_i + 2] = [s[best_i] + s[best_i + 1]]
+    return len(s)
+
+
+def test_bpe_encode_matches_naive(ray_session):
+    from reden_ray.stages.bpe import bpe_encode_docs, bpe_train_merges
+
+    texts = CORPORA["english"]
+    ds = _docs_ds(texts)
+    merges_tbl = bpe_train_merges(ds, n_merges=6)
+    merges = list(
+        zip(merges_tbl.column("left").to_pylist(), merges_tbl.column("right").to_pylist())
+    )
+    out = bpe_encode_docs(ds, merges_tbl).take_all()
+    got = {r["text"]: r["n_bpe_tokens"] for r in out}
+    for t in texts:
+        ref = sum(_naive_encode_len(w, merges) for w in t.lower().split())
+        assert got[t] == ref, (t, got[t], ref)
