@@ -74,3 +74,24 @@ def test_cc_random_graph_matches_union_find(ray_session):
     ref = _naive_cc([(int(a), int(b)) for a, b in zip(u, v) if a != b])
     assert converged
     assert got == ref
+
+
+def test_cc_degenerate_inputs(ray_session):
+    """Self-loop-only and fully-empty edge inputs: empty labels,
+    converged, no crash (the canon stage can yield zero edges)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reden_ray.stages.cc import cc_min_labels
+
+    loops = rd.from_arrow(
+        pa.table({"u": pa.array([5, 6], pa.int64()), "v": pa.array([5, 6], pa.int64())})
+    )
+    labels, conv = cc_min_labels(loops)
+    assert labels.take_all() == [] and conv
+
+    empty = rd.from_arrow(
+        pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    labels, conv = cc_min_labels(empty)
+    assert labels.take_all() == [] and conv
