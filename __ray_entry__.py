@@ -748,6 +748,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_vocab_ids": _R2("text_vocab_ids"),
         "bpe_merges": _bpe_merges,
         "bpe_token_counts": _bpe_token_counts,
+        # round-4 continuation 5 (relational3 module)
+        "a27_percent_of_total": _R3("a27_percent_of_total"),
+        "a28_above_nation_avg": _R3("a28_above_nation_avg"),
+        "assoc_rules": _R3("assoc_rules"),
+        "wau_rolling": _R3("wau_rolling"),
     }
 
 
@@ -756,6 +761,15 @@ def _R2(name: str):
         from reden_ray.pipelines import relational2
 
         return getattr(relational2, name)(sf_dir)
+
+    return run
+
+
+def _R3(name: str):
+    def run(sf_dir: str):
+        from reden_ray.pipelines import relational3
+
+        return getattr(relational3, name)(sf_dir)
 
     return run
 
@@ -2043,5 +2057,47 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, CAST(n AS BIGINT) AS n, "
             "CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS vocab_id "
             "FROM uc WHERE n >= 10"
+        ),
+        "a27_percent_of_total": (
+            "WITH g AS (SELECT l_returnflag, sum(l_extendedprice) AS rev "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT l_returnflag, ROUND(rev, 2) AS revenue, "
+            "ROUND(rev / (SELECT sum(rev) FROM g), 6) AS share FROM g"
+        ),
+        "a28_above_nation_avg": (
+            "WITH co AS (SELECT c_custkey, c_nationkey, "
+            "sum(o_totalprice) AS s, count(*) AS n "
+            "FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY 1, 2), "
+            "na AS (SELECT c_nationkey, sum(s) AS st, sum(n) AS nt "
+            "FROM co GROUP BY 1) "
+            "SELECT CAST(c_custkey AS BIGINT) AS custkey, "
+            "CAST(co.c_nationkey AS BIGINT) AS nationkey, "
+            "CAST(n AS BIGINT) AS n_orders, ROUND(s, 2) AS sum_price "
+            "FROM co JOIN na USING (c_nationkey) "
+            "WHERE co.s * na.nt > na.st * co.n"
+        ),
+        "assoc_rules": (
+            "WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem), "
+            "cn AS (SELECT count(DISTINCT o) AS norders FROM op), "
+            "ic AS (SELECT p, count(*) AS c FROM op GROUP BY 1), "
+            "pc AS (SELECT a.p AS u, b.p AS v, count(*) AS c12 FROM op a "
+            "JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), "
+            "sym AS (SELECT u AS ante, v AS cons, c12 FROM pc WHERE c12 >= 3 "
+            "UNION ALL SELECT v, u, c12 FROM pc WHERE c12 >= 3) "
+            "SELECT CAST(ante AS BIGINT) AS ante, CAST(cons AS BIGINT) AS cons, "
+            "CAST(c12 AS BIGINT) AS support, "
+            "ROUND(c12 * 1.0 / ca.c, 6) AS confidence, "
+            "ROUND((c12 * 1.0 * cn.norders) / (ca.c * 1.0 * cb.c), 6) AS lift "
+            "FROM sym, cn JOIN ic ca ON ca.p = ante JOIN ic cb ON cb.p = cons"
+        ),
+        "wau_rolling": (
+            "WITH du AS (SELECT DISTINCT "
+            "CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, user_id "
+            "FROM events), "
+            "days AS (SELECT DISTINCT day FROM du) "
+            "SELECT d.day, count(DISTINCT u.user_id) AS wau "
+            "FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day "
+            "GROUP BY 1"
         ),
     }

@@ -1,0 +1,344 @@
+"""Driver-gated query families, continuation module 3 (round 4).
+
+Same contract as ``relational.py`` / ``relational2.py`` (each function
+takes ``sf_dir``, returns a Dataset whose columns match its
+``oracle_sql()`` entry verbatim)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from . import relational as R
+
+_read = R._read
+
+
+# -------------------------------------------------------- percent of total
+
+
+def a27_percent_of_total(sf_dir: str) -> rd.Dataset:
+    """Share-of-total report (the ratio_to_report window): per-flag
+    revenue and its share of the grand total — two-level aggregation in
+    one scan, the grand total crossing to the driver as ONE scalar off
+    the group-sized intermediate (never a second corpus pass)."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag"]).aggregate([("l_extendedprice", "sum")])
+        return g.rename_columns(["l_returnflag", "rev"])
+
+    groups = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("l_returnflag")
+        .sum("rev")
+        .map_batches(
+            lambda t: t.rename_columns(["l_returnflag", "rev"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .materialize()  # group-sized; consumed twice (total + shares)
+    )
+    total = float(groups.sum("rev") or 0.0)
+
+    def finish(t: pa.Table) -> pa.Table:
+        rev = t.column("rev").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "revenue": pa.array(np.round(rev, 2), pa.float64()),
+                "share": pa.array(np.round(rev / total, 6), pa.float64()),
+            }
+        )
+
+    return groups.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+# ------------------------------------------------- correlated-subquery
+
+
+def a28_above_nation_avg(sf_dir: str) -> rd.Dataset:
+    """Decorrelated 'above my group's average' query (the classic
+    correlated-subquery pattern): customers whose average order value
+    beats their NATION's average.  One fact scan: per-(cust, nation)
+    sum/count partials; the nation averages derive from the SAME
+    customer-level sums (sum-of-sums / sum-of-counts — identical
+    rational to a direct per-nation avg) and broadcast back as a
+    25-row map.
+
+    ROUNDING LANDMINE, learned twice here: an average of cents-quantized
+    prices lands EXACTLY on decimal halves (s/n with n = 2^a·5^b), so
+    any rounded-average output or comparison diverges from DuckDB in
+    both directions (reproduced at 2 dp: 364660.805 and 258168.425 —
+    half-away on one side does NOT fix it because the two engines' sums
+    straddle the half).  The avg comparison is therefore
+    cross-multiplied — s*N > S*n, whose minimum TRUE gap (0.01 in cents
+    space) exceeds float-summation noise by ~6 orders — and the output
+    reports the cents-quantized SUM (2-dp rounding of a near-multiple
+    of 0.01 has no half hazard), never the average."""
+    from ..stages.joins import smart_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.rename_columns(["c_custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    joined = smart_join(orders, cust, on=["c_custkey"])
+    per_cust = (
+        joined.groupby(["c_custkey", "c_nationkey"])
+        .aggregate(
+            Sum("o_totalprice", alias_name="s"), Count(alias_name="n")
+        )
+        .materialize()  # customer-sized; feeds both nation rollup + filter
+    )
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_nationkey"]).aggregate([("s", "sum"), ("n", "sum")])
+        return g.rename_columns(["c_nationkey", "S", "N"])
+
+    nation = (
+        per_cust.map_batches(nation_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("c_nationkey")
+        .aggregate(Sum("S", alias_name="S"), Sum("N", alias_name="N"))
+        .take_all()  # nation-domain-sized (25 rows) broadcast
+    )
+    nSN = {int(r["c_nationkey"]): (float(r["S"]), float(r["N"])) for r in nation}
+
+    def finish(t: pa.Table) -> pa.Table:
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        S = np.array([nSN[k][0] for k in nk.tolist()])
+        N = np.array([nSN[k][1] for k in nk.tolist()])
+        keep = s * N > S * n
+        return pa.table(
+            {
+                "custkey": pa.array(
+                    t.column("c_custkey").to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "nationkey": pa.array(nk[keep], pa.int64()),
+                "n_orders": pa.array(
+                    n[keep].astype(np.int64), pa.int64()
+                ),
+                "sum_price": pa.array(np.round(s[keep], 2), pa.float64()),
+            }
+        )
+
+    return per_cust.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+# ------------------------------------------------------- association rules
+
+
+def assoc_rules(sf_dir: str, min_support: int = 3) -> rd.Dataset:
+    """Market-basket association rules over co-order parts: every
+    directed rule ante -> cons with basket support >= ``min_support``,
+    scored by confidence (c12 / c_ante) and lift (c12 * N / (c_ante *
+    c_cons)).  Same scale shape as pmi_part_pairs: per-order pair
+    expansion in a coarse key-hash map_groups, ONE pair-hash coarse
+    reduce, item counts attached via cost-based smart_join; the row set
+    is fixed by the INTEGER support filter."""
+    from ..stages.joins import smart_join
+    from ..stages.partition import expansion_partitions, part_column
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def distinct_op(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    op = (
+        li.map_batches(distinct_op, batch_format="pyarrow", batch_size=None)
+        .groupby(["l_orderkey", "l_partkey"])
+        .count()
+        .select_columns(["l_orderkey", "l_partkey"])
+        .materialize()  # three consumers: N, item counts, pair expansion
+    )
+    n_orders = int(op.groupby("l_orderkey").count().count())
+    items = op.groupby("l_partkey").count()  # part-sized (part, count())
+
+    n_parts = expansion_partitions()
+
+    def tag_order(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["l_orderkey"], n_parts))
+
+    def expand(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__part").sort_by(
+            [("l_orderkey", "ascending"), ("l_partkey", "ascending")]
+        )
+        o = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        p = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        n = len(o)
+        empty = pa.table(
+            {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+             "c12": pa.array([], pa.int64())}
+        )
+        if n == 0:
+            return empty
+        starts = np.flatnonzero(np.concatenate([[True], o[1:] != o[:-1]]))
+        ends = np.concatenate([starts[1:], [n]])
+        us, vs = [], []
+        for st, en in zip(starts, ends):  # per ORDER (basket-size bounded)
+            nb = p[st:en]
+            if len(nb) > 1:
+                iu, iv = np.triu_indices(len(nb), k=1)
+                us.append(nb[iu])
+                vs.append(nb[iv])
+        if not us:
+            return empty
+        tt = pa.table(
+            {"u": pa.array(np.concatenate(us), pa.int64()),
+             "v": pa.array(np.concatenate(vs), pa.int64())}
+        )
+        cg = tt.group_by(["u", "v"]).aggregate([([], "count_all")])
+        return cg.rename_columns(["u", "v", "c12"])
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["u", "v"], n_parts))
+
+    def reduce_sym(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__part")
+        agg = g.group_by(["u", "v"]).aggregate([("c12", "sum")])
+        agg = agg.rename_columns(["u", "v", "c12"])
+        t = agg.filter(pc.greater_equal(agg.column("c12"), min_support))
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        c = t.column("c12").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ante": pa.array(np.concatenate([u, v]), pa.int64()),
+                "cons": pa.array(np.concatenate([v, u]), pa.int64()),
+                "c12": pa.array(np.concatenate([c, c]), pa.int64()),
+            }
+        )
+
+    rules = (
+        op.map_batches(tag_order, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(expand, batch_format="pyarrow", num_cpus=1)
+        .map_batches(tag_pair, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(reduce_sym, batch_format="pyarrow", num_cpus=1)
+    )
+
+    def items_as(col: str):
+        def rn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([col, f"c_{col}"])
+
+        return rn
+
+    j1 = smart_join(
+        rules,
+        items.map_batches(items_as("ante"), batch_format="pyarrow", batch_size=None),
+        on=["ante"],
+    )
+    j2 = smart_join(
+        j1,
+        items.map_batches(items_as("cons"), batch_format="pyarrow", batch_size=None),
+        on=["cons"],
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        c12 = t.column("c12").to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = t.column("c_ante").to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = t.column("c_cons").to_numpy(zero_copy_only=False).astype(np.float64)
+        conf = c12 / ca
+        lift = (c12 * float(n_orders)) / (ca * cb)
+        return pa.table(
+            {
+                "ante": t.column("ante").cast(pa.int64()),
+                "cons": t.column("cons").cast(pa.int64()),
+                "support": t.column("c12").cast(pa.int64()),
+                "confidence": pa.array(np.round(conf, 6), pa.float64()),
+                "lift": pa.array(np.round(lift, 6), pa.float64()),
+            }
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------- rolling active users
+
+
+def wau_rolling(sf_dir: str, window_days: int = 7) -> rd.Dataset:
+    """Trailing-7-day active users per ACTIVE day (the WAU/DAU family):
+    for each calendar day that has any activity, the count of distinct
+    users active within the trailing window.  Sliding COUNT(DISTINCT)
+    does not decompose as a window aggregate, so the scalable plan is
+    contribution expansion: ONE user-hash shuffle co-locates each
+    user's rows, the group body dedups (user, day), expands each day to
+    the <= 7 window days it contributes to, re-dedups per user (all in
+    vectorized segment math), and emits per-group (day, partial) counts
+    whose sum over groups is exact because a user lives in exactly one
+    group.  Output days are restricted to the ACTIVE-day set (broadcast,
+    date-domain-sized) so the row set matches the self-join oracle.
+    Day boundary uses floor-before-cast int arithmetic (us // 86.4e9) —
+    the sessionize-oracle-safe pattern."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    n_parts = default_join_partitions()
+    DAY_US = 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        day = pc.divide(us, DAY_US)  # int64 floor division (us >= 0)
+        tt = pa.table({"user_id": t.column("user_id"), "day": day})
+        return tt.append_column("__part", part_column(tt, ["user_id"], n_parts))
+
+    tagged = ev.map_batches(tag, batch_format="pyarrow", batch_size=None)
+
+    # active-day set: date-domain-sized, broadcast for the output filter
+    active_days = set(
+        r["day"]
+        for r in tagged.groupby("day").count().select_columns(["day"]).take_all()
+    )
+
+    def expand(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        day = g.column("day").to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {"day": pa.array([], pa.int64()), "partial": pa.array([], pa.int64())}
+        )
+        if len(uid) == 0:
+            return empty
+        # dedup (user, day), expand each to its window days, re-dedup
+        pairs = np.unique(np.stack([uid, day], axis=1), axis=0)
+        u = np.repeat(pairs[:, 0], window_days)
+        w = np.repeat(pairs[:, 1], window_days) + np.tile(
+            np.arange(window_days, dtype=np.int64), len(pairs)
+        )
+        uw = np.unique(np.stack([u, w], axis=1), axis=0)
+        days_arr, counts = np.unique(uw[:, 1], return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(days_arr, pa.int64()),
+                "partial": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    merged = (
+        tagged.groupby("__part")
+        .map_groups(expand, batch_format="pyarrow", num_cpus=1)
+        .groupby("day")
+        .sum("partial")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["day", "wau"])
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        keep = np.isin(day, np.fromiter(active_days, dtype=np.int64))
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "day": t.column("day").cast(pa.int64()),
+                "wau": t.column("wau").cast(pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow", batch_size=None)
