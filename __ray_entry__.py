@@ -753,6 +753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a28_above_nation_avg": _R3("a28_above_nation_avg"),
         "assoc_rules": _R3("assoc_rules"),
         "wau_rolling": _R3("wau_rolling"),
+        "scd2_intervals": _R3("scd2_intervals"),
+        "pr2_cooccur": _R3("pr2_cooccur"),
     }
 
 
@@ -2099,5 +2101,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.day, count(DISTINCT u.user_id) AS wau "
             "FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day "
             "GROUP BY 1"
+        ),
+        "scd2_intervals": (
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(event_id AS BIGINT) AS event_id, event_type, "
+            "epoch_us(ts) AS valid_from_us, "
+            "epoch_us(lead(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id)) AS valid_to_us "
+            "FROM events"
+        ),
+        "pr2_cooccur": (
+            "WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem), "
+            "pc0 AS (SELECT a.p AS u, b.p AS v, count(*) AS c FROM op a "
+            "JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), "
+            "e AS (SELECT u, v FROM pc0 WHERE c >= 2), "
+            "sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e), "
+            "deg AS (SELECT u, count(*) AS dg FROM sym GROUP BY 1), "
+            "nn AS (SELECT count(*) AS n FROM deg), "
+            "pr0 AS (SELECT u AS node, 1.0 / n AS r FROM deg, nn), "
+            "pr1 AS (SELECT s.v AS node, "
+            "0.15 / any_value(n) + 0.85 * sum(p.r / d.dg) AS r "
+            "FROM sym s JOIN pr0 p ON p.node = s.u "
+            "JOIN deg d ON d.u = s.u, nn GROUP BY s.v), "
+            "pr2 AS (SELECT s.v AS node, "
+            "0.15 / any_value(n) + 0.85 * sum(p.r / d.dg) AS r "
+            "FROM sym s JOIN pr1 p ON p.node = s.u "
+            "JOIN deg d ON d.u = s.u, nn GROUP BY s.v) "
+            "SELECT CAST(node AS BIGINT) AS node, ROUND(r, 6) AS pr FROM pr2"
         ),
     }

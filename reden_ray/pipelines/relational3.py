@@ -342,3 +342,227 @@ def wau_rolling(sf_dir: str, window_days: int = 7) -> rd.Dataset:
         )
 
     return merged.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+# -------------------------------------------------------------- SCD type-2
+
+
+def scd2_intervals(sf_dir: str) -> rd.Dataset:
+    """Slowly-changing-dimension type-2 build: each per-user event
+    becomes a validity interval [its ts, next event's ts) with an open
+    (null) end for the current row — the warehouse dimension-history
+    primitive.  ONE user-hash coarse shuffle, loop-free segment lead:
+    lexsort by (user, ts, event_id), valid_to = next row's ts within
+    the segment, null at segment ends."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    n_parts = default_join_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        t = t.set_column(t.schema.get_field_index("ts"), "ts", us)
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    def lead(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "valid_from_us": pa.array([], pa.int64()),
+                    "valid_to_us": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, tsv, uid))
+        uid_s, ts_s, eid_s, et_s = uid[order], tsv[order], eid[order], et[order]
+        nxt = np.empty(n, dtype=np.float64)
+        nxt[:-1] = ts_s[1:]
+        nxt[-1] = np.nan
+        seg_end = np.empty(n, dtype=bool)
+        seg_end[:-1] = uid_s[1:] != uid_s[:-1]
+        seg_end[-1] = True
+        nxt[seg_end] = np.nan
+        valid_to = pa.array(
+            [None if np.isnan(x) else int(x) for x in nxt], pa.int64()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s, pa.int64()),
+                "event_id": pa.array(eid_s, pa.int64()),
+                "event_type": pa.array(et_s, pa.string()),
+                "valid_from_us": pa.array(ts_s, pa.int64()),
+                "valid_to_us": valid_to,
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(lead, batch_format="pyarrow", num_cpus=1)
+    )
+
+
+# ------------------------------------------------------- oracled PageRank
+
+
+def pr2_cooccur(sf_dir: str, min_support: int = 2, damping: float = 0.85) -> rd.Dataset:
+    """TWO unrolled PageRank iterations over the support-thresholded
+    co-order part graph — the first PageRank in the repo whose VALUES
+    are DuckDB-hash-verified (the KG PageRank is numpy-golden only;
+    a fixed iteration count makes the recurrence SQL-expressible as
+    unrolled CTEs).  Symmetric graph -> no dangling mass.  Per
+    iteration: ONE cost-based join attaching current ranks to edges +
+    one destination groupby; rank tables stay node-sized."""
+    from ..stages.joins import smart_join
+    from ..stages.partition import expansion_partitions, part_column
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def distinct_op(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    op = (
+        li.map_batches(distinct_op, batch_format="pyarrow", batch_size=None)
+        .groupby(["l_orderkey", "l_partkey"])
+        .count()
+        .select_columns(["l_orderkey", "l_partkey"])
+    )
+
+    n_parts = expansion_partitions()
+
+    def tag_order(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["l_orderkey"], n_parts))
+
+    def expand(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__part").sort_by(
+            [("l_orderkey", "ascending"), ("l_partkey", "ascending")]
+        )
+        o = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        p = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        n = len(o)
+        empty = pa.table(
+            {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+             "cuv": pa.array([], pa.int64())}
+        )
+        if n == 0:
+            return empty
+        starts = np.flatnonzero(np.concatenate([[True], o[1:] != o[:-1]]))
+        ends = np.concatenate([starts[1:], [n]])
+        us, vs = [], []
+        for st, en in zip(starts, ends):
+            nb = p[st:en]
+            if len(nb) > 1:
+                iu, iv = np.triu_indices(len(nb), k=1)
+                us.append(nb[iu])
+                vs.append(nb[iv])
+        if not us:
+            return empty
+        tt = pa.table(
+            {"u": pa.array(np.concatenate(us), pa.int64()),
+             "v": pa.array(np.concatenate(vs), pa.int64())}
+        )
+        cg = tt.group_by(["u", "v"]).aggregate([([], "count_all")])
+        return cg.rename_columns(["u", "v", "cuv"])
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["u", "v"], n_parts))
+
+    def reduce_sym(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__part")
+        agg = g.group_by(["u", "v"]).aggregate([("cuv", "sum")])
+        agg = agg.rename_columns(["u", "v", "cuv"])
+        t = agg.filter(pc.greater_equal(agg.column("cuv"), min_support))
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([u, v]), pa.int64()),
+                "v": pa.array(np.concatenate([v, u]), pa.int64()),
+            }
+        )
+
+    sym = (
+        op.map_batches(tag_order, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(expand, batch_format="pyarrow", num_cpus=1)
+        .map_batches(tag_pair, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(reduce_sym, batch_format="pyarrow", num_cpus=1)
+        .materialize()  # edge table reused across both iterations
+    )
+
+    deg = sym.groupby("u").count().map_batches(
+        lambda t: t.rename_columns(["u", "dg"]), batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    n_nodes = int(deg.count())
+    teleport = 0.15 / n_nodes
+
+    # edges carry (u, v, dg(u)) once; each iteration joins current ranks
+    edges = smart_join(sym, deg, on=["u"]).materialize()
+
+    def iterate(pr: rd.Dataset) -> rd.Dataset:
+        pru = pr.map_batches(
+            lambda t: t.rename_columns(["u", "r"]), batch_format="pyarrow",
+            batch_size=None,
+        )
+        contrib = smart_join(edges, pru, on=["u"])
+
+        def part_sum(t: pa.Table) -> pa.Table:
+            r = t.column("r").to_numpy(zero_copy_only=False)
+            dg = t.column("dg").to_numpy(zero_copy_only=False).astype(np.float64)
+            tt = pa.table(
+                {"node": t.column("v"), "c": pa.array(r / dg, pa.float64())}
+            )
+            g = tt.group_by(["node"]).aggregate([("c", "sum")])
+            return g.rename_columns(["node", "c"])
+
+        summed = (
+            contrib.map_batches(part_sum, batch_format="pyarrow", batch_size=None)
+            .groupby("node")
+            .sum("c")
+        )
+
+        def finishr(t: pa.Table) -> pa.Table:
+            c = t.column(1).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": t.column(0).cast(pa.int64()),
+                    "r": pa.array(teleport + damping * c, pa.float64()),
+                }
+            )
+
+        return summed.map_batches(finishr, batch_format="pyarrow", batch_size=None)
+
+    pr = deg.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("u").cast(pa.int64()),
+                "r": pa.array(
+                    np.full(t.num_rows, 1.0 / n_nodes), pa.float64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    for _ in range(2):
+        pr = iterate(pr).materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node").cast(pa.int64()),
+                "pr": pc.round(t.column("r"), 6),
+            }
+        )
+
+    return pr.map_batches(finish, batch_format="pyarrow", batch_size=None)
