@@ -755,6 +755,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wau_rolling": _R3("wau_rolling"),
         "scd2_intervals": _R3("scd2_intervals"),
         "pr2_cooccur": _R3("pr2_cooccur"),
+        "o36_gaps_islands": _R3("o36_gaps_islands"),
+        "o35_median_gap": _R3("o35_median_gap"),
     }
 
 
@@ -2129,5 +2131,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM sym s JOIN pr1 p ON p.node = s.u "
             "JOIN deg d ON d.u = s.u, nn GROUP BY s.v) "
             "SELECT CAST(node AS BIGINT) AS node, ROUND(r, 6) AS pr FROM pr2"
+        ),
+        "o36_gaps_islands": (
+            "WITH du AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events), "
+            "t AS (SELECT user_id, day, day - row_number() OVER ("
+            "PARTITION BY user_id ORDER BY day) AS grp FROM du) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "min(day) AS start_day, max(day) AS end_day, count(*) AS n_days "
+            "FROM t GROUP BY user_id, grp"
+        ),
+        "o35_median_gap": (
+            "WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap "
+            "FROM events) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "median(gap) AS median_gap_us FROM g "
+            "WHERE gap IS NOT NULL GROUP BY 1"
         ),
     }

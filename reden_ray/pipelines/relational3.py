@@ -566,3 +566,129 @@ def pr2_cooccur(sf_dir: str, min_support: int = 2, damping: float = 0.85) -> rd.
         )
 
     return pr.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------- gaps & islands
+
+
+def o36_gaps_islands(sf_dir: str) -> rd.Dataset:
+    """The gaps-and-islands problem: maximal runs of CONSECUTIVE active
+    days per user (distinct from sessionize's time-gap splitting — the
+    island key is integer-day continuity).  ONE user-hash coarse
+    shuffle; inside a partition: (user, day) dedup, island boundary =
+    user change or day step != 1, island aggregates via boundary-index
+    arithmetic — no per-user loop.  Oracle: the day - row_number()
+    grouping trick."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    n_parts = default_join_partitions()
+    DAY_US = 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        day = pc.divide(us, DAY_US)
+        tt = pa.table({"user_id": t.column("user_id"), "day": day})
+        return tt.append_column("__part", part_column(tt, ["user_id"], n_parts))
+
+    def islands(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        day = g.column("day").to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "start_day": pa.array([], pa.int64()),
+                "end_day": pa.array([], pa.int64()),
+                "n_days": pa.array([], pa.int64()),
+            }
+        )
+        if len(uid) == 0:
+            return empty
+        pairs = np.unique(np.stack([uid, day], axis=1), axis=0)  # sorted
+        u, d = pairs[:, 0], pairs[:, 1]
+        new = np.empty(len(u), dtype=bool)
+        new[0] = True
+        new[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(u)]]) - 1
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "start_day": pa.array(d[starts], pa.int64()),
+                "end_day": pa.array(d[ends], pa.int64()),
+                "n_days": pa.array(ends - starts + 1, pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(islands, batch_format="pyarrow", num_cpus=1)
+    )
+
+
+# -------------------------------------------------------- median event gap
+
+
+def o35_median_gap(sf_dir: str) -> rd.Dataset:
+    """Median inter-event gap (µs) per user — lag-diff plus per-user
+    interpolated median in one user-hash coarse shuffle.  Gaps are
+    exact int64 µs and a two-value median adds at most 0.5, so both
+    engines produce bit-identical doubles (no rounding needed).
+    Single-event users emit no row (no gaps), matching the oracle's
+    WHERE gap IS NOT NULL."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    n_parts = default_join_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        t = t.set_column(t.schema.get_field_index("ts"), "ts", us)
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    def med(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "median_gap_us": pa.array([], pa.float64()),
+            }
+        )
+        n = len(uid)
+        if n == 0:
+            return empty
+        order = np.lexsort((eid, tsv, uid))
+        uid_s, ts_s = uid[order], tsv[order]
+        same = uid_s[1:] == uid_s[:-1]
+        gaps = (ts_s[1:] - ts_s[:-1])[same]
+        gu = uid_s[1:][same]
+        if len(gaps) == 0:
+            return empty
+        # per-user sorted segments -> vectorized interpolated median
+        o2 = np.lexsort((gaps, gu))
+        gu, gaps = gu[o2], gaps[o2].astype(np.float64)
+        new = np.empty(len(gu), dtype=bool)
+        new[0] = True
+        new[1:] = gu[1:] != gu[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(gu)))
+        lo = starts + (lens - 1) // 2
+        hi = starts + lens // 2
+        medians = (gaps[lo] + gaps[hi]) / 2.0
+        return pa.table(
+            {
+                "user_id": pa.array(gu[starts], pa.int64()),
+                "median_gap_us": pa.array(medians, pa.float64()),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(med, batch_format="pyarrow", num_cpus=1)
+    )
