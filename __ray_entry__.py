@@ -2149,4 +2149,42 @@ def oracle_sql() -> dict[str, str]:
             "median(gap) AS median_gap_us FROM g "
             "WHERE gap IS NOT NULL GROUP BY 1"
         ),
+        # full Gopher keep-rule replicated in SQL (n-gram fractions via
+        # lateral gram expansion; float comparisons use the IDENTICAL
+        # int-mult-then-divide expression as the Python stage, so
+        # threshold equality cases land on the same double)
+        "gopher_filter_docs": (
+            "WITH toks AS (SELECT doc_id, text, list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') "
+            "AS w FROM documents), "
+            "base AS (SELECT doc_id, text, w, len(w) AS nw FROM toks), "
+            "grams AS (SELECT b.doc_id, t.n, "
+            "array_to_string(b.w[i.i : i.i + t.n - 1], ' ') AS gram, "
+            "count(*) AS c FROM base b, (VALUES (2),(3),(4),(5)) t(n), "
+            "unnest(range(1, b.nw - t.n + 2)) i(i) "
+            "WHERE b.nw >= t.n GROUP BY 1, 2, 3), "
+            "gm AS (SELECT doc_id, n, max(c) AS cmax, "
+            "sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc "
+            "FROM grams GROUP BY 1, 2), "
+            "m AS (SELECT b.doc_id, b.text, b.nw, "
+            "len(list_distinct(b.w)) * 1.0 / b.nw AS dwr, "
+            "list_aggregate(list_transform(b.w, x -> length(x)), 'sum') "
+            "* 1.0 / b.nw AS mwl, "
+            "len(regexp_extract_all(b.text, '[#@\\{}<>^~|]|\\.\\.\\.')) "
+            "* 1.0 / b.nw AS swr, "
+            "coalesce(max(CASE WHEN g.n = 2 AND g.cmax > 1 THEN "
+            "least(1.0, g.cmax * 2 * 1.0 / b.nw) END), 0.0) AS f2, "
+            "coalesce(max(CASE WHEN g.n = 3 AND g.cmax > 1 THEN "
+            "least(1.0, g.cmax * 3 * 1.0 / b.nw) END), 0.0) AS f3, "
+            "coalesce(max(CASE WHEN g.n = 4 AND g.cmax > 1 THEN "
+            "least(1.0, g.cmax * 4 * 1.0 / b.nw) END), 0.0) AS f4, "
+            "coalesce(max(CASE WHEN g.n = 5 THEN "
+            "least(1.0, g.dupc * 5 * 1.0 / b.nw) END), 0.0) AS d5 "
+            "FROM base b LEFT JOIN gm g ON g.doc_id = b.doc_id "
+            "WHERE b.nw > 0 GROUP BY b.doc_id, b.text, b.nw, b.w) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM m "
+            "WHERE nw BETWEEN 5 AND 1000000 AND dwr >= 0.20 "
+            "AND f2 <= 0.20 AND f3 <= 0.18 AND f4 <= 0.16 AND d5 <= 0.30 "
+            "AND mwl BETWEEN 2.0 AND 12.0 AND swr <= 0.5"
+        ),
     }
