@@ -757,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr2_cooccur": _R3("pr2_cooccur"),
         "o36_gaps_islands": _R3("o36_gaps_islands"),
         "o35_median_gap": _R3("o35_median_gap"),
+        "o37_interval_coverage": _R3("o37_interval_coverage"),
     }
 
 
@@ -841,6 +842,39 @@ def _semdedup_sql() -> str:
         "AND b.vec_id < a.vec_id "
         "AND list_cosine_similarity(b.e, a.e) > 0.95) AS dropped FROM a"
     )
+
+
+def _kcore_sql(rounds: int = 40) -> str:
+    """Iterated-h-index k-core as UNROLLED SQL (the fixpoint converges
+    in 10/19 rounds at sf0.001/sf0.01 — measured; extra rounds are
+    idempotent, so 40 gives wide margin).  Generated programmatically:
+    each round is one adjacency join + a per-node descending-rank
+    window, h = count of neighbors with value >= rank — exactly the
+    vectorized recurrence in stages/kcore.py."""
+    head = (
+        "WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "
+        "l_partkey AS p FROM lineitem), "
+        "e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM op a "
+        "JOIN op b ON a.o = b.o AND a.p < b.p), "
+        "adj AS MATERIALIZED (SELECT u, v FROM e "
+        "UNION ALL SELECT v, u FROM e), "
+        "h0 AS MATERIALIZED (SELECT u AS node, count(*) AS h "
+        "FROM adj GROUP BY 1)"
+    )
+    parts = [head]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", h{i} AS MATERIALIZED (SELECT t.u AS node, "
+            "count(*) FILTER (t.hv >= t.rn) AS h FROM "
+            "(SELECT adj.u, p.h AS hv, row_number() OVER "
+            "(PARTITION BY adj.u ORDER BY p.h DESC) AS rn "
+            f"FROM adj JOIN h{i - 1} p ON p.node = adj.v) t GROUP BY 1)"
+        )
+    parts.append(
+        f" SELECT CAST(node AS BIGINT) AS node, CAST(h AS BIGINT) AS core "
+        f"FROM h{rounds}"
+    )
+    return "".join(parts)
 
 
 def _text_quality_scores_sql() -> str:
@@ -1888,6 +1922,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, CAST(min(d) AS BIGINT) AS hops FROM bfs GROUP BY 1"
         ),
         "semdedup_embeddings": _semdedup_sql(),
+        "graph_kcore": _kcore_sql(),
         "o31_range_frame": (
             "SELECT CAST(user_id AS BIGINT) AS user_id, "
             "CAST(event_id AS BIGINT) AS event_id, "
@@ -2148,6 +2183,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(user_id AS BIGINT) AS user_id, "
             "median(gap) AS median_gap_us FROM g "
             "WHERE gap IS NOT NULL GROUP BY 1"
+        ),
+        "o37_interval_coverage": (
+            "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "
+            "epoch_us(ts) + 300000000 AS e FROM events), "
+            "m AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id "
+            "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS prev_max FROM iv), "
+            "g AS (SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max "
+            "THEN 1 ELSE 0 END AS newgrp FROM m), "
+            "gg AS (SELECT *, sum(newgrp) OVER (PARTITION BY user_id "
+            "ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp FROM g), "
+            "isl AS (SELECT user_id, grp, min(s) AS st, max(e) AS en "
+            "FROM gg GROUP BY 1, 2) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(sum(en - st) AS BIGINT) AS covered_us, "
+            "count(*) AS n_intervals FROM isl GROUP BY 1"
         ),
         # full Gopher keep-rule replicated in SQL (n-gram fractions via
         # lateral gram expansion; float comparisons use the IDENTICAL

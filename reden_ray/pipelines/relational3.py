@@ -692,3 +692,85 @@ def o35_median_gap(sf_dir: str) -> rd.Dataset:
         .groupby("__part")
         .map_groups(med, batch_format="pyarrow", num_cpus=1)
     )
+
+
+# ------------------------------------------------------- interval coverage
+
+
+def o37_interval_coverage(sf_dir: str, width_s: int = 300) -> rd.Dataset:
+    """Interval-UNION coverage per user: treat each event as a
+    [ts, ts + width) activity interval, merge overlaps, report total
+    covered time and merged-interval count — the utilization/uptime
+    primitive (distinct from sessionize: fixed-width intervals, union
+    length, not gap splitting).  ONE user-hash coarse shuffle; inside a
+    partition the merge is a loop-free segmented sweep (sort by start,
+    segmented cumulative max of ends via the disjoint-offset cummax
+    trick, island boundaries where start > previous running max).
+    All-integer µs arithmetic — no float hazard anywhere."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    n_parts = default_join_partitions()
+    width_us = width_s * 1_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        tt = pa.table({"user_id": t.column("user_id"), "s": us})
+        return tt.append_column("__part", part_column(tt, ["user_id"], n_parts))
+
+    def cover(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "covered_us": pa.array([], pa.int64()),
+                "n_intervals": pa.array([], pa.int64()),
+            }
+        )
+        n = len(uid)
+        if n == 0:
+            return empty
+        order = np.lexsort((s, uid))
+        uid_s, st = uid[order], s[order]
+        en = st + width_us
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid_s[1:] != uid_s[:-1]
+        seg = np.cumsum(new_user) - 1
+        # segmented running max of ends: shift each user's ends onto a
+        # disjoint ascending range, ONE global cummax, shift back
+        span = int(en.max() - st.min()) + 1
+        shifted = (en - st.min()) + seg * span
+        run_max = np.maximum.accumulate(shifted) - seg * span + st.min()
+        prev_max = np.empty(n, dtype=np.int64)
+        prev_max[1:] = run_max[:-1]
+        new_island = new_user.copy()
+        new_island[1:] |= st[1:] > prev_max[1:]
+        isl = np.cumsum(new_island) - 1
+        isl_starts = np.flatnonzero(new_island)
+        # island end = running max at the island's LAST row
+        isl_last = np.concatenate([isl_starts[1:], [n]]) - 1
+        lengths = run_max[isl_last] - st[isl_starts]
+        isl_user = uid_s[isl_starts]
+        # per-user rollup of island lengths/counts (vectorized)
+        u_new = np.empty(len(isl_user), dtype=bool)
+        u_new[0] = True
+        u_new[1:] = isl_user[1:] != isl_user[:-1]
+        u_id = np.cumsum(u_new) - 1
+        covered = np.bincount(u_id, weights=lengths.astype(np.float64))
+        counts = np.bincount(u_id)
+        return pa.table(
+            {
+                "user_id": pa.array(isl_user[np.flatnonzero(u_new)], pa.int64()),
+                "covered_us": pa.array(covered.astype(np.int64), pa.int64()),
+                "n_intervals": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(cover, batch_format="pyarrow", num_cpus=1)
+    )
