@@ -758,6 +758,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o36_gaps_islands": _R3("o36_gaps_islands"),
         "o35_median_gap": _R3("o35_median_gap"),
         "o37_interval_coverage": _R3("o37_interval_coverage"),
+        "a30_weighted_median": _R3("a30_weighted_median"),
+        "seq_trigrams": _R3("seq_trigrams"),
     }
 
 
@@ -2199,6 +2201,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(user_id AS BIGINT) AS user_id, "
             "CAST(sum(en - st) AS BIGINT) AS covered_us, "
             "count(*) AS n_intervals FROM isl GROUP BY 1"
+        ),
+        "a30_weighted_median": (
+            "WITH h AS (SELECT l_returnflag AS f, l_quantity AS q, "
+            "sum(l_extendedprice) AS w FROM lineitem GROUP BY 1, 2), "
+            "c AS (SELECT f, q, sum(w) OVER (PARTITION BY f ORDER BY q) AS cum, "
+            "sum(w) OVER (PARTITION BY f) AS tot FROM h) "
+            "SELECT f AS l_returnflag, CAST(min(q) AS BIGINT) AS wmedian "
+            "FROM c WHERE cum >= tot / 2 GROUP BY 1"
+        ),
+        "seq_trigrams": (
+            "WITH s AS (SELECT user_id, event_type AS e1, "
+            "lead(event_type) OVER w AS e2, "
+            "lead(event_type, 2) OVER w AS e3, "
+            "lead(user_id, 2) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS u3 "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id)) "
+            "SELECT e1, e2, e3, count(*) AS n FROM s "
+            "WHERE e3 IS NOT NULL GROUP BY 1, 2, 3"
         ),
         # full Gopher keep-rule replicated in SQL (n-gram fractions via
         # lateral gram expansion; float comparisons use the IDENTICAL

@@ -774,3 +774,139 @@ def o37_interval_coverage(sf_dir: str, width_s: int = 300) -> rd.Dataset:
         .groupby("__part")
         .map_groups(cover, batch_format="pyarrow", num_cpus=1)
     )
+
+
+# -------------------------------------------------------- weighted median
+
+
+def a30_weighted_median(sf_dir: str) -> rd.Dataset:
+    """Weighted (lower) median: the smallest quantity whose cumulative
+    extended-price weight reaches half the group's total — the robust
+    aggregation the plain median family (a11/a22/a23) doesn't cover.
+    Same domain-bounded histogram shape as a23: per-block (flag, qty)
+    weight partials, one tiny groupby, cumulative scan inside a single
+    groups x domain block."""
+    li = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_quantity"]).aggregate(
+            [("l_extendedprice", "sum")]
+        )
+        return g.rename_columns(["l_returnflag", "l_quantity", "w"])
+
+    h = (
+        li.map_batches(hist, batch_format="pyarrow", batch_size=None)
+        .groupby(["l_returnflag", "l_quantity"])
+        .sum("w")
+        .map_batches(
+            lambda t: t.rename_columns(["l_returnflag", "l_quantity", "w"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .repartition(1)  # <= groups x domain rows by construction
+    )
+
+    def wmed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "wmedian": pa.array([], pa.int64()),
+                }
+            )
+        t = t.sort_by(
+            [("l_returnflag", "ascending"), ("l_quantity", "ascending")]
+        )
+        k = np.asarray(t.column("l_returnflag").to_pylist(), dtype=object)
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        ends = np.concatenate([starts[1:], [len(k)]])
+        names, meds = [], []
+        for st, en in zip(starts, ends):
+            cum = np.cumsum(w[st:en])
+            half = cum[-1] / 2
+            names.append(k[st])
+            meds.append(int(q[st + int(np.searchsorted(cum, half))]))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(names, pa.string()),
+                "wmedian": pa.array(meds, pa.int64()),
+            }
+        )
+
+    return h.map_batches(wmed, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------- sequence pattern mining
+
+
+def seq_trigrams(sf_dir: str) -> rd.Dataset:
+    """Sequential-pattern mining: corpus-wide counts of every length-3
+    event-type sequence (consecutive per user by time) — the Markovian
+    path-mining primitive.  ONE user-hash coarse shuffle; trigrams are
+    vectorized segment slices (no per-user loop); per-partition Arrow
+    pre-combine before the tiny (type^3-bounded) final groupby."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    n_parts = default_join_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        t = t.set_column(t.schema.get_field_index("ts"), "ts", us)
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    def tri(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        empty = pa.table(
+            {
+                "e1": pa.array([], pa.string()),
+                "e2": pa.array([], pa.string()),
+                "e3": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        n = len(uid)
+        if n < 3:
+            return empty
+        order = np.lexsort((eid, tsv, uid))
+        u_s, et_s = uid[order], et[order]
+        same2 = u_s[2:] == u_s[:-2]  # rows i, i+1, i+2 share the user
+        if not same2.any():
+            return empty
+        t3 = pa.table(
+            {
+                "e1": pa.array(et_s[:-2][same2], pa.string()),
+                "e2": pa.array(et_s[1:-1][same2], pa.string()),
+                "e3": pa.array(et_s[2:][same2], pa.string()),
+            }
+        )
+        g3 = t3.group_by(["e1", "e2", "e3"]).aggregate([([], "count_all")])
+        return g3.rename_columns(["e1", "e2", "e3", "n"])
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(tri, batch_format="pyarrow", num_cpus=1)
+        .groupby(["e1", "e2", "e3"])
+        .sum("n")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "e1": t.column(0),
+                    "e2": t.column(1),
+                    "e3": t.column(2),
+                    "n": t.column(3).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
