@@ -760,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o37_interval_coverage": _R3("o37_interval_coverage"),
         "a30_weighted_median": _R3("a30_weighted_median"),
         "seq_trigrams": _R3("seq_trigrams"),
+        "er_clusters": _R3("er_clusters"),
     }
 
 
@@ -2220,6 +2221,20 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) "
             "SELECT e1, e2, e3, count(*) AS n FROM s "
             "WHERE e3 IS NOT NULL GROUP BY 1, 2, 3"
+        ),
+        "er_clusters": (
+            "WITH RECURSIVE "
+            "e AS (SELECT a.p_partkey AS u, b.p_partkey AS v "
+            "FROM part a JOIN part b ON a.p_partkey < b.p_partkey "
+            "WHERE levenshtein(a.p_name, b.p_name) <= 1), "
+            "sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), "
+            "nodes AS (SELECT DISTINCT u AS node FROM sym), "
+            "reach(node, r) AS ("
+            "SELECT node, node FROM nodes "
+            "UNION "
+            "SELECT sym.v, reach.r FROM reach JOIN sym ON sym.u = reach.node) "
+            "SELECT CAST(node AS BIGINT) AS node, "
+            "CAST(min(r) AS BIGINT) AS label FROM reach GROUP BY 1"
         ),
         # full Gopher keep-rule replicated in SQL (n-gram fractions via
         # lateral gram expansion; float comparisons use the IDENTICAL

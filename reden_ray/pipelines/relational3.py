@@ -910,3 +910,34 @@ def seq_trigrams(sf_dir: str) -> rd.Dataset:
             batch_size=None,
         )
     )
+
+
+# --------------------------------------------------- entity resolution
+
+
+def er_clusters(sf_dir: str) -> rd.Dataset:
+    """Entity-resolution clusters end to end: SymSpell deletion-
+    neighborhood blocking finds all part-name pairs within edit
+    distance 1 (stages/fuzzy.ed1_pairs — one variant-hash shuffle, no
+    all-pairs), then the log-round star-contraction CC
+    (stages/cc.cc_min_labels) collapses the match graph into clusters
+    labelled by their minimum part key.  The standard dedupe/ER
+    composition (blocking -> match -> cluster), with BOTH stages
+    individually oracled elsewhere and the composition hash-verified
+    here via a levenshtein self-join + recursive-CTE oracle."""
+    from ..stages.cc import cc_min_labels
+    from ..stages.fuzzy import ed1_pairs
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    pairs = ed1_pairs(parts, "p_partkey", "p_name").map_batches(
+        lambda t: pa.table(
+            {
+                "u": t.column("id_a").cast(pa.int64()),
+                "v": t.column("id_b").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    labels, _converged = cc_min_labels(pairs)
+    return labels
