@@ -761,6 +761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a30_weighted_median": _R3("a30_weighted_median"),
         "seq_trigrams": _R3("seq_trigrams"),
         "er_clusters": _R3("er_clusters"),
+        "type_user_jaccard": _R3("type_user_jaccard"),
     }
 
 
@@ -2235,6 +2236,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sym.v, reach.r FROM reach JOIN sym ON sym.u = reach.node) "
             "SELECT CAST(node AS BIGINT) AS node, "
             "CAST(min(r) AS BIGINT) AS label FROM reach GROUP BY 1"
+        ),
+        "type_user_jaccard": (
+            "WITH du AS (SELECT DISTINCT event_type AS t, user_id AS u "
+            "FROM events), "
+            "c AS (SELECT t, count(*) AS n FROM du GROUP BY 1), "
+            "i AS (SELECT a.t AS ta, b.t AS tb, count(*) AS inter "
+            "FROM du a JOIN du b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2) "
+            "SELECT ta AS type_a, tb AS type_b, "
+            "CAST(inter AS BIGINT) AS n_common, "
+            "ROUND(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard "
+            "FROM i JOIN c ca ON ca.t = i.ta JOIN c cb ON cb.t = i.tb"
         ),
         # full Gopher keep-rule replicated in SQL (n-gram fractions via
         # lateral gram expansion; float comparisons use the IDENTICAL

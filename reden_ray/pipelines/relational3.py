@@ -941,3 +941,101 @@ def er_clusters(sf_dir: str) -> rd.Dataset:
     )
     labels, _converged = cc_min_labels(pairs)
     return labels
+
+
+# ---------------------------------------------------- audience similarity
+
+
+def type_user_jaccard(sf_dir: str) -> rd.Dataset:
+    """Audience-overlap analysis: Jaccard similarity between the USER
+    SETS of every pair of event types (the segment-similarity primitive
+    behind campaign/feature overlap dashboards).  Distinct (type, user)
+    pairs -> per-USER pair expansion in one user-hash coarse shuffle
+    (fan-out bounded by types-per-user^2) -> type-pair-domain-bounded
+    groupby; per-type set sizes ride in as a broadcast dict.  The
+    count-ratio Jaccard rounds HALF-AWAY at 6 dp (integer ratios land
+    on exact halves — the CLAUDE.md knife edge)."""
+    from ..stages.joins import default_join_partitions
+    from ..stages.partition import part_column
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    n_parts = default_join_partitions()
+
+    def dedup_partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    du = (
+        ev.map_batches(dedup_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "user_id"])
+        .count()
+        .select_columns(["event_type", "user_id"])
+        .materialize()  # two consumers: per-type sizes + pair expansion
+    )
+    sizes = {
+        r["event_type"]: int(r["count()"])
+        for r in du.groupby("event_type").count().take_all()
+    }  # type-domain-sized broadcast
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    def pairs(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        empty = pa.table(
+            {
+                "type_a": pa.array([], pa.string()),
+                "type_b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(uid) == 0:
+            return empty
+        order = np.lexsort((et, uid))
+        u_s, e_s = uid[order], et[order]
+        starts = np.flatnonzero(np.concatenate([[True], u_s[1:] != u_s[:-1]]))
+        ends = np.concatenate([starts[1:], [len(u_s)]])
+        a_parts, b_parts = [], []
+        for st, en in zip(starts, ends):  # per USER (types-per-user bounded)
+            ts = e_s[st:en]
+            if len(ts) > 1:
+                ia, ib = np.triu_indices(len(ts), k=1)
+                a_parts.append(ts[ia])
+                b_parts.append(ts[ib])
+        if not a_parts:
+            return empty
+        tt = pa.table(
+            {
+                "type_a": pa.array(np.concatenate(a_parts), pa.string()),
+                "type_b": pa.array(np.concatenate(b_parts), pa.string()),
+            }
+        )
+        g2 = tt.group_by(["type_a", "type_b"]).aggregate([([], "count_all")])
+        return g2.rename_columns(["type_a", "type_b", "n"])
+
+    inter = (
+        du.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(pairs, batch_format="pyarrow", num_cpus=1)
+        .groupby(["type_a", "type_b"])
+        .sum("n")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ta = np.asarray(t.column(0).to_pylist(), dtype=object)
+        tb = np.asarray(t.column(1).to_pylist(), dtype=object)
+        n = t.column(2).to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = np.array([sizes[x] for x in ta], dtype=np.float64)
+        cb = np.array([sizes[x] for x in tb], dtype=np.float64)
+        jac = n * 1.0 / (ca + cb - n)
+        jac = np.floor(jac * 1e6 + 0.5) / 1e6  # half-away, x >= 0
+        return pa.table(
+            {
+                "type_a": pa.array(ta, pa.string()),
+                "type_b": pa.array(tb, pa.string()),
+                "n_common": pa.array(n.astype(np.int64), pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return inter.map_batches(finish, batch_format="pyarrow", batch_size=None)
