@@ -749,7 +749,12 @@ def graph_cc_labels(sf_dir: str, min_support: int = 2) -> rd.Dataset:
         .map_groups(reduce_pairs, batch_format="pyarrow", num_cpus=1)
     )
 
-    labels, _converged = cc_min_labels(pairs)
+    labels, converged = cc_min_labels(pairs)
+    if not converged:
+        raise RuntimeError(
+            "cc_min_labels exhausted max_rounds without converging; "
+            "labels would be wrong (output is hash-compared vs exact CC)"
+        )
     return labels
 
 

@@ -253,8 +253,11 @@ def assoc_rules(sf_dir: str, min_support: int = 3) -> rd.Dataset:
                 "ante": t.column("ante").cast(pa.int64()),
                 "cons": t.column("cons").cast(pa.int64()),
                 "support": t.column("c12").cast(pa.int64()),
-                "confidence": pa.array(np.round(conf, 6), pa.float64()),
-                "lift": pa.array(np.round(lift, 6), pa.float64()),
+                # half-away (x >= 0): integer count ratios can be exactly
+                # dyadic and land ON a 6-dp half; np.round is half-even
+                # while the DuckDB oracle's ROUND is half-away.
+                "confidence": pa.array(np.floor(conf * 1e6 + 0.5) / 1e6, pa.float64()),
+                "lift": pa.array(np.floor(lift * 1e6 + 0.5) / 1e6, pa.float64()),
             }
         )
 
@@ -742,8 +745,18 @@ def o37_interval_coverage(sf_dir: str, width_s: int = 300) -> rd.Dataset:
         # segmented running max of ends: shift each user's ends onto a
         # disjoint ascending range, ONE global cummax, shift back
         span = int(en.max() - st.min()) + 1
-        shifted = (en - st.min()) + seg * span
-        run_max = np.maximum.accumulate(shifted) - seg * span + st.min()
+        n_segs = int(seg[-1]) + 1
+        if n_segs * span < 2**62:
+            shifted = (en - st.min()) + seg * span
+            run_max = np.maximum.accumulate(shifted) - seg * span + st.min()
+        else:
+            # wide timestamp range x many segments would overflow int64 in
+            # the disjoint-offset trick; do the cummax per segment instead
+            # (rare path: only for pathologically wide ranges)
+            run_max = np.empty(n, dtype=np.int64)
+            bounds = np.append(np.flatnonzero(new_user), n)
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                run_max[a:b] = np.maximum.accumulate(en[a:b])
         prev_max = np.empty(n, dtype=np.int64)
         prev_max[1:] = run_max[:-1]
         new_island = new_user.copy()
@@ -939,7 +952,12 @@ def er_clusters(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow",
         batch_size=None,
     )
-    labels, _converged = cc_min_labels(pairs)
+    labels, converged = cc_min_labels(pairs)
+    if not converged:
+        raise RuntimeError(
+            "cc_min_labels exhausted max_rounds without converging; "
+            "labels would be wrong (output is hash-compared vs exact CC)"
+        )
     return labels
 
 

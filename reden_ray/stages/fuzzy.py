@@ -532,7 +532,20 @@ def jaro_winkler_top1(
                 "probe_id": row.column("probe_id"),
                 "probe": pa.array([probe_text[pid]], pa.string()),
                 "best_match": row.column("best_match"),
-                "similarity": pc.round(row.column("similarity"), 4),
+                # half-away: non-boosted JW values can be exactly dyadic
+                # (21/32 = 0.65625 is a 4-dp half); pc.round defaults to
+                # half-even while the DuckDB oracle ROUND is half-away.
+                "similarity": pa.array(
+                    np.floor(
+                        row.column("similarity")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64)
+                        * 1e4
+                        + 0.5
+                    )
+                    / 1e4,
+                    pa.float64(),
+                ),
             }
         )
 
