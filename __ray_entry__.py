@@ -686,6 +686,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bigram_topk": R.text_bigram_topk,
         # round-4 batch 3
         "graph_adamic_adar": R.graph_adamic_adar,
+        # round 5: hub-cap path, cap >= max degree -> exact + truncated=False
+        "graph_adamic_adar_capped": R.graph_adamic_adar_capped,
         "text_ppl_buckets": R.text_ppl_buckets,
         "approx_count_min": _approx_count_min,
         "a21_regr_by_group": R.a21_regr_by_group,
@@ -1523,6 +1525,26 @@ def oracle_sql() -> dict[str, str]:
             "(ORDER BY score DESC, u, v) AS rn FROM ne) "
             "SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, score "
             "FROM ranked WHERE rn <= 50"
+        ),
+        # identical plan to graph_adamic_adar (cap 1024 >= max degree 206 at
+        # sf0.01 so no sampling fires) + the all-False truncated flag column
+        "graph_adamic_adar_capped": (
+            "WITH ps AS (SELECT DISTINCT l_orderkey AS p, l_partkey AS s FROM lineitem), "
+            "e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a "
+            "JOIN ps b ON a.p = b.p AND a.s < b.s), "
+            "adj AS (SELECT u AS node, v AS nbr FROM e "
+            "UNION ALL SELECT v AS node, u AS nbr FROM e), "
+            "deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node), "
+            "wed AS (SELECT least(a.nbr, b.nbr) AS u, greatest(a.nbr, b.nbr) AS v, "
+            "1.0 / ln(deg.d) AS w FROM adj a JOIN adj b "
+            "ON a.node = b.node AND a.nbr < b.nbr JOIN deg ON deg.node = a.node), "
+            "sc AS (SELECT u, v, ROUND(sum(w), 4) AS score FROM wed GROUP BY u, v), "
+            "ne AS (SELECT sc.u, sc.v, sc.score FROM sc LEFT JOIN e "
+            "ON e.u = sc.u AND e.v = sc.v WHERE e.u IS NULL), "
+            "ranked AS (SELECT u, v, score, row_number() OVER "
+            "(ORDER BY score DESC, u, v) AS rn FROM ne) "
+            "SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, score, "
+            "FALSE AS truncated FROM ranked WHERE rn <= 50"
         ),
         "text_ppl_buckets": (
             "WITH tok AS ("

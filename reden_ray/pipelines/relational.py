@@ -3557,6 +3557,29 @@ def graph_adamic_adar(sf_dir: str, k: int = 50) -> rd.Dataset:
     return adamic_adar_topk(_cooccur_edges(sf_dir, "l_orderkey", "l_partkey"), k=k)
 
 
+def graph_adamic_adar_capped(
+    sf_dir: str, k: int = 50, max_degree: int = 1024
+) -> rd.Dataset:
+    """graph_adamic_adar through the hub-cap path: centers above
+    ``max_degree`` expand only a deterministic fmix64-ranked sample of
+    neighbors and the output carries a ``truncated`` flag (the
+    web-scale Adamic-Adar mitigation — a hub of degree d otherwise
+    emits O(d^2) wedge pairs).  The default cap (1024) exceeds the
+    co-order graph's max degree at every test sf (138/206/222 at
+    sf0.001/0.01/0.1), so no sampling fires, truncated is all-False,
+    and the scores hash-match the exact SQL oracle — the gate proves
+    the capped path's plumbing is exact when it doesn't bite.  The
+    sampling behavior itself (cap < max degree) is pinned by pytest
+    subset/flag tests and measured in SCALE.md."""
+    from ..stages.linkpred import adamic_adar_topk
+
+    return adamic_adar_topk(
+        _cooccur_edges(sf_dir, "l_orderkey", "l_partkey"),
+        k=k,
+        max_degree=max_degree,
+    )
+
+
 def graph_common_neighbors(sf_dir: str, k: int = 50) -> rd.Dataset:
     """Common-neighbors link prediction over the part co-order graph —
     same wedge plan as graph_adamic_adar with unit center weights, so

@@ -22,10 +22,16 @@ the triangle-count machinery (stages/triangles.py) but groups by the
    merge, the o1 shape).
 
 Scale note: per-center fan-out is O(d^2) — a true hub blows up step 3.
-``max_degree`` caps it (centers above the cap are skipped and counted
-in the ``skipped_hubs`` accounting column of no row — callers that
-need exactness on hubby graphs must leave it None, as the oracled
-query does on the bounded co-supply graph).
+``max_degree`` caps it: a center above the cap expands only a
+DETERMINISTIC hash-ranked sample of ``max_degree`` of its neighbors
+(process-stable fmix64 of (center, nbr) — never Python ``hash``), the
+center weight still uses the TRUE degree, and every surviving pair
+that touched a sampled center carries ``truncated=True`` (OR-ed
+through both pair reduces), mirroring ``stages/dedup.py``'s
+``max_bucket`` convention.  With ``max_degree`` >= the graph's max
+degree no sampling fires and scores equal the exact (None) path;
+``max_degree=None`` keeps the exact (u, v, score) schema with no
+``truncated`` column.
 """
 
 from __future__ import annotations
@@ -70,20 +76,28 @@ def linkpred_topk(
 
     Output columns ``(u, v, score)`` with u < v, float scores rounded
     to 4 dp (ranking uses the ROUNDED score so Ray/SQL float ulp noise
-    cannot reorder the cut), ties broken by (u, v)."""
+    cannot reorder the cut), ties broken by (u, v).
+
+    ``max_degree`` (the web-scale hub lever): centers above the cap
+    expand only a deterministic fmix64-ranked sample of ``max_degree``
+    neighbors (true degree still weights the center), and the output
+    gains a ``truncated`` bool column — True on any pair whose score
+    took at least one sampled center.  Cap >= max degree == exact."""
     from .joins import shuffle_anti_join, smart_join, staged_nonempty
     from .partition import expansion_partitions, part_column
 
     if method not in ("adamic_adar", "common_neighbors", "jaccard"):
         raise ValueError(f"unknown link-prediction method: {method}")
 
-    empty = pa.table(
-        {
-            "u": pa.array([], pa.int64()),
-            "v": pa.array([], pa.int64()),
-            "score": pa.array([], pa.float64()),
-        }
-    )
+    capped = max_degree is not None
+    empty_cols = {
+        "u": pa.array([], pa.int64()),
+        "v": pa.array([], pa.int64()),
+        "score": pa.array([], pa.float64()),
+    }
+    if capped:
+        empty_cols["truncated"] = pa.array([], pa.bool_())
+    empty = pa.table(empty_cols)
     e = _distinct_edges(edges, src, dst).materialize()
     if e.count() == 0:
         return rd.from_arrow(empty)
@@ -104,6 +118,8 @@ def linkpred_topk(
         return t.append_column("__part", part_column(t, ["node"], n_parts))
 
     def wedge_weights(g: pa.Table) -> pa.Table:
+        from .dedup import _fmix64
+
         g = g.drop_columns("__part").sort_by(
             [("node", "ascending"), ("nbr", "ascending")]
         )
@@ -112,24 +128,39 @@ def linkpred_topk(
         n = len(c)
         starts = np.flatnonzero(np.concatenate([[True], c[1:] != c[:-1]]))
         ends = np.concatenate([starts[1:], [n]])
-        us, vs, ws = [], [], []
+        us, vs, ws, trs = [], [], [], []
         for st, en in zip(starts, ends):  # per CENTER node
             d = en - st
-            if d < 2 or (max_degree is not None and d > max_degree):
+            if d < 2:
                 continue
             nbrs = nb[st:en]
-            iu = np.triu_indices(d, 1)
+            trunc = capped and d > max_degree
+            if trunc:
+                # deterministic hash-ranked neighbor sample: fmix64 of
+                # (center ^ nbr-mix) — process-stable, no Python hash();
+                # ties (improbable) break by nbr id.  Weight keeps the
+                # TRUE degree so cap >= max degree reproduces exact.
+                h = _fmix64(
+                    nbrs.astype(np.int64).view(np.uint64)
+                    ^ _fmix64(np.array([c[st]], dtype=np.int64).view(np.uint64))
+                )
+                keep = np.lexsort((nbrs, h))[:max_degree]
+                nbrs = np.sort(nbrs[keep])
+            m = len(nbrs)
+            iu = np.triu_indices(m, 1)
             a, b = nbrs[iu[0]], nbrs[iu[1]]
             us.append(a)
             vs.append(b)
             w = 1.0 / np.log(d) if method == "adamic_adar" else 1.0
             ws.append(np.full(len(a), w))
+            trs.append(np.full(len(a), trunc))
         if not us:
             return pa.table(
                 {
                     "u": pa.array([], pa.int64()),
                     "v": pa.array([], pa.int64()),
                     "w": pa.array([], pa.float64()),
+                    "trunc": pa.array([], pa.bool_()),
                     "__part": pa.array([], pa.int64()),
                 }
             )
@@ -138,22 +169,23 @@ def linkpred_topk(
                 "u": pa.array(np.concatenate(us), pa.int64()),
                 "v": pa.array(np.concatenate(vs), pa.int64()),
                 "w": pa.array(np.concatenate(ws), pa.float64()),
+                "trunc": pa.array(np.concatenate(trs), pa.bool_()),
             }
         )
         # block-local pre-combine before the pair shuffle; the pair
         # partition id is tagged HERE so the 100M-row wedge stream is
         # touched once, not re-mapped by a separate tagging pass
-        t2 = t2.group_by(["u", "v"]).aggregate([("w", "sum")])
-        t2 = t2.rename_columns(["u", "v", "w"])
+        t2 = t2.group_by(["u", "v"]).aggregate([("w", "sum"), ("trunc", "any")])
+        t2 = t2.rename_columns(["u", "v", "w", "trunc"])
         return t2.append_column("__part", part_column(t2, ["u", "v"], n_parts))
 
     def pair_sum(g: pa.Table) -> pa.Table:
         t2 = (
             g.drop_columns("__part")
             .group_by(["u", "v"])
-            .aggregate([("w", "sum")])
+            .aggregate([("w", "sum"), ("trunc", "any")])
         )
-        return t2.rename_columns(["u", "v", "w"])
+        return t2.rename_columns(["u", "v", "w", "trunc"])
 
     # pair reduce = a SECOND coarse-partition map_groups, NOT a native
     # groupby(["u","v"]).sum: Ray 2.49's multi-key sort aggregate
@@ -175,7 +207,10 @@ def linkpred_topk(
             s = pa.array(np.rint(w).astype(np.int64), pa.int64())
         else:
             s = pa.array(np.round(w, 4), pa.float64())
-        return pa.table({"u": t.column("u"), "v": t.column("v"), "score": s})
+        cols = {"u": t.column("u"), "v": t.column("v"), "score": s}
+        if capped:
+            cols["truncated"] = t.column("trunc")
+        return pa.table(cols)
 
     scored = scores.map_batches(finish, batch_format="pyarrow", batch_size=None)
     # map_groups output commonly leads with a zero-row block (Ray 2.49
@@ -217,15 +252,14 @@ def linkpred_topk(
             c = t.column("score").to_numpy(zero_copy_only=False)
             du = t.column("du").to_numpy(zero_copy_only=False).astype(np.float64)
             dv = t.column("dv").to_numpy(zero_copy_only=False).astype(np.float64)
-            return pa.table(
-                {
-                    "u": t.column("u"),
-                    "v": t.column("v"),
-                    "score": pa.array(
-                        np.round(c / (du + dv - c), 4), pa.float64()
-                    ),
-                }
-            )
+            cols = {
+                "u": t.column("u"),
+                "v": t.column("v"),
+                "score": pa.array(np.round(c / (du + dv - c), 4), pa.float64()),
+            }
+            if capped:
+                cols["truncated"] = t.column("truncated")
+            return pa.table(cols)
 
         non_edges = joined.map_batches(jac, batch_format="pyarrow", batch_size=None)
 

@@ -82,8 +82,43 @@ def test_adamic_adar_empty_and_star():
     assert len(out) == 6  # C(4,2)
     w = round(1.0 / math.log(4), 4)
     assert all(abs(s - w) < 1e-9 for s in out["score"])
-    # max_degree cap below the hub's degree yields nothing
-    assert adamic_adar_topk(star, k=10, max_degree=3).count() == 0
+    # max_degree below the hub's degree: deterministic hash-ranked
+    # SAMPLE of 3 of the 4 leaves -> C(3,2)=3 pairs, all flagged
+    # truncated, weight still from the TRUE degree (1/ln 4)
+    capped = adamic_adar_topk(star, k=10, max_degree=3).to_pandas()
+    assert len(capped) == 3
+    assert capped["truncated"].all()
+    assert all(abs(s - w) < 1e-9 for s in capped["score"])
+
+
+def test_max_degree_cap_exact_when_loose_and_subset_when_tight():
+    rng = np.random.RandomState(11)
+    pairs = [(int(rng.randint(0, 20)), int(rng.randint(0, 20))) for _ in range(90)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([p[0] for p in pairs], pa.int64()),
+                "v": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    exact = adamic_adar_topk(ds, k=200).to_pandas()
+    # cap >= max degree: scores identical to exact, truncated all False
+    loose = adamic_adar_topk(ds, k=200, max_degree=1000).to_pandas()
+    assert list(loose.columns) == ["u", "v", "score", "truncated"]
+    assert not loose["truncated"].any()
+    assert list(zip(loose["u"], loose["v"], loose["score"])) == list(
+        zip(exact["u"], exact["v"], exact["score"])
+    )
+    # tight cap: every emitted pair is a wedge of the real graph (subset
+    # of the exact PAIR set), something is flagged truncated on this
+    # hubby graph, and the sample is deterministic across runs
+    tight = adamic_adar_topk(ds, k=200, max_degree=3).to_pandas()
+    exact_pairs = set(zip(exact["u"], exact["v"]))
+    assert set(zip(tight["u"], tight["v"])) <= exact_pairs
+    assert tight["truncated"].any()
+    tight2 = adamic_adar_topk(ds, k=200, max_degree=3).to_pandas()
+    assert tight.equals(tight2)
 
 
 def _naive_method(pairs, k, method):
