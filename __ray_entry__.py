@@ -67,6 +67,297 @@ def _web_url_dedup(sf_dir: str):
     ).select_columns(["canonical_url", "domain", "warc_ts"])
 
 
+# ---------------------------------------------------------------------------
+# Full degree-centrality linker expressed in DuckDB SQL (the kg_links_degree /
+# kg_triples / kg_pred_frequency / kg_ambiguity_report oracles).  Replicates,
+# over the fixture parquet, the exact per-context algorithm of
+# reden_ray.core.linker (mention extraction, dictionary candidate groups with
+# last-NE-type-wins merge, sameAs equivalence crediting in canonical scan
+# order, hub fusion with first-edge-wins, 2-surface pruning, weighted degree
+# centrality / (n-1), argmax with last-inserted tie-break, preferred-URI ALL
+# expansion via the last-writer inverted index).  Verified MATCH vs the Ray
+# pipeline at sf0.001 and sf0.01.  {FX} is the fixture dir (sf0.01 shape --
+# the scale the driver and the pytest oracle harness compare at).
+_KG_LINKER_CTES = """\
+-- Full degree-centrality entity-linking oracle over the fixture parquet.
+-- {FX} is replaced with the fixture dir.
+WITH ser AS (SELECT unnest(generate_series(0, 255)) AS k),
+pg AS (SELECT url, decode(html) AS h
+       FROM read_parquet('{FX}/pages.parquet/*.parquet')),
+ctx AS (
+  SELECT url, k AS context_id,
+         list_extract(regexp_extract_all(h, '(?s)<p(?:\\s[^>]*)?>(.*?)</p>', 1), k + 1) AS ctx_html
+  FROM pg, ser
+  WHERE k < len(regexp_extract_all(h, '(?s)<p(?:\\s[^>]*)?>(.*?)</p>', 1))
+),
+men AS (
+  SELECT url, context_id, k AS mention_id,
+         list_extract(regexp_extract_all(ctx_html, '(?s)<span class="ne" data-type="([A-Z]+)">(.*?)</span>', 2), k + 1) AS surface,
+         list_extract(regexp_extract_all(ctx_html, '(?s)<span class="ne" data-type="([A-Z]+)">(.*?)</span>', 1), k + 1) AS ne_type
+  FROM ctx, ser
+  WHERE k < len(regexp_extract_all(ctx_html, '(?s)<span class="ne" data-type="([A-Z]+)">(.*?)</span>', 1))
+),
+men2 AS (SELECT *, lower(regexp_replace(surface, '(\\s|''|-)', '', 'g')) AS norm FROM men),
+dict AS (SELECT alias_norm, kind, uri_group, file_row_number AS rn
+         FROM read_parquet('{FX}/dictionary.parquet', file_row_number = true)),
+grp0 AS (
+  SELECT kind, alias_norm, uri_group, min(rn) AS grn
+  FROM dict GROUP BY kind, alias_norm, uri_group
+),
+grp AS (SELECT kind, alias_norm, uri_group,
+               row_number() OVER (PARTITION BY kind, alias_norm ORDER BY grn) AS g_idx,
+               count(*) OVER (PARTITION BY kind, alias_norm) AS n_groups
+        FROM grp0),
+-- candidate map per (ctx, surface): last NE type in (PER, LOC) order wins
+sk AS (
+  SELECT DISTINCT m.url, m.context_id, m.surface, m.norm, m.ne_type
+  FROM men2 m
+  WHERE EXISTS (SELECT 1 FROM grp g WHERE g.kind = m.ne_type AND g.alias_norm = m.norm)
+),
+smap AS (
+  SELECT url, context_id, surface, norm,
+         CASE max(CASE ne_type WHEN 'PER' THEN 1 WHEN 'LOC' THEN 2 END)
+              WHEN 1 THEN 'PER' ELSE 'LOC' END AS kind
+  FROM sk GROUP BY 1, 2, 3, 4
+),
+cmap AS (
+  SELECT s.url, s.context_id, s.surface, g.uri_group, g.g_idx, g.n_groups
+  FROM smap s JOIN grp g ON g.kind = s.kind AND g.alias_norm = s.norm
+),
+route AS (
+  SELECT url, context_id,
+         CASE WHEN max(n_groups) >= 2 THEN 'Ok' ELSE 'NoAmbiguity' END AS route
+  FROM cmap GROUP BY 1, 2
+),
+-- surfaces in first-appearance order among candidate surfaces
+srank AS (
+  SELECT url, context_id, surface,
+         row_number() OVER (PARTITION BY url, context_id ORDER BY min(first_mid)) AS s_rank
+  FROM (
+    SELECT c.url, c.context_id, c.surface, min(m.mention_id) AS first_mid
+    FROM (SELECT DISTINCT url, context_id, surface FROM cmap) c
+    JOIN men2 m USING (url, context_id, surface)
+    GROUP BY 1, 2, 3
+  ) GROUP BY url, context_id, surface
+),
+-- (ctx, surface, group, uri) enumeration in canonical scan order
+gu AS (
+  SELECT c.url, c.context_id, c.surface, r.s_rank, c.g_idx, k + 1 AS u_idx,
+         list_extract(c.uri_group, k + 1) AS uri,
+         contains(list_extract(c.uri_group, k + 1), 'http://kb.test/') AS is_base
+  FROM cmap c JOIN srank r USING (url, context_id, surface), ser
+  WHERE k < len(c.uri_group)
+),
+gbase AS (
+  SELECT url, context_id, surface, s_rank, g_idx,
+         min(CASE WHEN is_base THEN uri END) AS base
+  FROM gu GROUP BY 1, 2, 3, 4, 5
+),
+adj AS (SELECT subj, pred, obj, file_row_number AS arow
+        FROM read_parquet('{FX}/adjacency.parquet', file_row_number = true)),
+hasdata AS (SELECT DISTINCT subj FROM adj),
+rels AS (SELECT lower(pred) AS pred, weight
+         FROM read_parquet('{FX}/rels.parquet')),
+-- equivalence references in canonical scan order; first credit per alias wins
+refs AS (
+  SELECT g.url, g.context_id, gb.base, a.obj AS alias,
+         g.s_rank, g.g_idx, g.u_idx, a.arow
+  FROM gu g
+  JOIN gbase gb USING (url, context_id, surface, s_rank, g_idx)
+  JOIN adj a ON a.subj = g.uri AND a.pred = 'http://kb.test/sameAs'
+  WHERE g.is_base AND a.obj IN (SELECT subj FROM hasdata)
+  UNION ALL
+  SELECT g.url, g.context_id, gb.base, g.uri AS alias,
+         g.s_rank, g.g_idx, g.u_idx, -1 AS arow
+  FROM gu g
+  JOIN gbase gb USING (url, context_id, surface, s_rank, g_idx)
+  WHERE NOT g.is_base AND g.uri IN (SELECT subj FROM hasdata)
+),
+cred AS (
+  SELECT url, context_id, base, alias, s_rank, g_idx, u_idx, arow,
+         row_number() OVER (PARTITION BY url, context_id, alias
+                            ORDER BY s_rank, g_idx, u_idx, arow) AS rnk
+  FROM refs
+),
+equiv AS (
+  SELECT url, context_id, base, alias,
+         row_number() OVER (PARTITION BY url, context_id, base
+                            ORDER BY s_rank, g_idx, u_idx, arow) AS eq_order
+  FROM cred WHERE rnk = 1
+),
+-- fusion edges: hub base -> statement objects of each equivalent alias
+eraw AS (
+  SELECT e.url, e.context_id, e.base AS src, a.obj AS dst, a.pred,
+         COALESCE(r.weight, 1.0) AS w, e.eq_order, a.arow
+  FROM equiv e
+  JOIN adj a ON a.subj = e.alias
+  LEFT JOIN rels r ON r.pred = lower(a.pred)
+  WHERE a.pred <> 'http://kb.test/sameAs'
+    AND lower(e.alias) <> lower(e.base)
+    AND lower(a.obj) <> lower(e.base)
+),
+e1 AS (
+  SELECT url, context_id, src, dst, pred, w FROM (
+    SELECT *, row_number() OVER (PARTITION BY url, context_id, src, dst
+                                 ORDER BY eq_order, arow) AS ernk
+    FROM eraw
+  ) WHERE ernk = 1
+),
+colored AS (SELECT DISTINCT url, context_id, base AS uri FROM gbase),
+-- inverted index: uri -> LAST-writing surface in canonical scan order
+inv AS (
+  SELECT url, context_id, uri, surface FROM (
+    SELECT url, context_id, uri, surface,
+           row_number() OVER (PARTITION BY url, context_id, uri
+                              ORDER BY s_rank DESC, g_idx DESC, u_idx DESC) AS rn
+    FROM gu
+  ) WHERE rn = 1
+),
+-- prune: non-colored dst kept only if its colored neighbors span >= 2 surfaces
+noncol AS (
+  SELECT DISTINCT e.url, e.context_id, e.dst
+  FROM e1 e
+  LEFT JOIN colored c ON c.url = e.url AND c.context_id = e.context_id AND c.uri = e.dst
+  WHERE c.uri IS NULL
+),
+kept_noncol AS (
+  SELECT n.url, n.context_id, n.dst
+  FROM noncol n
+  JOIN e1 e ON e.url = n.url AND e.context_id = n.context_id AND e.dst = n.dst
+  JOIN inv i ON i.url = n.url AND i.context_id = n.context_id AND i.uri = e.src
+  GROUP BY 1, 2, 3
+  HAVING count(DISTINCT i.surface) >= 2
+),
+pruned_edges AS (
+  SELECT e.* FROM e1 e
+  WHERE EXISTS (SELECT 1 FROM colored c WHERE c.url = e.url AND c.context_id = e.context_id AND c.uri = e.dst)
+     OR EXISTS (SELECT 1 FROM kept_noncol k WHERE k.url = e.url AND k.context_id = e.context_id AND k.dst = e.dst)
+),
+verts AS (
+  SELECT url, context_id, uri FROM colored
+  UNION
+  SELECT url, context_id, dst AS uri FROM kept_noncol
+),
+nv AS (SELECT url, context_id, count(*) AS n FROM verts GROUP BY 1, 2),
+wd AS (
+  SELECT url, context_id, uri, sum(w) AS wdeg FROM (
+    SELECT url, context_id, src AS uri, w FROM pruned_edges
+    UNION ALL
+    SELECT url, context_id, dst AS uri, w FROM pruned_edges
+  ) GROUP BY 1, 2, 3
+),
+cent AS (
+  SELECT v.url, v.context_id, v.uri,
+         CASE WHEN nv.n <= 1 THEN 0.0
+              ELSE COALESCE(wd.wdeg, 0.0) / (nv.n - 1) END AS c
+  FROM verts v
+  JOIN nv USING (url, context_id)
+  LEFT JOIN wd ON wd.url = v.url AND wd.context_id = v.context_id AND wd.uri = v.uri
+),
+-- per-surface argmax with reference tie-break (last-inserted among max ties)
+sres AS (
+  SELECT g.url, g.context_id, g.surface, g.uri AS base,
+         min(g.g_idx * 1000 + g.u_idx) AS ins
+  FROM gu g
+  WHERE EXISTS (SELECT 1 FROM colored c WHERE c.url = g.url AND c.context_id = g.context_id AND c.uri = g.uri)
+  GROUP BY 1, 2, 3, 4
+),
+win AS (
+  SELECT url, context_id, surface, winner, wscore FROM (
+    SELECT s.url, s.context_id, s.surface, s.base AS winner, ct.c AS wscore,
+           row_number() OVER (PARTITION BY s.url, s.context_id, s.surface
+                              ORDER BY ct.c DESC, s.ins DESC) AS rnk
+    FROM sres s
+    JOIN cent ct ON ct.url = s.url AND ct.context_id = s.context_id AND ct.uri = s.base
+  ) WHERE rnk = 1
+),
+-- preferred-URI 'ALL' expansion via the winner's inverted-index owner
+chosen_str AS (
+  SELECT w.url, w.context_id, w.surface, w.wscore,
+         string_agg(g.uri, ' ' ORDER BY g.g_idx, g.u_idx) AS chosen
+  FROM win w
+  JOIN inv o ON o.url = w.url AND o.context_id = w.context_id AND o.uri = w.winner
+  JOIN gu g ON g.url = w.url AND g.context_id = w.context_id AND g.surface = o.surface
+  WHERE EXISTS (SELECT 1 FROM gu g2
+                WHERE g2.url = g.url AND g2.context_id = g.context_id
+                  AND g2.surface = g.surface AND g2.g_idx = g.g_idx AND g2.uri = w.winner)
+  GROUP BY 1, 2, 3, 4
+),
+-- group 0 string for NoAmbiguity links
+grp1 AS (
+  SELECT c.url, c.context_id, c.surface,
+         array_to_string(c.uri_group, ' ') AS g0
+  FROM cmap c WHERE c.g_idx = 1
+),
+linked AS (
+  SELECT m.url, m.context_id,
+         COALESCE(r.route, 'NoAmbiguity') AS route,
+         m.mention_id, m.surface, m.ne_type,
+         CASE WHEN r.route = 'Ok' AND ch.chosen IS NOT NULL THEN ch.chosen
+              WHEN COALESCE(r.route, 'NoAmbiguity') = 'NoAmbiguity' AND g1.g0 IS NOT NULL THEN g1.g0
+              ELSE '' END AS chosen,
+         CASE WHEN r.route = 'Ok' AND ch.chosen IS NOT NULL
+              THEN ROUND(ch.wscore, 6) END AS score,
+         CASE WHEN r.route = 'Ok' AND ch.chosen IS NOT NULL THEN 'centrality'
+              WHEN COALESCE(r.route, 'NoAmbiguity') = 'NoAmbiguity' AND g1.g0 IS NOT NULL THEN 'unambiguous'
+              ELSE 'nil' END AS method
+  FROM men2 m
+  LEFT JOIN route r USING (url, context_id)
+  LEFT JOIN chosen_str ch ON ch.url = m.url AND ch.context_id = m.context_id AND ch.surface = m.surface
+  LEFT JOIN grp1 g1 ON g1.url = m.url AND g1.context_id = m.context_id AND g1.surface = m.surface
+)
+"""
+
+_KG_LINKS_TAIL = """\
+SELECT url, CAST(context_id AS INT) AS context_id, route,
+       CAST(mention_id AS INT) AS mention_id, surface, ne_type, chosen, score, method
+FROM linked
+"""
+
+_KG_TRIPLES_TAIL = """\
+SELECT e.url, CAST(e.context_id AS INT) AS context_id, e.src AS subj, e.pred,
+       e.dst AS obj, e.w AS weight
+FROM pruned_edges e JOIN route r ON r.url = e.url AND r.context_id = e.context_id
+WHERE r.route = 'Ok'
+"""
+
+_KG_PREDFREQ_TAIL = """\
+SELECT e.pred, CAST(count(*) AS BIGINT) AS n
+FROM pruned_edges e JOIN route r ON r.url = e.url AND r.context_id = e.context_id
+WHERE r.route = 'Ok' GROUP BY e.pred
+"""
+
+_KG_AMBIGUITY_TAIL = """\
+, mng AS (
+  SELECT m.url, m.context_id, m.mention_id, m.surface,
+         COALESCE(g.n_groups, 0) AS n_groups
+  FROM men2 m
+  LEFT JOIN (SELECT kind, alias_norm, max(n_groups) AS n_groups
+             FROM grp GROUP BY 1, 2) g
+         ON g.kind = m.ne_type AND g.alias_norm = m.norm
+)
+SELECT surface, CAST(count(*) AS BIGINT) AS n_mentions,
+       ROUND(avg(n_groups), 6) AS mean_referents,
+       CAST(max(n_groups) AS INT) AS max_referents
+FROM mng GROUP BY surface
+"""
+
+
+def _kg_oracle_entries() -> dict:
+    """Fixture-path-bound oracle SQL for the KG family.  The driver (and
+    the pytest oracle harness) compare at sf0.01, so the fixture path is
+    pinned to that shape; calling _fixture_for also (re)generates the
+    content-addressed fixture so the oracle never races the query."""
+    fx = _fixture_for("/root/testdata/sf0.01")
+    pre = _KG_LINKER_CTES.replace("{FX}", fx)
+    return {
+        "kg_links_degree": pre + _KG_LINKS_TAIL,
+        "kg_triples": pre + _KG_TRIPLES_TAIL,
+        "kg_pred_frequency": pre + _KG_PREDFREQ_TAIL,
+        "kg_ambiguity_report": pre + _KG_AMBIGUITY_TAIL,
+    }
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; returns the links dataset."""
     from reden_ray.pipelines.kg import links_view, run_fixture_pipeline
@@ -81,6 +372,43 @@ def _kg_links(sf_dir: str):
     from reden_ray.pipelines.kg import links_view, run_fixture_pipeline
 
     return links_view(run_fixture_pipeline(_fixture_for(sf_dir)))
+
+
+def _kg_links_degree(sf_dir: str):
+    """The full NEL link table under a DuckDB hash gate: links_view with
+    ``chosen_uris`` space-joined (the reference's own wire format — the
+    preferred-URI 'ALL' expansion is a space-joined string it splits)
+    and the degree-centrality score rounded half-away at 6 dp on both
+    sides.  Oracle: _KG_LINKER_CTES + _KG_LINKS_TAIL — the whole
+    fuse -> prune -> degree -> choose algorithm in SQL."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from reden_ray.pipelines.kg import links_view, run_fixture_pipeline
+
+    links = links_view(run_fixture_pipeline(_fixture_for(sf_dir)))
+
+    def fin(t: pa.Table) -> pa.Table:
+        chosen = pc.binary_join(t.column("chosen_uris"), " ")
+        s = t.column("score").to_numpy(zero_copy_only=False).astype(np.float64)
+        mask = np.isnan(s)
+        r = np.floor(s * 1e6 + 0.5) / 1e6  # half-away, scores >= 0
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "context_id": t.column("context_id"),
+                "route": t.column("route"),
+                "mention_id": t.column("mention_id"),
+                "surface": t.column("surface"),
+                "ne_type": t.column("ne_type"),
+                "chosen": chosen,
+                "score": pa.array(np.where(mask, np.nan, r), pa.float64(), mask=mask),
+                "method": t.column("method"),
+            }
+        )
+
+    return links.map_batches(fin, batch_format="pyarrow", batch_size=None)
 
 
 def _kg_triples(sf_dir: str):
@@ -158,7 +486,22 @@ def _kg_ambiguity_report(sf_dir: str):
     cfg = fixture_config(fd)
     pages = rd.read_parquet(f"{fd}/pages.parquet", columns=["url", "html"])
     dict_ref = ray.put(pq.read_table(f"{fd}/dictionary.parquet"))
-    return ambiguity_report(candidates_dataset(mentions_dataset(pages), dict_ref, cfg))
+    report = ambiguity_report(candidates_dataset(mentions_dataset(pages), dict_ref, cfg))
+
+    def _round(t):
+        import numpy as np
+        import pyarrow as pa
+
+        m = t.column("mean_referents").to_numpy(zero_copy_only=False)
+        # half-away at 6 dp (values >= 0): count ratios can land exactly
+        # on a 6-dp half; DuckDB ROUND is half-away, np.round half-even
+        return t.set_column(
+            t.schema.get_field_index("mean_referents"),
+            "mean_referents",
+            pa.array(np.floor(m * 1e6 + 0.5) / 1e6, pa.float64()),
+        )
+
+    return report.map_batches(_round, batch_format="pyarrow", batch_size=None)
 
 
 def _kg_links_untagged(sf_dir: str):
@@ -637,6 +980,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_pagerank": _kg_entity_pagerank,
         # KG pipeline (fixture-backed; golden-tested in-repo; rows-only here)
         "kg_links": _kg_links,
+        # round 5: the full degree-centrality linker under a SQL hash gate
+        "kg_links_degree": _kg_links_degree,
         "kg_triples": _kg_triples,
         "kg_candidates": _kg_candidates,
         "kg_eval_metrics": _kg_eval,
@@ -914,7 +1259,7 @@ def _text_quality_scores_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "j1_hash_join": (
             "SELECT l_orderkey, l_quantity, ROUND(l_extendedprice, 2) AS l_extendedprice, "
             "o_orderstatus FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
@@ -2309,3 +2654,5 @@ def oracle_sql() -> dict[str, str]:
             "AND mwl BETWEEN 2.0 AND 12.0 AND swr <= 0.5"
         ),
     }
+    d.update(_kg_oracle_entries())
+    return d
