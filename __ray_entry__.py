@@ -52,8 +52,18 @@ def _kg_entity_pagerank(sf_dir: str):
 
 def _web_url_dedup(sf_dir: str):
     """Pages front matter: canonicalize urls, drop blocklisted domains,
-    collapse recrawls latest-capture-wins (rows-only; per-rule math is
-    pinned by tests/test_urls.py)."""
+    collapse recrawls latest-capture-wins.  The fixture's urls are all
+    clean and unique, so the input is AUGMENTED with deterministic messy
+    variants that make every rule demonstrably fire: doc%3==0 gets an
+    UPPERCASE-host + explicit-default-port + tracking-params recrawl one
+    day later (canonicalizes back onto the original url -> the dedup
+    argmax must pick the later capture), doc%5==0 gets an unsorted
+    mixed query (tracking params dropped, survivors sorted -> a NEW
+    canonical key), doc%7==0 gets a blocklisted-domain copy (filtered).
+    Hash-verified: the oracle replays the derivation and the known
+    canonical forms in SQL."""
+    import numpy as np
+    import pyarrow as pa
     import ray.data as rd
 
     from reden_ray.stages.urls import UrlNormalizer, dedup_recrawls, filter_blocked_domains
@@ -61,7 +71,41 @@ def _web_url_dedup(sf_dir: str):
     pages = rd.read_parquet(
         f"{_fixture_for(sf_dir)}/pages.parquet", columns=["url", "warc_ts"]
     )
-    norm = pages.map_batches(UrlNormalizer(), batch_format="pyarrow", batch_size=None)
+
+    def augment(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        ts = (
+            t.column("warc_ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+        )
+        day = np.timedelta64(86400_000_000, "us")
+        out_u: list[str] = []
+        out_t: list = []
+        for u, w in zip(urls, ts):
+            i = int(u[-8:])
+            path = u[19:]  # strip 'https://example.org'
+            out_u.append(u)
+            out_t.append(w)
+            if i % 3 == 0:  # messy recrawl, one day later
+                out_u.append(f"HTTPS://EXAMPLE.ORG:443{path}?utm_source=feed&ref=x")
+                out_t.append(w + day)
+            if i % 5 == 0:  # unsorted query with tracking noise
+                out_u.append(f"{u}?b=2&a=1&utm_campaign=z")
+                out_t.append(w)
+            if i % 7 == 0:  # blocklisted domain copy
+                out_u.append(f"https://spam.invalid{path}")
+                out_t.append(w)
+        return pa.table(
+            {
+                "url": pa.array(out_u, pa.string()),
+                "warc_ts": pa.array(np.array(out_t, dtype="datetime64[us]")),
+            }
+        )
+
+    aug = pages.map_batches(augment, batch_format="pyarrow", batch_size=None)
+    norm = aug.map_batches(UrlNormalizer(), batch_format="pyarrow", batch_size=None)
     return dedup_recrawls(
         filter_blocked_domains(norm, ["spam.invalid"])
     ).select_columns(["canonical_url", "domain", "warc_ts"])
@@ -350,11 +394,30 @@ def _kg_oracle_entries() -> dict:
     content-addressed fixture so the oracle never races the query."""
     fx = _fixture_for("/root/testdata/sf0.01")
     pre = _KG_LINKER_CTES.replace("{FX}", fx)
+    # web_url_dedup: replay the deterministic augmentation and the KNOWN
+    # canonical forms of each variant class (see _web_url_dedup), then
+    # latest-capture-wins; blocklisted spam.invalid rows never emitted.
+    web_url_sql = f"""
+WITH p AS (SELECT url, CAST(warc_ts AS TIMESTAMP) AS warc_ts,
+                  CAST(substr(url, length(url) - 7, 8) AS INT) AS i,
+                  substr(url, 20) AS path
+           FROM read_parquet('{fx}/pages.parquet/*.parquet')),
+aug AS (
+  SELECT url AS canonical_url, warc_ts FROM p
+  UNION ALL
+  SELECT 'https://example.org' || path, warc_ts + INTERVAL 1 DAY FROM p WHERE i % 3 = 0
+  UNION ALL
+  SELECT url || '?a=1&b=2', warc_ts FROM p WHERE i % 5 = 0
+)
+SELECT canonical_url, 'example.org' AS domain, max(warc_ts) AS warc_ts
+FROM aug GROUP BY 1
+"""
     return {
         "kg_links_degree": pre + _KG_LINKS_TAIL,
         "kg_triples": pre + _KG_TRIPLES_TAIL,
         "kg_pred_frequency": pre + _KG_PREDFREQ_TAIL,
         "kg_ambiguity_report": pre + _KG_AMBIGUITY_TAIL,
+        "web_url_dedup": web_url_sql,
     }
 
 
@@ -848,6 +911,46 @@ def _knn_ivf_exact(sf_dir: str):
     return out.drop_columns("cosine")
 
 
+def _knn_ivf_vs_brute(sf_dir: str):
+    """Cross-path equivalence gate: the IVF index searched with EVERY
+    list probed must equal the brute-force exact top-k row for row —
+    the query runs BOTH distributed paths and counts (query_id, rank,
+    vec_id) rows in the symmetric difference.  Oracle: that count is 0
+    by construction, asserted as constants in SQL, so a regression in
+    either path (index build, partition pruning, top-k merge, ranking
+    tie-break) flips the hash."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from reden_ray.stages.similarity import build_ivf_index, knn_brute_force, knn_ivf_indexed
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/reden_ivf_{tag}"
+    if not os.path.exists(os.path.join(idx_dir, "_centroids.parquet")):
+        build_ivf_index(emb, idx_dir, n_centroids=8, seed=13)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    ivf = knn_ivf_indexed(idx_dir, vecs[:3], k=5, nprobe=8)
+    brute = knn_brute_force(emb, vecs[:3], k=5)
+    key = lambda tbl: set(
+        zip(
+            tbl.column("query_id").to_pylist(),
+            tbl.column("rank").to_pylist(),
+            tbl.column("vec_id").to_pylist(),
+        )
+    )
+    a, b = key(ivf), key(brute)
+    return pd.DataFrame(
+        [{"n_queries": 3, "k": 5, "n_mismatch": len(a ^ b)}]
+    ).astype("int64")
+
+
 def _curation(sf_dir: str):
     from reden_ray.pipelines.curation import curate_documents
 
@@ -1009,6 +1112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": _kmeans_embeddings,
         # round-4 additions (all DuckDB-oracled)
         "knn_ivf_exact": _knn_ivf_exact,
+        # round 5: IVF(full probe) == brute force, as a hash-gated count
+        "knn_ivf_vs_brute": _knn_ivf_vs_brute,
         "kmeans_fixed_assign": R.kmeans_fixed_assign,
         "text_quality_scores": R.text_quality_scores,
         "a16_covar_stddev": R.a16_covar_stddev,
@@ -1677,6 +1782,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 5"
         ),
         # --- round-4 additions -------------------------------------------
+        # cross-path gate: full-probe IVF must equal brute force exactly
+        "knn_ivf_vs_brute": (
+            "SELECT CAST(3 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k, "
+            "CAST(0 AS BIGINT) AS n_mismatch"
+        ),
         "knn_ivf_exact": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
             "WHERE vec_id < 3), "
