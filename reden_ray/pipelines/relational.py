@@ -1664,7 +1664,10 @@ def c4_span_dedup(sf_dir: str, n: int = 5) -> rd.Dataset:
     token-normalized text, matching the oracle's reconstruction)."""
     from ..stages.webtext import span_dedup
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # the two passes (hot-span bank, rewrite) each consume the corpus;
+    # stage it once so the second pass reads object-store blocks, not
+    # parquet again (swap for a checkpoint_dir parquet stage at scale)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
     return span_dedup(docs, n=n, min_docs=2)
 
 

@@ -394,6 +394,73 @@ def decontaminate_join(
 
 # --- repeated-span removal (C4/CCNet-style) --------------------------------
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+
+
+def _default_span_parts() -> int:
+    """Coarse-partition count for the span-count reduce: a task-pool
+    map_groups over pre-combined partials — CPU-sized, never the
+    join-aggregator shape (joins.default_join_partitions rationale)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(4, cpus // 2)
+
+
+def _span_hash_blocks(ws_list: list[list[str]], n: int) -> list[np.ndarray]:
+    """uint64 span hashes per doc, vectorized across the whole block.
+
+    Per-token blake2b runs once per UNIQUE token in the block (vocab-
+    bounded Python work); each non-overlapping n-token span then combines
+    its token hashes with an order-sensitive fmix64 chain finalized with
+    the span length — all spans of the block in n vectorized passes
+    instead of a per-span hashlib call (the r4 VERDICT hot spot).
+    Process-stable (blake2b + fmix64, never Python hash), so bank and
+    lookup agree across workers."""
+    from .dedup import _fmix64
+
+    D = len(ws_list)
+    doc_lens = np.fromiter((len(w) for w in ws_list), dtype=np.int64, count=D)
+    total = int(doc_lens.sum())
+    spans_per_doc = (doc_lens + n - 1) // n
+    span_starts = np.concatenate([[0], np.cumsum(spans_per_doc)[:-1]]).astype(np.int64)
+    if total == 0:
+        return [np.empty(0, np.uint64) for _ in ws_list]
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for ws in ws_list:
+        flat[pos : pos + len(ws)] = ws
+        pos += len(ws)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    uh = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8).digest(), "big")
+            for u in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    tok_h = uh[inv]
+    doc_starts = np.concatenate([[0], np.cumsum(doc_lens)[:-1]]).astype(np.int64)
+    tok_doc = np.repeat(np.arange(D), doc_lens)
+    pos_in_doc = np.arange(total) - doc_starts[tok_doc]
+    span_gid = span_starts[tok_doc] + pos_in_doc // n
+    pos_in_span = pos_in_doc % n
+    total_spans = int(spans_per_doc.sum())
+    h = np.full(total_spans, _FNV_OFFSET, dtype=np.uint64)
+    for j in range(n):
+        sel = pos_in_span == j
+        if not sel.any():
+            break
+        g = span_gid[sel]
+        h[g] = _fmix64(h[g] ^ tok_h[sel])
+    span_len = np.bincount(span_gid, minlength=total_spans).astype(np.uint64)
+    h = _fmix64(h ^ span_len)
+    return [
+        h[span_starts[d] : span_starts[d] + spans_per_doc[d]] for d in range(D)
+    ]
+
+
 def hot_span_hashes(
     docs: rd.Dataset,
     n: int = 5,
@@ -413,30 +480,11 @@ def hot_span_hashes(
     magnitude smaller than the corpus — and is the only thing reduced
     to the driver.
     """
-    from ray.data.aggregate import Sum
 
     def partials(t: pa.Table) -> pa.Table:
-        hs: list[np.ndarray] = []
-        for x in t.column(text_column).to_pylist():
-            ws = _words(x or "")
-            if not ws:
-                continue
-            spans = {
-                " ".join(ws[i * n : (i + 1) * n])
-                for i in range((len(ws) + n - 1) // n)
-            }
-            hs.append(
-                np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                        )
-                        for s in spans
-                    ),
-                    dtype=np.uint64,
-                    count=len(spans),
-                )
-            )
+        ws_list = [_words(x or "") for x in t.column(text_column).to_pylist()]
+        # per-doc distinct spans (docs are single rows) via np.unique
+        hs = [np.unique(a) for a in _span_hash_blocks(ws_list, n) if a.size]
         merged = np.concatenate(hs) if hs else np.empty(0, np.uint64)
         # block-local combine: same span in many docs of this block
         # collapses to one row carrying its doc count
@@ -448,12 +496,33 @@ def hot_span_hashes(
             }
         )
 
-    counts = (
+    # coarse-partition reduce instead of the native sort-based groupby:
+    # the partial stream is corpus-unique-span-sized, and the measured
+    # fixed cost of groupby(int_key).sum at this shape is ~2 s at sf0.1
+    # where the part_column + arrow group_by reduce is sub-second
+    # (CLAUDE.md round-4 note; same swap as the linkpred pair reduce)
+    from .partition import part_column
+
+    n_parts = _default_span_parts()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["g"], n_parts))
+
+    def reduce_part(t: pa.Table) -> pa.Table:
+        r = (
+            t.drop_columns("__part")
+            .group_by("g")
+            .aggregate([("nd", "sum")])
+            .rename_columns(["g", "nd"])
+        )
+        return r.filter(pc.greater_equal(r.column("nd"), int(min_docs)))
+
+    hot = (
         docs.map_batches(partials, batch_format="pyarrow", batch_size=None)
-        .groupby("g")
-        .aggregate(Sum("nd", alias_name="nd"))
+        .map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pyarrow")
     )
-    hot = counts.filter(expr=f"nd >= {int(min_docs)}")
     # boilerplate-sized by contract; collected once for the broadcast
     rows = hot.take_all()
     return np.sort(
@@ -507,60 +576,45 @@ def span_dedup(
     )
     bref = ray.put(bank)
 
-    def _keep_mask(hot: np.ndarray, spans: list[str]) -> np.ndarray:
+    def _keep_mask(hot: np.ndarray, hs: np.ndarray) -> np.ndarray:
         if not hot.size:
-            return np.ones(len(spans), dtype=bool)
-        hs = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                )
-                for s in spans
-            ),
-            dtype=np.uint64,
-            count=len(spans),
-        )
+            return np.ones(len(hs), dtype=bool)
         idx = np.searchsorted(hot, hs)
         idx[idx == hot.size] = 0
         return hot[idx] != hs
 
+    ws_collapse = re.compile(r"\s+")
+
     def rewrite(t: pa.Table) -> pa.Table:
         hot = ray.get(bref)
+        texts = t.column(text_column).to_pylist()
+        if preserve_text:
+            toks_list = [list(_TOKEN_POS_RE.finditer(x or "")) for x in texts]
+            ws_list = [[m.group().lower() for m in ms] for ms in toks_list]
+        else:
+            ws_list = [_words(x or "") for x in texts]
+        per_doc = _span_hash_blocks(ws_list, n)
         out = []
-        for x in t.column(text_column).to_pylist():
+        for di, x in enumerate(texts):
             x = x or ""
+            ws = ws_list[di]
+            if not ws:
+                out.append("")
+                continue
+            keep = _keep_mask(hot, per_doc[di])
             if preserve_text:
-                toks = list(_TOKEN_POS_RE.finditer(x))
-                if not toks:
-                    out.append("")
-                    continue
-                nt = len(toks)
-                chunks = [
-                    toks[i * n : (i + 1) * n] for i in range((nt + n - 1) // n)
-                ]
-                spans = [
-                    " ".join(m.group().lower() for m in c) for c in chunks
-                ]
-                keep = _keep_mask(hot, spans)
+                toks = toks_list[di]
                 res, pos = [], 0
-                for c, k in zip(chunks, keep):
-                    if k:
-                        continue
-                    res.append(x[pos : c[0].start()])
-                    pos = c[-1].end()
+                for si in np.flatnonzero(~keep):
+                    c0 = toks[si * n]
+                    c1 = toks[min((si + 1) * n, len(toks)) - 1]
+                    res.append(x[pos : c0.start()])
+                    pos = c1.end()
                 res.append(x[pos:])
-                out.append(re.sub(r"\s+", " ", "".join(res)).strip())
+                out.append(ws_collapse.sub(" ", "".join(res)).strip())
             else:
-                ws = _words(x)
-                if not ws:
-                    out.append("")
-                    continue
-                spans = [
-                    " ".join(ws[i * n : (i + 1) * n])
-                    for i in range((len(ws) + n - 1) // n)
-                ]
-                keep = _keep_mask(hot, spans)
-                out.append(" ".join(s for s, k in zip(spans, keep) if k))
+                tk = np.repeat(keep, n)[: len(ws)]
+                out.append(" ".join(w for w, k in zip(ws, tk) if k))
         i = t.schema.get_field_index(text_column)
         return t.set_column(i, text_column, pa.array(out, pa.string()))
 
