@@ -2250,7 +2250,9 @@ def text_bm25_topk(sf_dir: str, k: int = 3, k1: float = 1.2, b: float = 0.75) ->
     )
 
 
-def text_tfidf_topk(sf_dir: str, k: int = 3) -> rd.Dataset:
+def text_tfidf_topk(
+    sf_dir: str, k: int = 3, checkpoint_dir: str | None = None
+) -> rd.Dataset:
     """Distributed TF-IDF with per-doc top-k terms — the IR scoring
     pass a corpus pipeline runs before indexing/filtering:
 
@@ -2266,17 +2268,40 @@ def text_tfidf_topk(sf_dir: str, k: int = 3) -> rd.Dataset:
       top-k shape — <= k rows per doc per block through the shuffle.
 
     The token table feeds two consumers (df aggregate + join probe), so
-    it stages once — the same justified staging point as curation
-    (swap for a parquet checkpoint beyond object-store capacity)."""
+    it stages once — in the object store by default, or as partitioned
+    parquet under ``checkpoint_dir`` (the curation option) beyond
+    object-store capacity.  The corpus doc count rides WITH the token
+    pass as one sentinel row per block (doc_id -1), so no separate
+    counting scan of the input ever runs."""
     from ..stages.joins import default_join_partitions, hash_join, staged_nonempty
     from ..stages.partition import part_column
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    n_docs = docs.count()
-    term_rows = docs.map_batches(
-        _doc_term_rows, batch_format="pyarrow", batch_size=None
+
+    def rows_plus_count(t: pa.Table) -> pa.Table:
+        out = _doc_term_rows(t)
+        sentinel = pa.table(
+            {
+                "doc_id": pa.array([-1], pa.int64()),
+                "term": pa.array([""], pa.string()),
+                "tfc": pa.array([t.num_rows], pa.int64()),
+                "dlen": pa.array([0], pa.int64()),
+            }
+        ).cast(out.schema)
+        return pa.concat_tables([sentinel, out])
+
+    staged = docs.map_batches(
+        rows_plus_count, batch_format="pyarrow", batch_size=None
     )
-    term_rows = term_rows.materialize()  # two consumers (df + join probe)
+    if checkpoint_dir is not None:
+        staged.write_parquet(checkpoint_dir)
+        staged = rd.read_parquet(checkpoint_dir)
+    else:
+        staged = staged.materialize()  # two consumers (df + join probe)
+    # doc count from the staged sentinels: a cheap pass over in-memory
+    # (or checkpointed) blocks, never a second scan of the raw corpus
+    n_docs = staged.filter(expr="doc_id < 0").sum("tfc") or 0
+    term_rows = staged.filter(expr="doc_id >= 0")
 
     def df_partial(t: pa.Table) -> pa.Table:
         # rows are distinct (doc, term): per-block pre-combine so the df
