@@ -1,0 +1,236 @@
+"""IO round-trip and layout queries (split from relational.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..stages.joins import broadcast_anti_join, broadcast_join, broadcast_semi_join, hash_join
+from .rel_base import _read
+
+def io_jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
+    """JSONL sink + source bridge: stream documents out as sharded
+    line-delimited JSON (`Dataset.write_json` — the interchange format
+    every webtext corpus ships in), read the shards back with
+    `read_json`, and aggregate per language.  The oracle aggregates the
+    parquet directly, so a hash match proves the round trip is
+    lossless for (int64, string) payloads.  Scratch shards go under
+    /tmp in a fresh directory per call (write_json into a reused dir
+    would double-read stale shards)."""
+    import shutil
+    import tempfile
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    tmp = tempfile.mkdtemp(prefix="reden_io_jsonl_")
+    try:
+        docs.write_json(tmp)
+        back = rd.read_json(tmp)
+        out = (
+            back.groupby("lang")
+            .aggregate(
+                Count(alias_name="n_docs"),
+                Sum("n_chars", alias_name="total_chars"),
+            )
+            .materialize()  # consume the shards before they are removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+                "total_chars": t.column("total_chars").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def io_csv_roundtrip(sf_dir: str) -> rd.Dataset:
+    """CSV sink + source bridge (`Dataset.write_csv` / `read_csv`),
+    same contract as io_jsonl_roundtrip: orders stream out as sharded
+    CSV, back in, aggregated per status; hash match vs the parquet
+    oracle proves losslessness for the int/string payload (floats are
+    deliberately excluded — CSV float text round-trips are not
+    bit-exact by construction)."""
+    import shutil
+    import tempfile
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    tmp = tempfile.mkdtemp(prefix="reden_io_csv_")
+    try:
+        orders.write_csv(tmp)
+        back = rd.read_csv(tmp)
+        out = (
+            back.groupby("o_orderstatus")
+            .aggregate(
+                Count(alias_name="n_orders"),
+                Sum("o_orderkey", alias_name="keysum"),
+            )
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus"),
+                "n_orders": t.column("n_orders").cast(pa.int64()),
+                "keysum": t.column("keysum").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def zorder_layout(sf_dir: str) -> rd.Dataset:
+    """Z-order (Morton) layout key — the space-filling-curve sort that
+    co-locates rows close in BOTH join keys so min/max row-group stats
+    prune 2-D range scans (the Delta/Iceberg OPTIMIZE ZORDER idea).
+    16-bit lanes here (fixture keys < 2^16; production uses 32-bit
+    lanes, same shift arithmetic).  The interleave is pure vectorized
+    int64 bit math; the global top-20 never sorts the corpus — per-block
+    partial top-k, then one small merge sort (the o1 shape)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+    k = 20
+
+    def zkey_topk(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(p), dtype=np.int64)
+        for b in range(16):
+            z |= ((p >> b) & 1) << (2 * b)
+            z |= ((s >> b) & 1) << (2 * b + 1)
+        tt = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "l_linenumber": t.column("l_linenumber").cast(pa.int64()),
+                "zkey": pa.array(z, pa.int64()),
+            }
+        )
+        idx = pc.sort_indices(
+            tt,
+            sort_keys=[
+                ("zkey", "ascending"),
+                ("l_orderkey", "ascending"),
+                ("l_linenumber", "ascending"),
+            ],
+        )
+        return tt.take(idx[:k])
+
+    partials = li.map_batches(zkey_topk, batch_format="pyarrow", batch_size=None)
+    return partials.sort(["zkey", "l_orderkey", "l_linenumber"]).limit(k)
+
+
+_KNUTH = 2654435761
+
+_MOD32 = 4294967296
+
+
+def mix_sources_balanced(sf_dir: str) -> rd.Dataset:
+    """Domain mixing / source rebalancing — the Pile/Dolma-style
+    \"sample each domain toward target proportions\" step of a training
+    mix.  Equal target weights here: every source is deterministically
+    downsampled toward the SMALLEST source's size (rate_s = min_n /
+    n_s) with the o10 Knuth multiplicative hash, so the selection is
+    reproducible row-by-row on both sides and needs no shuffle at all:
+    per-source counts are one tiny groupby; the selection itself is a
+    stateless vectorized filter over the stream."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    cnt = docs.groupby("source").count().take_all()  # dimension-sized rows
+    min_n = min(r["count()"] for r in cnt)
+    # threshold_s = round_half_away(rate_s * 2^32), matching DuckDB's
+    # double->BIGINT cast
+    thr = {
+        r["source"]: int(np.floor(min_n / r["count()"] * _MOD32 + 0.5))
+        for r in cnt
+    }
+
+    def pick(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        h = (did * _KNUTH) % _MOD32
+        lim = np.array([thr[s] for s in src], dtype=np.int64)
+        return t.filter(pa.array(h < lim))
+
+    return docs.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
+def split_train_val_test(sf_dir: str) -> rd.Dataset:
+    """Deterministic 80/10/10 train/val/test split by key hash — the
+    canonical leakage-safe split (same doc always lands in the same
+    split, regardless of partitioning or cluster size).  Output is the
+    (source, split, n_docs) audit table; the assignment itself is a
+    stateless vectorized map."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    t80 = int(np.floor(0.8 * _MOD32 + 0.5))
+    t90 = int(np.floor(0.9 * _MOD32 + 0.5))
+
+    def assign(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (did * _KNUTH) % _MOD32
+        split = np.where(h < t80, "train", np.where(h < t90, "val", "test"))
+        tt = pa.table(
+            {"source": t.column("source"), "split": pa.array(split, pa.string())}
+        )
+        g = tt.group_by(["source", "split"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "split", "n"])
+
+    return (
+        docs.map_batches(assign, batch_format="pyarrow", batch_size=None)
+        .groupby(["source", "split"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+
+def io_partitioned_write(sf_dir: str) -> rd.Dataset:
+    """Hive-partitioned parquet sink + partition-pruned re-read — the
+    resumable-output layout this engine writes at scale (one directory
+    per key so a failed run skips finished partitions, and a reader
+    interested in one key touches one directory).  Documents are
+    written partitioned by ``lang``, a SINGLE partition directory is
+    then re-read (path-level pruning: the other partitions' bytes are
+    never opened), and per-source stats over that slice are oracled
+    against the parquet directly — a hash match proves the partitioned
+    round trip is lossless AND the pruning reads exactly the one
+    partition."""
+    import shutil
+    import tempfile
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    tmp = tempfile.mkdtemp(prefix="reden_io_part_")
+    try:
+        docs.write_parquet(tmp, partition_cols=["lang"])
+        # partition-pruned read: ONLY the lang=en directory
+        back = rd.read_parquet(f"{tmp}/lang=en")
+        out = (
+            back.groupby("source")
+            .aggregate(
+                Count(alias_name="n_docs"),
+                Sum("n_chars", alias_name="total_chars"),
+            )
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+                "total_chars": t.column("total_chars").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
