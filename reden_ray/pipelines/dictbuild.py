@@ -34,12 +34,19 @@ DICTIONARY_SCHEMA = pa.schema(
 )
 
 
-def expand_aliases(batch: pa.Table) -> pa.Table:
-    """entity rows -> dictionary rows (vectorized over the batch)."""
+def expand_aliases(batch: pa.Table, alias_fn=None) -> pa.Table:
+    """entity rows -> dictionary rows (vectorized over the batch).
+
+    ``alias_fn`` (``sources.registry.SourceSpec.alias_fn``) overrides the
+    generic expansion with a per-source rule set — row -> (aliases,
+    display); an empty alias list drops the entity (the BNE write loop,
+    QueryAuthorBNE.java:239-243, emits nothing without rejected forms)."""
     cols: dict[str, list] = {n: [] for n in DICTIONARY_SCHEMA.names}
     for r in batch.to_pylist():
         kind = r["kind"]
-        if kind == "PER":
+        if alias_fn is not None:
+            aliases, display = alias_fn(r)
+        elif kind == "PER":
             aliases = make_aliases(r["firstname"], r["lastname"], r["gender"])
             display = normalized_name(r["firstname"], r["lastname"], r["birth"], r["death"])
         else:
@@ -58,11 +65,19 @@ def expand_aliases(batch: pa.Table) -> pa.Table:
     )
 
 
-def build_dictionary(entity_dump: rd.Dataset) -> rd.Dataset:
+def build_dictionary(entity_dump: rd.Dataset, alias_fn=None) -> rd.Dataset:
     """The full build: one stateless map stage (entities are already one
     row per URI in the dump; the A2 merge happens upstream if the dump
     has one row per SPARQL solution — see ``merge_solutions``)."""
-    return entity_dump.map_batches(expand_aliases, batch_format="pyarrow", batch_size=None)
+    if alias_fn is None:
+        return entity_dump.map_batches(
+            expand_aliases, batch_format="pyarrow", batch_size=None
+        )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        return expand_aliases(batch, alias_fn)
+
+    return entity_dump.map_batches(expand, batch_format="pyarrow", batch_size=None)
 
 
 def merge_solutions(solutions: rd.Dataset) -> rd.Dataset:
@@ -77,6 +92,14 @@ def merge_solutions(solutions: rd.Dataset) -> rd.Dataset:
             for e in r["equivalents"] or []:
                 equivs[e] = None
         first["equivalents"] = list(equivs)
+        if "rejected_forms" in first:
+            # rejected forms accumulate across solutions too
+            # (QueryAuthorBNE.java:184-211 dedups per author)
+            forms: dict[str, None] = {}
+            for r in rows:
+                for f in r.get("rejected_forms") or []:
+                    forms[f] = None
+            first["rejected_forms"] = list(forms)
         return pa.Table.from_pylist([first], schema=group.schema)
 
     return solutions.groupby("uri").map_groups(merge, batch_format="pyarrow")

@@ -101,7 +101,9 @@ def test_spatial_extent_bounding_box(ray_session):
 
 def test_build_dictionary_from_sources_matches_single_path(ray_session):
     """Routing the fixture entity dump through the registry must
-    reproduce the direct dictbuild output exactly."""
+    reproduce the direct dictbuild output exactly — for sources WITHOUT
+    a per-source alias_fn (generic path).  Sources with one (BNF/BNE/
+    Getty quirks) intentionally diverge; see test_alias_variants.py."""
     import ray.data as rd
 
     import __ray_entry__ as E
@@ -113,7 +115,7 @@ def test_build_dictionary_from_sources_matches_single_path(ray_session):
     per = dump.filter(lambda r: r["kind"] == "PER")
     loc = dump.filter(lambda r: r["kind"] == "LOC")
     via_registry = build_dictionary_from_sources(
-        {"author_bnf": per, "place_bnf": loc}
+        {"person_dbpedia_fr": per, "place_bnf": loc}
     ).take_all()
     direct = build_dictionary(dump).take_all()
 
