@@ -139,6 +139,90 @@ def eval_records(
     return joined.map_batches(build, batch_format="pyarrow")
 
 
+def align_gold_positional(
+    mentions: rd.Dataset, gold: pa.Table, per_type: bool = True
+) -> pa.Table:
+    """Positional output/gold alignment shim (ResultsAndEvaluationNEL.
+    java:240-257): the reference walks the output and gold TEI in
+    lockstep — the k-th annotated element (per annotation tag) of
+    context i in the output is scored against the k-th of the SAME
+    context in the gold, with no mention identity at all.  For gold
+    files whose mention enumeration differs from the engine's (e.g. a
+    reference-produced gold TEI), this re-keys each gold row to the
+    engine mention_id at the same document-order position, after which
+    the ordinary keyed ``eval_records`` join applies.
+
+    Scale shape: gold is human-annotated and inherently tiny, so the
+    (url, context_id) universe it touches is broadcast; the
+    corpus-sized ``mentions`` stream is FILTERED to those contexts
+    before the per-context groupby, so the shuffle moves O(|gold|)
+    rows, never the corpus.  Positions beyond the shorter side are
+    dropped (the reference would walk off the gold NodeList there).
+    """
+    want: dict[tuple, list] = {}
+    has_type = per_type and "ne_type" in gold.schema.names
+    for r in gold.to_pylist():
+        key = (r["url"], r["context_id"], (r.get("ne_type") or "") if has_type else "")
+        want.setdefault(key, []).append(r)
+    for rows in want.values():
+        rows.sort(key=lambda r: r["mention_id"])
+    gold_ref = ray.put(want)
+    ctx_keys = {(u, c) for (u, c, _t) in want}
+
+    def in_gold(batch: pa.Table) -> pa.Table:
+        mask = [
+            (u, c) in ctx_keys
+            for u, c in zip(
+                batch.column("url").to_pylist(), batch.column("context_id").to_pylist()
+            )
+        ]
+        return batch.select(["url", "context_id", "mention_id", "ne_type"]).filter(
+            pa.array(mask, pa.bool_())
+        )
+
+    out_schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("context_id", pa.int32()),
+            ("mention_id", pa.int32()),
+            ("surface", pa.string()),
+            ("ne_type", pa.string()),
+            ("gold_uri", pa.string()),
+        ]
+    )
+
+    def align(group: pa.Table) -> pa.Table:
+        gold_map = ray.get(gold_ref)
+        rows = sorted(group.to_pylist(), key=lambda r: r["mention_id"])
+        url, cid = rows[0]["url"], rows[0]["context_id"]
+        cols: dict[str, list] = {n: [] for n in out_schema.names}
+        pos: dict[str, int] = {}
+        for r in rows:
+            t = (r.get("ne_type") or "") if has_type else ""
+            g_rows = gold_map.get((url, cid, t))
+            k = pos.get(t, 0)
+            pos[t] = k + 1
+            if not g_rows or k >= len(g_rows):
+                continue  # output has more elements than gold at this tag
+            g = g_rows[k]
+            cols["url"].append(url)
+            cols["context_id"].append(cid)
+            cols["mention_id"].append(r["mention_id"])  # engine's key
+            cols["surface"].append(g.get("surface"))
+            cols["ne_type"].append(g.get("ne_type") or r.get("ne_type") or "")
+            cols["gold_uri"].append(g["gold_uri"])
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], f.type) for f in out_schema], schema=out_schema
+        )
+
+    filtered = mentions.map_batches(in_gold, batch_format="pyarrow", batch_size=None)
+    aligned = filtered.groupby(["url", "context_id"]).map_groups(
+        align, batch_format="pyarrow"
+    )
+    # gold-sized by construction (<= |gold| rows): a driver collect is fine
+    return pa.Table.from_pylist(aligned.take_all(), schema=out_schema)
+
+
 def kb_completeness(gold: pa.Table, dictionary: rd.Dataset) -> dict[str, int]:
     """Domain-completeness probe (extra/CalculatePopulationCompleteness
     LD.java:48-113): how many gold URIs exist in the KB dictionary at

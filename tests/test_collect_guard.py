@@ -18,13 +18,15 @@ WHITELIST = {
     "stages/similarity.py": (2, "n_q x k top-k rows; bounded IVF training sample"),
     "pipelines/kg.py": (1, "per-block invariant scalars"),
     "pipelines/canonicalize.py": (3, "broadcast CC variant (small/test path) + test wrapper"),
-    "pipelines/evaluate.py": (2, "per-block partial metric scalars"),
+    "pipelines/evaluate.py": (3, "per-block partial metric scalars + positional-align output (<= |gold| rows by construction)"),
     "state/checkpoint.py": (1, "per-partition manifest counts"),
     "stages/webtext.py": (2, "eval-side gram hashes + hot-span bank (both small by contract; join variant exists)"),
     "stages/selection.py": (2, "<= n_buckets histogram rows; <= collect_limit residual values"),
     "stages/kmeans.py": (2, "<= k rows per iteration (init buckets; merged partials)"),
     "stages/aggregates.py": (1, "<= top_n+1 rows per merged MG block"),
-    "pipelines/relational.py": (5, "approx_top_terms exact side (<= top_n rows); _centered_sums per-group means (<= group-count rows, broadcast); f5 per-group stats bundle (same bound); mix_sources per-source counts + emb_quantize per-dim scales (both dimension-sized)"),
+    "pipelines/rel_text.py": (1, "approx_top_terms exact side (<= top_n rows)"),
+    "pipelines/rel_vec.py": (3, "_centered_sums per-group means (<= group-count rows, broadcast); f5 per-group stats bundle (same bound); emb_quantize per-dim scales (dimension-sized)"),
+    "pipelines/rel_io.py": (1, "mix_sources per-source counts (source-domain-sized)"),
     "sources/endpoint.py": (1, "per-shard ingest manifest (27 letter shards)"),
     "stages/scan.py": (1, "<= n_buckets bucket totals (scan phase 2)"),
     "stages/pca.py": (1, "ONE d^2-float partial row per input block (moments pass)"),
