@@ -386,6 +386,130 @@ SELECT surface, CAST(count(*) AS BIGINT) AS n_mentions,
 FROM mng GROUP BY surface
 """
 
+# per-mention candidate groups in dictionary insertion order (the
+# ``candidates`` logical table, uri_group tab-joined — the same wire
+# format the Ray side emits across Arrow joins)
+_KG_CAND_TAIL = """\
+SELECT m.url, CAST(m.context_id AS INT) AS context_id,
+       CAST(m.mention_id AS INT) AS mention_id,
+       CAST(g.g_idx - 1 AS INT) AS cand_rank,
+       array_to_string(g.uri_group, chr(9)) AS uri_group_str
+FROM men2 m
+JOIN grp g ON g.kind = m.ne_type AND g.alias_norm = m.norm
+"""
+
+# the seven Hachey-et-al. headline metrics (pipelines/evaluate.py): the
+# substring-containment correctness tests ride on a per-(kind, norm)
+# space-joined URI concatenation (URIs contain no spaces, so a substring
+# can never span two entries), chosen containment on the linked CTE's
+# space-joined wire string.  All ratios are count ratios: ROUND in
+# DuckDB is half-away, and the Ray side rounds half-away to match.
+_KG_EVAL_TAIL = """\
+, gold AS (SELECT url, context_id, mention_id, gold_uri
+           FROM read_parquet('{FX}/gold.parquet')),
+gcat AS (
+  SELECT kind, alias_norm, max(n_groups) AS n_groups,
+         string_agg(uri, ' ') AS all_uris
+  FROM (SELECT g.kind, g.alias_norm, g.n_groups, x.u AS uri
+        FROM grp g, unnest(g.uri_group) AS x(u))
+  GROUP BY 1, 2
+),
+pm AS (
+  SELECT l.url, l.context_id, l.mention_id,
+         COALESCE(gc.n_groups, 0) AS n,
+         g.gold_uri IS NOT NULL AND g.gold_uri IS DISTINCT FROM '' AS has_gold,
+         g.gold_uri,
+         gc.all_uris,
+         l.chosen,
+         l.chosen <> '' AS has_choice
+  FROM linked l
+  LEFT JOIN gcat gc
+    ON gc.kind = l.ne_type
+   AND gc.alias_norm = lower(regexp_replace(l.surface, '(\\s|''|-)', '', 'g'))
+  LEFT JOIN gold g ON g.url = l.url AND g.context_id = l.context_id
+                  AND g.mention_id = l.mention_id
+),
+pm2 AS (
+  SELECT *,
+         has_gold AND COALESCE(contains(all_uris, gold_uri), FALSE) AS gin,
+         has_gold AND has_choice AND contains(chosen, gold_uri) AS correct
+  FROM pm
+)
+SELECT CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(sum(CASE WHEN has_gold THEN 1 ELSE 0 END) AS BIGINT) AS n_manual,
+       CAST(sum(CASE WHEN NOT has_gold THEN 1 ELSE 0 END) AS BIGINT) AS n_manual_nil,
+       ROUND(sum(n)::DOUBLE / count(*), 6) AS candidate_cardinality_mean,
+       COALESCE(ROUND(sum(CASE WHEN n > 0 AND gin THEN 1 ELSE 0 END)::DOUBLE
+             / NULLIF(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END), 0), 6), 0.0) AS candidate_precision,
+       COALESCE(ROUND(sum(CASE WHEN has_gold AND gin THEN 1 ELSE 0 END)::DOUBLE
+             / NULLIF(sum(CASE WHEN has_gold THEN 1 ELSE 0 END), 0), 6), 0.0) AS candidate_recall,
+       COALESCE(ROUND(sum(CASE WHEN n = 0 AND NOT has_gold THEN 1 ELSE 0 END)::DOUBLE
+             / NULLIF(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END), 0), 6), 0.0) AS nil_precision,
+       COALESCE(ROUND(sum(CASE WHEN n = 0 AND NOT has_gold THEN 1 ELSE 0 END)::DOUBLE
+             / NULLIF(sum(CASE WHEN NOT has_gold THEN 1 ELSE 0 END), 0), 6), 0.0) AS nil_recall,
+       COALESCE(ROUND(sum(CASE WHEN n > 1 AND gin AND correct THEN 1 ELSE 0 END)::DOUBLE
+             / NULLIF(sum(CASE WHEN n > 1 AND gin THEN 1 ELSE 0 END), 0), 6), 0.0) AS disambiguation_accuracy,
+       COALESCE(ROUND((sum(CASE WHEN has_gold AND correct THEN 1 ELSE 0 END)
+              + sum(CASE WHEN n = 0 AND NOT has_gold AND NOT has_choice THEN 1 ELSE 0 END))::DOUBLE
+             / NULLIF(count(*), 0), 6), 0.0) AS overall_linking_accuracy
+FROM pm2
+"""
+
+
+def _kg_canon_sql(pre: str, fx: str, rounds: int = 8) -> str:
+    """kg_canonical_triples oracle: min-label connected components over
+    the sameAs pairs + dictionary uri_groups (pipelines/canonicalize.py
+    semantics — rank-prefixed labels so http://kb.test/ representatives
+    win, '0|'/'1|' exactly as init_labels does), UNROLLED min-label
+    propagation.  The alias clusters have tiny diameter (the Ray side
+    converges within max_iters=5); extra rounds are idempotent, so 8
+    gives margin.  Plain CTEs would re-inline the whole chain per round
+    — AS MATERIALIZED is load-bearing (CLAUDE.md kcore lesson)."""
+    head = f"""\
+, cpairs AS MATERIALIZED (
+  SELECT subj AS u, obj AS v FROM adj WHERE pred = 'http://kb.test/sameAs'
+  UNION ALL
+  SELECT obj AS u, subj AS v FROM adj WHERE pred = 'http://kb.test/sameAs'
+  UNION ALL
+  SELECT d.uri_group[1] AS u, x.o AS v
+  FROM (SELECT DISTINCT uri_group FROM read_parquet('{fx}/dictionary.parquet')) d,
+       unnest(d.uri_group[2:]) AS x(o)
+  UNION ALL
+  SELECT x.o AS u, d.uri_group[1] AS v
+  FROM (SELECT DISTINCT uri_group FROM read_parquet('{fx}/dictionary.parquet')) d,
+       unnest(d.uri_group[2:]) AS x(o)
+),
+lab0 AS MATERIALIZED (
+  SELECT u, min(CASE WHEN contains(u, 'http://kb.test/') THEN '0|' || u
+                     ELSE '1|' || u END) AS label
+  FROM (SELECT u FROM cpairs UNION SELECT v FROM cpairs) GROUP BY u
+)"""
+    rounds_sql = []
+    for k in range(1, rounds + 1):
+        rounds_sql.append(
+            f""",
+lab{k} AS MATERIALIZED (
+  SELECT l.u, least(l.label, COALESCE(min(ln.label), l.label)) AS label
+  FROM lab{k - 1} l
+  LEFT JOIN cpairs p ON p.u = l.u
+  LEFT JOIN lab{k - 1} ln ON ln.u = p.v
+  GROUP BY l.u, l.label
+)"""
+        )
+    triples = _KG_TRIPLES_TAIL.strip()
+    tail = f""",
+canon AS MATERIALIZED (
+  SELECT u, substr(label, 3) AS canonical FROM lab{rounds}
+)
+SELECT t.url, t.context_id,
+       COALESCE(cs.canonical, t.subj) AS subj, t.pred,
+       COALESCE(co.canonical, t.obj) AS obj, t.weight
+FROM ({triples}) t
+LEFT JOIN canon cs ON cs.u = t.subj
+LEFT JOIN canon co ON co.u = t.obj
+"""
+    return pre + head + "".join(rounds_sql) + tail
+
 
 def _kg_oracle_entries() -> dict:
     """Fixture-path-bound oracle SQL for the KG family.  The driver (and
@@ -417,6 +541,9 @@ FROM aug GROUP BY 1
         "kg_triples": pre + _KG_TRIPLES_TAIL,
         "kg_pred_frequency": pre + _KG_PREDFREQ_TAIL,
         "kg_ambiguity_report": pre + _KG_AMBIGUITY_TAIL,
+        "kg_candidates": pre + _KG_CAND_TAIL,
+        "kg_eval_metrics": pre + _KG_EVAL_TAIL.replace("{FX}", fx),
+        "kg_canonical_triples": _kg_canon_sql(pre, fx),
         "web_url_dedup": web_url_sql,
     }
 
@@ -481,6 +608,11 @@ def _kg_triples(sf_dir: str):
 
 
 def _kg_candidates(sf_dir: str):
+    """Per-candidate rows under a DuckDB hash gate (oracle:
+    _KG_LINKER_CTES + _KG_CAND_TAIL): uri_group is tab-joined — the
+    same serialization the engine uses across Arrow joins — so the
+    driver's CSV canon sees a plain string column."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
     import ray
 
@@ -493,7 +625,23 @@ def _kg_candidates(sf_dir: str):
     pages = rd.read_parquet(f"{fd}/pages.parquet", columns=["url", "html"])
     dict_ref = ray.put(pq.read_table(f"{fd}/dictionary.parquet"))
     cands = candidates_dataset(mentions_dataset(pages), dict_ref, cfg)
-    return cands.map_batches(explode_candidates, batch_format="pyarrow")
+
+    def flat(t: pa.Table) -> pa.Table:
+        e = explode_candidates(t)
+        return pa.table(
+            {
+                "url": e.column("url"),
+                "context_id": e.column("context_id"),
+                "mention_id": e.column("mention_id"),
+                "cand_rank": e.column("cand_rank"),
+                "uri_group_str": pa.array(
+                    ["\t".join(g) for g in e.column("uri_group").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return cands.map_batches(flat, batch_format="pyarrow")
 
 
 def _kg_eval(sf_dir: str):
@@ -523,6 +671,14 @@ def _kg_eval(sf_dir: str):
     links = links_view(linked_dataset(cands, adj_ref, cfg))
     gold = pq.read_table(f"{fd}/gold.parquet")
     m = compute_metrics(eval_records(cands, links, gold))
+    # all seven ratios are COUNT ratios: round half-away at 6 dp (DuckDB
+    # ROUND semantics) — np.round's half-even diverges on dyadic halves
+    import numpy as np
+
+    m = {
+        k: (float(np.floor(v * 1e6 + 0.5) / 1e6) if isinstance(v, float) else v)
+        for k, v in m.items()
+    }
     return pd.DataFrame([m])
 
 
