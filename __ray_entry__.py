@@ -456,6 +456,58 @@ FROM pm2
 """
 
 
+# S7 produceResults under a DuckDB gate: re-serialize every page with
+# ref_auto attributes inserted into linked mentions' NE opening tags —
+# per-paragraph split/extract on the NE-open regex, positional LEFT
+# JOIN against the linked CTE's (context_id, mention_id), then the
+# paragraphs spliced back into the page byte-for-byte.
+_KG_ANNOT_TAIL = """\
+, arefs AS (
+  SELECT url, context_id, mention_id,
+         ' ref_auto="' || replace(replace(chosen, '&', '&amp;'), '"', '&quot;') || '"' AS ins
+  FROM linked WHERE chosen <> ''
+),
+cseg AS (
+  SELECT url, context_id, ctx_html,
+         regexp_split_to_array(ctx_html, '(?s)<span\\s+class="ne"\\s+data-type="[^"]+"\\s*>') AS segs,
+         regexp_extract_all(ctx_html, '(?s)<span\\s+class="ne"\\s+data-type="[^"]+"\\s*>') AS tags
+  FROM ctx
+),
+cpiece AS (
+  SELECT c.url, c.context_id, s.k AS i,
+         c.segs[s.k + 1] || substr(c.tags[s.k + 1], 1, length(c.tags[s.k + 1]) - 1)
+           || COALESCE(r.ins, '') || '>' AS piece
+  FROM cseg c JOIN ser s ON s.k < len(c.tags)
+  LEFT JOIN arefs r ON r.url = c.url AND r.context_id = c.context_id
+                  AND r.mention_id = s.k
+),
+cinner AS (
+  SELECT c.url, c.context_id,
+         COALESCE(b.body, '') || c.segs[len(c.tags) + 1] AS new_inner
+  FROM cseg c
+  LEFT JOIN (SELECT url, context_id, string_agg(piece, '' ORDER BY i) AS body
+             FROM cpiece GROUP BY 1, 2) b USING (url, context_id)
+),
+pseg AS (
+  SELECT url, h,
+         regexp_split_to_array(h, '(?s)<p(?:\\s[^>]*)?>.*?</p>') AS segs,
+         regexp_extract_all(h, '(?s)(<p(?:\\s[^>]*)?>).*?</p>', 1) AS opens,
+         len(regexp_extract_all(h, '(?s)<p(?:\\s[^>]*)?>.*?</p>')) AS np
+  FROM pg
+),
+ppiece AS (
+  SELECT p.url, s.k AS i,
+         p.segs[s.k + 1] || p.opens[s.k + 1] || ci.new_inner || '</p>' AS piece
+  FROM pseg p JOIN ser s ON s.k < p.np
+  JOIN cinner ci ON ci.url = p.url AND ci.context_id = s.k
+)
+SELECT p.url, COALESCE(b.body, '') || p.segs[p.np + 1] AS html
+FROM pseg p
+LEFT JOIN (SELECT url, string_agg(piece, '' ORDER BY i) AS body
+           FROM ppiece GROUP BY url) b USING (url)
+"""
+
+
 def _kg_canon_sql(pre: str, fx: str, rounds: int = 8) -> str:
     """kg_canonical_triples oracle: min-label connected components over
     the sameAs pairs + dictionary uri_groups (pipelines/canonicalize.py
@@ -544,6 +596,7 @@ FROM aug GROUP BY 1
         "kg_candidates": pre + _KG_CAND_TAIL,
         "kg_eval_metrics": pre + _KG_EVAL_TAIL.replace("{FX}", fx),
         "kg_canonical_triples": _kg_canon_sql(pre, fx),
+        "kg_annotated_pages": pre + _KG_ANNOT_TAIL,
         "web_url_dedup": web_url_sql,
     }
 
@@ -765,7 +818,12 @@ def _kg_canonical_triples(sf_dir: str):
 def _kg_annotated_pages(sf_dir: str):
     """S7 produceResults parity: pages with ref_auto attributes written
     back into every linked mention's NE tag (golden-tested vs an
-    independent HTMLParser oracle in tests/test_annotate.py)."""
+    independent HTMLParser oracle in tests/test_annotate.py; also under
+    a DuckDB hash gate — _KG_ANNOT_TAIL re-serializes the pages in SQL).
+    html decoded to utf-8 for the driver's CSV canon (the sink itself
+    stays binary — see stages/annotate.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data as rd
 
     from reden_ray.pipelines.kg import links_view, run_fixture_pipeline
@@ -774,7 +832,13 @@ def _kg_annotated_pages(sf_dir: str):
     fd = _fixture_for(sf_dir)
     pages = rd.read_parquet(f"{fd}/pages.parquet", columns=["url", "html"])
     links = links_view(run_fixture_pipeline(fd))
-    return annotated_pages(pages, links)
+    out = annotated_pages(pages, links)
+    return out.map_batches(
+        lambda t: pa.table(
+            {"url": t.column("url"), "html": pc.cast(t.column("html"), pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def _kg_run_diff(sf_dir: str):
