@@ -508,6 +508,25 @@ LEFT JOIN (SELECT url, string_agg(piece, '' ORDER BY i) AS body
 """
 
 
+# M15 text-extract invariant recomputed INDEPENDENTLY in SQL: per-page
+# tag-strip + entity-unescape (the fixture's only entity is &amp;) of
+# each <p> inner, newline-joined, compared against the stored text
+# column.  A regression in the engine's extractor flips the Ray side's
+# bad_rows off 0 while the SQL stays 0 -> hash mismatch caught.
+_KG_TEXTINV_TAIL = """\
+, ptext AS (
+  SELECT p.url,
+         COALESCE(string_agg(replace(regexp_replace(c.ctx_html, '<[^>]*>', '', 'g'),
+                                     '&amp;', '&'), chr(10) ORDER BY c.context_id), '') AS ext
+  FROM pg p LEFT JOIN ctx c USING (url)
+  GROUP BY p.url
+)
+SELECT CAST(count(*) FILTER (s.text IS DISTINCT FROM t.ext) AS BIGINT) AS bad_rows
+FROM read_parquet('{FX}/pages.parquet/*.parquet') s
+JOIN ptext t USING (url)
+"""
+
+
 def _kg_canon_sql(pre: str, fx: str, rounds: int = 8) -> str:
     """kg_canonical_triples oracle: min-label connected components over
     the sameAs pairs + dictionary uri_groups (pipelines/canonicalize.py
@@ -597,6 +616,7 @@ FROM aug GROUP BY 1
         "kg_eval_metrics": pre + _KG_EVAL_TAIL.replace("{FX}", fx),
         "kg_canonical_triples": _kg_canon_sql(pre, fx),
         "kg_annotated_pages": pre + _KG_ANNOT_TAIL,
+        "kg_text_invariant": pre + _KG_TEXTINV_TAIL.replace("{FX}", fx),
         "web_url_dedup": web_url_sql,
     }
 
