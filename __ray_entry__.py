@@ -508,6 +508,60 @@ LEFT JOIN (SELECT url, string_agg(piece, '' ORDER BY i) AS body
 """
 
 
+# S12/A2/M10 dictionary build in SQL: the author_bnf + place_bnf source
+# routes over the entity dump — Java-clean (dash->space, trim), the
+# full makeAliases expansion (title/dotted-title/initials variants;
+# the fixture dump has no honorific particles or rejected forms, so
+# those branches contribute nothing here), LOC dash-variant aliases,
+# mention normalization, uri_group = [uri, *equivalents] tab-joined.
+_DICT_SOURCES_SQL = """\
+WITH dump AS (SELECT * FROM read_parquet('{FX}/entity_dump.parquet')),
+per AS (
+  SELECT uri, trim(replace(firstname, '-', ' ')) AS f,
+         trim(replace(lastname, '-', ' ')) AS l,
+         CASE WHEN lower(gender) = 'female' THEN 'Mme' ELSE 'M' END AS t,
+         COALESCE(equivalents, []::VARCHAR[]) AS eq
+  FROM dump
+  WHERE kind = 'PER' AND lastname IS NOT NULL AND lastname <> ''
+),
+peri AS (
+  SELECT *, array_to_string(
+      list_filter(string_split(f, ''), c -> regexp_matches(c, '^[A-ZÀ-Þ]$')), ' ') AS ini
+  FROM per
+),
+peralias AS (
+  SELECT p.uri, p.eq, a.alias
+  FROM peri p,
+  unnest(list_distinct(list_concat(list_concat(
+    CASE WHEN p.f NOT IN ('-', '')
+         THEN [p.f || ' ' || p.l, p.t || ' ' || p.f || ' ' || p.l,
+               p.t || '. ' || p.f || ' ' || p.l]
+         ELSE []::VARCHAR[] END,
+    [p.l, p.t || ' ' || p.l, p.t || '. ' || p.l]),
+    CASE WHEN p.ini <> ''
+         THEN [p.ini || ' ' || p.l, replace(p.ini, ' ', '. ') || '. ' || p.l]
+         ELSE []::VARCHAR[] END
+  ))) AS a(alias)
+),
+loc AS (
+  SELECT uri, lastname AS nm, COALESCE(equivalents, []::VARCHAR[]) AS eq
+  FROM dump WHERE kind = 'LOC' AND lastname IS NOT NULL AND lastname <> ''
+),
+localias AS (
+  SELECT loc.uri, loc.eq, a.alias
+  FROM loc, unnest(list_distinct([nm, replace(nm, '-', ' ')])) AS a(alias)
+),
+allrows AS (
+  SELECT alias, 'PER' AS kind, uri, eq FROM peralias
+  UNION ALL
+  SELECT alias, 'LOC' AS kind, uri, eq FROM localias
+)
+SELECT lower(regexp_replace(alias, '(\\s|''|-)', '', 'g')) AS alias_norm,
+       alias AS alias_raw, kind,
+       array_to_string(list_prepend(uri, eq), chr(9)) AS uri_group_str
+FROM allrows
+"""
+
 # M15 text-extract invariant recomputed INDEPENDENTLY in SQL: per-page
 # tag-strip + entity-unescape (the fixture's only entity is &amp;) of
 # each <p> inner, newline-joined, compared against the stored text
@@ -617,6 +671,7 @@ FROM aug GROUP BY 1
         "kg_canonical_triples": _kg_canon_sql(pre, fx),
         "kg_annotated_pages": pre + _KG_ANNOT_TAIL,
         "kg_text_invariant": pre + _KG_TEXTINV_TAIL.replace("{FX}", fx),
+        "dict_from_sources": _DICT_SOURCES_SQL.replace("{FX}", fx),
         "web_url_dedup": web_url_sql,
     }
 
