@@ -1254,6 +1254,24 @@ def _curation(sf_dir: str):
     )
 
 
+def _curation_ngram(sf_dir: str):
+    """The curation composite with EXACT trigram-Jaccard near-dup drop
+    instead of MinHash: TokenStats+QualityScore+LangId -> quality/length
+    filter -> exact dedup -> ngram near-dup anti-join.  Every stage is
+    individually oracled elsewhere; this entry puts the COMPOSED chain
+    under one DuckDB hash gate (the MinHash default stays rows-only
+    because its signature kernel is not SQL-expressible)."""
+    from reden_ray.pipelines.curation import curate_documents
+
+    return curate_documents(
+        sf_dir,
+        min_quality=0.2,
+        min_tokens=5,
+        near_dup_method="ngram",
+        near_dup_threshold=0.8,
+    ).select_columns(["doc_id", "lang", "source", "n_tokens_ws", "lang_pred"])
+
+
 def _text_quality(sf_dir: str):
     import ray.data as rd
 
@@ -1403,6 +1421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_docs": _dedup_embedding,
         "text_quality_langid": _text_quality,
         "curation_pipeline": _curation,
+        "curation_ngram": _curation_ngram,
         "knn_ivf_indexed": _knn_ivf_indexed,
         "kmeans_embeddings": _kmeans_embeddings,
         # round-4 additions (all DuckDB-oracled)
@@ -1655,6 +1674,78 @@ def _text_quality_scores_sql() -> str:
         "least(1.0, greatest(0.0, 1 - abs(mwl - 5.0) / 5.0)) + "
         "least(1.0, greatest(0.0, 1 - pr * 4.0)) + "
         "least(1.0, greatest(0.0, sr * 3.0))), 6) AS quality FROM sig"
+    )
+
+
+def _curation_ngram_sql() -> str:
+    """The full curation composite in one DuckDB statement: quality
+    signals (same regexes + stopword list as the engine), ws-token
+    count, the keep filter, exact dedup (min doc_id per text), EXACT
+    trigram-Jaccard pairs among the dedup survivors, loser drop
+    (greater id of each >=0.8 pair), and the stopword-vote langid on
+    the way out."""
+    from reden_ray.stages.textstats import _STOP
+
+    stoplist = ", ".join(f"'{w}'" for w in sorted(set().union(*_STOP.values())))
+    return (
+        "WITH w AS (SELECT doc_id, text, "
+        "regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS words FROM documents), "
+        "sig AS (SELECT doc_id, "
+        "CASE WHEN len(words) > 0 THEN "
+        "CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) "
+        "ELSE 0.0 END AS mwl, "
+        "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) "
+        "/ greatest(1, length(text)) AS pr, "
+        "CASE WHEN len(words) > 0 THEN "
+        f"CAST(len(list_filter(words, x -> list_contains([{stoplist}], x))) AS DOUBLE) "
+        "/ len(words) ELSE 0.0 END AS sr, "
+        "length(text) AS n_chars FROM w), "
+        "q AS (SELECT doc_id, 0.25 * ("
+        "least(1.0, greatest(0.0, n_chars / 200.0)) + "
+        "least(1.0, greatest(0.0, 1 - abs(mwl - 5.0) / 5.0)) + "
+        "least(1.0, greatest(0.0, 1 - pr * 4.0)) + "
+        "least(1.0, greatest(0.0, sr * 3.0))) AS quality FROM sig), "
+        "tok AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens_ws "
+        "FROM documents), "
+        "filt AS (SELECT d.doc_id, d.text, d.lang, d.source, tok.n_tokens_ws "
+        "FROM documents d JOIN q ON q.doc_id = d.doc_id "
+        "JOIN tok ON tok.doc_id = d.doc_id "
+        "WHERE q.quality >= 0.2 AND tok.n_tokens_ws >= 5), "
+        "ded AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY text), "
+        "sur AS (SELECT f.* FROM filt f JOIN ded ON ded.doc_id = f.doc_id), "
+        "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        "'[^a-z0-9]+'), x -> x <> '') AS wd FROM sur), "
+        "grams AS (SELECT DISTINCT doc_id, array_to_string(wd[i:i+2], ' ') AS g "
+        "FROM toks, unnest(range(1, len(wd)-1)) AS t(i) WHERE len(wd) >= 3), "
+        "counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+        "shr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared "
+        "FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2), "
+        "losers AS (SELECT DISTINCT doc_b AS doc_id FROM shr "
+        "JOIN counts ca ON ca.doc_id = doc_a JOIN counts cb ON cb.doc_id = doc_b "
+        "WHERE shared * 1.0 / (ca.n + cb.n - shared) >= 0.8), "
+        "lw AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[a-zà-ÿ]+')[1:400] AS ws FROM sur), "
+        "lu AS (SELECT doc_id, unnest(ws) AS wd FROM lw), "
+        "lv AS (SELECT doc_id, "
+        "count(*) FILTER (wd IN ('le','la','les','de','des','du','un',"
+        "'une','et','est','en','que','qui','dans','pour','sur','pas',"
+        "'par','au','ce')) AS vfr, "
+        "count(*) FILTER (wd IN ('the','of','and','to','a','in','is',"
+        "'it','that','for','on','was','with','as','at','by','be','this'"
+        ")) AS ven, "
+        "count(*) FILTER (wd IN ('der','die','das','und','ist','in',"
+        "'den','von','zu','mit','sich','auf','für','nicht','ein','eine'"
+        ")) AS vde "
+        "FROM lu GROUP BY 1) "
+        "SELECT s.doc_id, s.lang, s.source, CAST(s.n_tokens_ws AS BIGINT) AS n_tokens_ws, "
+        "CASE WHEN coalesce(lv.vfr, 0) + coalesce(lv.ven, 0) + coalesce(lv.vde, 0) = 0 "
+        "THEN 'other' "
+        "WHEN lv.vfr >= lv.ven AND lv.vfr >= lv.vde THEN 'fr' "
+        "WHEN lv.ven >= lv.vde THEN 'en' ELSE 'de' END AS lang_pred "
+        "FROM sur s LEFT JOIN lv ON s.doc_id = lv.doc_id "
+        "WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)"
     )
 
 
@@ -2098,6 +2189,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kmeans_fixed_assign": _kmeans_fixed_assign_sql(),
         "text_quality_scores": _text_quality_scores_sql(),
+        "curation_ngram": _curation_ngram_sql(),
         "pii_redact_docs": (
             "WITH inj AS (SELECT doc_id, text || ' contact user' || doc_id || "
             "'@example.com from 10.0.' || (doc_id % 200) || '.7 ok' AS t FROM documents), "

@@ -121,7 +121,9 @@ def curate_documents(
 ) -> rd.Dataset:
     """``near_dup_method``: 'minhash' (Jaccard-style, default),
     'simhash' (Hamming; threshold interpreted as max Hamming distance
-    when >= 1, else the default distance 3), or 'none'."""
+    when >= 1, else the default distance 3), 'ngram' (EXACT word-trigram
+    Jaccard — the non-approximate sibling, fully SQL-expressible so the
+    whole composite sits under a DuckDB hash gate), or 'none'."""
     cols = ["doc_id", "text", "lang", "source"]
     if lang is not None:
         docs = rd.read_parquet(
@@ -163,6 +165,14 @@ def curate_documents(
         max_h = int(near_dup_threshold) if near_dup_threshold >= 1 else 3
         pairs = simhash_pairs(
             deduped.select_columns(["doc_id", "text"]), max_hamming=max_h
+        )
+    elif near_dup_method == "ngram":
+        from ..stages.dedup import ngram_jaccard_pairs
+
+        pairs = ngram_jaccard_pairs(
+            deduped.select_columns(["doc_id", "text"]),
+            n=3,
+            threshold=near_dup_threshold,
         )
     elif near_dup_method == "minhash":
         pairs = minhash_lsh_pairs(
