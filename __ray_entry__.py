@@ -50,6 +50,36 @@ def _kg_entity_pagerank(sf_dir: str):
     return entity_pagerank(triples, max_iters=5, tol=1e-4)
 
 
+def _kg_entity_pagerank_2it(sf_dir: str):
+    """TWO fixed power iterations of the PRODUCTION ``pagerank_ds`` over
+    the emitted subject→object entity graph (tol=None -> exactly 2
+    rounds).  A fixed iteration count makes the recurrence
+    SQL-expressible as unrolled MATERIALIZED CTEs over the oracled
+    kg_triples linker SQL — so the driver-free PageRank machinery
+    (edge⨝outdeg join, dangling-mass scalar, update join) sits under a
+    DuckDB hash gate; the tol-converged production variant
+    (kg_entity_pagerank) stays numpy-golden."""
+    import numpy as np
+    import pyarrow as pa
+
+    from reden_ray.pipelines.graphrank import entity_pagerank
+    from reden_ray.pipelines.kg import run_fixture_pipeline, triples_view
+
+    triples = triples_view(run_fixture_pipeline(_fixture_for(sf_dir)))
+    ranks = entity_pagerank(triples, max_iters=2, tol=None)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": t.column("u"),
+                "rank": pa.array(np.floor(r * 1e6 + 0.5) / 1e6, pa.float64()),
+            }
+        )
+
+    return ranks.map_batches(rnd, batch_format="pyarrow")
+
+
 def _web_url_dedup(sf_dir: str):
     """Pages front matter: canonicalize urls, drop blocklisted domains,
     collapse recrawls latest-capture-wins.  The fixture's urls are all
@@ -636,6 +666,47 @@ LEFT JOIN canon co ON co.u = t.obj
     return pre + head + "".join(rounds_sql) + tail
 
 
+def _kg_pr2_sql(pre: str) -> str:
+    """kg_entity_pagerank_2it oracle: the pagerank_ds recurrence
+    unrolled twice over the linker-SQL triples.  Mirrors the engine
+    bit-for-bit where float literals matter: base is (1.0 - 0.85)/n
+    (NOT the 0.15 literal — the EWMA lesson), damping*mass/n keeps the
+    engine's left association, update is w*0.85 + add."""
+    triples = _KG_TRIPLES_TAIL.strip()
+    it = []
+    for k in range(2):
+        it.append(
+            f""",
+dm{k} AS (SELECT coalesce(sum(rank) FILTER (dang), 0.0) AS m FROM r{k}),
+c{k} AS MATERIALIZED (
+  SELECT e.dst AS u, sum(r.rank / CAST(d.dg AS DOUBLE)) AS w
+  FROM ed e JOIN r{k} r ON r.u = e.src JOIN odeg d ON d.u = e.src
+  GROUP BY 1
+),
+r{k + 1} AS MATERIALIZED (
+  SELECT r{k}.u,
+         coalesce(c{k}.w, 0.0) * 0.85
+           + ((1.0 - 0.85) / nn.n + 0.85 * dm{k}.m / nn.n) AS rank,
+         r{k}.dang
+  FROM r{k} LEFT JOIN c{k} ON c{k}.u = r{k}.u, nn, dm{k}
+)"""
+        )
+    return (
+        pre
+        + f""",
+ed AS MATERIALIZED (SELECT subj AS src, obj AS dst FROM ({triples})),
+nodes AS MATERIALIZED (SELECT src AS u FROM ed UNION SELECT dst AS u FROM ed),
+odeg AS MATERIALIZED (SELECT src AS u, count(*) AS dg FROM ed GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS MATERIALIZED (
+  SELECT nodes.u, 1.0 / nn.n AS rank, odeg.u IS NULL AS dang
+  FROM nodes LEFT JOIN odeg ON odeg.u = nodes.u, nn
+)"""
+        + "".join(it)
+        + "\nSELECT u, ROUND(rank, 6) AS rank FROM r2"
+    )
+
+
 def _kg_oracle_entries() -> dict:
     """Fixture-path-bound oracle SQL for the KG family.  The driver (and
     the pytest oracle harness) compare at sf0.01, so the fixture path is
@@ -669,6 +740,7 @@ FROM aug GROUP BY 1
         "kg_candidates": pre + _KG_CAND_TAIL,
         "kg_eval_metrics": pre + _KG_EVAL_TAIL.replace("{FX}", fx),
         "kg_canonical_triples": _kg_canon_sql(pre, fx),
+        "kg_entity_pagerank_2it": _kg_pr2_sql(pre),
         "kg_annotated_pages": pre + _KG_ANNOT_TAIL,
         "kg_text_invariant": pre + _KG_TEXTINV_TAIL.replace("{FX}", fx),
         "dict_from_sources": _DICT_SOURCES_SQL.replace("{FX}", fx),
@@ -1403,6 +1475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_eval_metrics": _kg_eval,
         "kg_text_invariant": _kg_text_invariant,
         "kg_canonical_triples": _kg_canonical_triples,
+        "kg_entity_pagerank_2it": _kg_entity_pagerank_2it,
         "kg_pred_frequency": _kg_pred_frequency,
         "kg_links_untagged": _kg_links_untagged,
         "kg_links_dict_tagged": _kg_links_dict_tagged,
