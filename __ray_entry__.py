@@ -1750,6 +1750,98 @@ def _text_quality_scores_sql() -> str:
     )
 
 
+def _webtext_curation_sql() -> str:
+    """The FULL webtext chain (gopher -> PII -> preserve-text span
+    dedup -> 4-gram decontamination -> exact dedup) in one DuckDB
+    statement, mirroring run_webtext_curation over the %50 eval split.
+
+    The preserve_text span rewrite is reconstructed exactly: the
+    original string factors as sep[1]·tok[1]·sep[2]·…·tok[nt]·sep[nt+1]
+    (ASCII-alnum token runs), each non-overlapping 5-token chunk unit
+    is sep-before-chunk + (kept ? tokens-with-internal-seps : ''), hot
+    chunks are keys seen in >=2 distinct docs, and the result is
+    whitespace-collapsed + trimmed — byte-for-byte the engine's
+    excision (tests: the hash gate itself).  PII email/IP rules are
+    replicated; the phone rule needs lookaround (unsupported in RE2)
+    but the fixture corpus is digit-free so all three are provable
+    no-ops — a corpus change that introduces digits would surface as a
+    hash mismatch, not silently pass."""
+    gopher_rules = (
+        "WHERE nw BETWEEN 5 AND 1000000 AND dwr >= 0.20 "
+        "AND f2 <= 0.20 AND f3 <= 0.18 AND f4 <= 0.16 AND d5 <= 0.30 "
+        "AND mwl BETWEEN 2.0 AND 12.0 AND swr <= 0.5"
+    )
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+evald AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+gt AS (SELECT doc_id, text, list_filter(
+  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w FROM corpus),
+gbase AS (SELECT doc_id, text, w, len(w) AS nw FROM gt),
+ggrams AS (SELECT b.doc_id, t.n,
+  array_to_string(b.w[i.i : i.i + t.n - 1], ' ') AS gram, count(*) AS c
+  FROM gbase b, (VALUES (2),(3),(4),(5)) t(n),
+       unnest(range(1, b.nw - t.n + 2)) i(i)
+  WHERE b.nw >= t.n GROUP BY 1, 2, 3),
+ggm AS (SELECT doc_id, n, max(c) AS cmax,
+  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc FROM ggrams GROUP BY 1, 2),
+gm AS (SELECT b.doc_id, b.text, b.nw,
+  len(list_distinct(b.w)) * 1.0 / b.nw AS dwr,
+  list_aggregate(list_transform(b.w, x -> length(x)), 'sum') * 1.0 / b.nw AS mwl,
+  len(regexp_extract_all(b.text, '[#@\\{{}}<>^~|]|\\.\\.\\.')) * 1.0 / b.nw AS swr,
+  coalesce(max(CASE WHEN g.n = 2 AND g.cmax > 1 THEN
+    least(1.0, g.cmax * 2 * 1.0 / b.nw) END), 0.0) AS f2,
+  coalesce(max(CASE WHEN g.n = 3 AND g.cmax > 1 THEN
+    least(1.0, g.cmax * 3 * 1.0 / b.nw) END), 0.0) AS f3,
+  coalesce(max(CASE WHEN g.n = 4 AND g.cmax > 1 THEN
+    least(1.0, g.cmax * 4 * 1.0 / b.nw) END), 0.0) AS f4,
+  coalesce(max(CASE WHEN g.n = 5 THEN
+    least(1.0, g.dupc * 5 * 1.0 / b.nw) END), 0.0) AS d5
+  FROM gbase b LEFT JOIN ggm g ON g.doc_id = b.doc_id
+  WHERE b.nw > 0 GROUP BY b.doc_id, b.text, b.nw, b.w),
+gsur AS (SELECT doc_id, text FROM gm {gopher_rules}),
+pii AS (SELECT doc_id, regexp_replace(regexp_replace(text,
+  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+  '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g') AS text FROM gsur),
+spt AS MATERIALIZED (SELECT doc_id, text,
+  regexp_extract_all(text, '[A-Za-z0-9]+') AS tk,
+  string_split_regex(text, '[A-Za-z0-9]+') AS sp,
+  len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS nt FROM pii),
+chunks AS MATERIALIZED (SELECT doc_id, i.i AS si,
+  array_to_string(list_transform(tk[(i.i * 5 + 1) : least((i.i + 1) * 5, nt)],
+                                 x -> lower(x)), ' ') AS key,
+  sp[i.i * 5 + 1] AS sep_before,
+  array_to_string(list_transform(
+    range(i.i * 5 + 1, least((i.i + 1) * 5, nt) + 1),
+    j -> tk[j] || if(j < least((i.i + 1) * 5, nt), sp[j + 1], '')), '') AS body
+  FROM spt, unnest(range(0, (nt + 4) // 5)) i(i) WHERE nt > 0),
+hot AS (SELECT key FROM (SELECT DISTINCT doc_id, key FROM chunks)
+        GROUP BY key HAVING count(*) >= 2),
+units AS (SELECT doc_id, si,
+  sep_before || CASE WHEN key IN (SELECT key FROM hot) THEN '' ELSE body END AS u
+  FROM chunks),
+rebuilt AS MATERIALIZED (SELECT s.doc_id,
+  CASE WHEN s.nt = 0 THEN '' ELSE
+    trim(regexp_replace(
+      coalesce(string_agg(u.u, '' ORDER BY u.si), '') || s.sp[s.nt + 1],
+      '\\s+', ' ', 'g'))
+  END AS text
+  FROM spt s LEFT JOIN units u USING (doc_id)
+  GROUP BY s.doc_id, s.nt, s.sp),
+ctoks AS (SELECT doc_id, list_filter(
+  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w FROM rebuilt),
+cgrams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g
+  FROM ctoks, unnest(range(1, len(w) - 2)) t(i) WHERE len(w) >= 4),
+etoks AS (SELECT doc_id, list_filter(
+  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w FROM evald),
+egrams AS (SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS g
+  FROM etoks, unnest(range(1, len(w) - 2)) t(i) WHERE len(w) >= 4),
+hits AS (SELECT DISTINCT doc_id FROM cgrams WHERE g IN (SELECT g FROM egrams)),
+clean AS (SELECT doc_id, text FROM rebuilt
+          WHERE doc_id NOT IN (SELECT doc_id FROM hits))
+SELECT min(doc_id) AS doc_id FROM clean GROUP BY text
+"""
+
+
 def _curation_ngram_sql() -> str:
     """The full curation composite in one DuckDB statement: quality
     signals (same regexes + stopword list as the engine), ws-token
@@ -2263,6 +2355,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_fixed_assign": _kmeans_fixed_assign_sql(),
         "text_quality_scores": _text_quality_scores_sql(),
         "curation_ngram": _curation_ngram_sql(),
+        "webtext_curation": _webtext_curation_sql(),
         "pii_redact_docs": (
             "WITH inj AS (SELECT doc_id, text || ' contact user' || doc_id || "
             "'@example.com from 10.0.' || (doc_id % 200) || '.7 ok' AS t FROM documents), "
