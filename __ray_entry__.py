@@ -1226,6 +1226,26 @@ def _kmeans_embeddings(sf_dir: str):
     )
 
 
+def _kmeans_2it_assign(sf_dir: str):
+    """TWO fixed Lloyd iterations of the PRODUCTION kmeans_fit (tol=0
+    -> no early stop) + final assignment — SQL-expressible because the
+    deterministic init (centroid j = vector of the min vec_id in
+    residue class j = vec_id j on this dense 0-based table) and the
+    argmin/tie-to-lowest/empty-keeps-centroid rules unroll as CTEs.
+    The tol-converged production clustering (kmeans_embeddings) stays
+    numpy-golden; this puts the iterative machinery under a hash gate
+    with an all-integer output."""
+    import ray.data as rd
+
+    from reden_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents, _ = kmeans_fit(emb, k=8, max_iters=2, tol=0.0)
+    return kmeans_assign(emb, cents).select_columns(["vec_id", "cluster"])
+
+
 def _knn_ivf_indexed(sf_dir: str):
     """Disk-backed IVF: centroid-partitioned parquet index built under
     /tmp (content-addressed by sf), searched with partition pruning —
@@ -1497,6 +1517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_ngram": _curation_ngram,
         "knn_ivf_indexed": _knn_ivf_indexed,
         "kmeans_embeddings": _kmeans_embeddings,
+        "kmeans_2it_assign": _kmeans_2it_assign,
         # round-4 additions (all DuckDB-oracled)
         "knn_ivf_exact": _knn_ivf_exact,
         # round 5: IVF(full probe) == brute force, as a hash-gated count
@@ -1748,6 +1769,43 @@ def _text_quality_scores_sql() -> str:
         "least(1.0, greatest(0.0, 1 - pr * 4.0)) + "
         "least(1.0, greatest(0.0, sr * 3.0))), 6) AS quality FROM sig"
     )
+
+
+def _kmeans_2it_sql(k: int = 8, dim: int = 64, iters: int = 2) -> str:
+    """kmeans_2it_assign oracle: Lloyd unrolled — per round an
+    argmin(-2 x·c + ||c||²) assignment (ties to lowest cluster index)
+    and a per-dim mean update (empty clusters keep their centroid),
+    then the final assignment with the round-``iters`` centroids."""
+    parts = [
+        f"""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings),
+c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {k})"""
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f""",
+s{i} AS (SELECT e.vec_id, c.cid,
+  -2 * list_dot_product(e.v, c.c) + list_dot_product(c.c, c.c) AS sc
+  FROM e CROSS JOIN c{i} c),
+a{i} AS MATERIALIZED (SELECT vec_id, cid FROM (
+  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sc, cid)
+    AS rn FROM s{i}) WHERE rn = 1)"""
+        )
+        if i < iters:
+            parts.append(
+                f""",
+u{i} AS (SELECT a{i}.cid, i.i AS dim, sum(e.v[i.i]) / count(*) AS m
+  FROM a{i} JOIN e USING (vec_id), unnest(range(1, {dim + 1})) i(i)
+  GROUP BY 1, 2),
+c{i + 1} AS MATERIALIZED (SELECT c{i}.cid, coalesce(u.c, c{i}.c) AS c
+  FROM c{i} LEFT JOIN (SELECT cid, list(m ORDER BY dim) AS c FROM u{i}
+                       GROUP BY cid) u USING (cid))"""
+            )
+    parts.append(
+        f"\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a{iters}"
+    )
+    return "".join(parts)
 
 
 def _webtext_curation_sql() -> str:
@@ -2353,6 +2411,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM ranked WHERE rank < 5"
         ),
         "kmeans_fixed_assign": _kmeans_fixed_assign_sql(),
+        "kmeans_2it_assign": _kmeans_2it_sql(),
         "text_quality_scores": _text_quality_scores_sql(),
         "curation_ngram": _curation_ngram_sql(),
         "webtext_curation": _webtext_curation_sql(),
