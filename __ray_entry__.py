@@ -152,7 +152,7 @@ def _web_url_dedup(sf_dir: str):
 # expansion via the last-writer inverted index).  Verified MATCH vs the Ray
 # pipeline at sf0.001 and sf0.01.  {FX} is the fixture dir (sf0.01 shape --
 # the scale the driver and the pytest oracle harness compare at).
-_KG_LINKER_CTES = """\
+_KG_HEAD = """\
 -- Full degree-centrality entity-linking oracle over the fixture parquet.
 -- {FX} is replaced with the fixture dir.
 WITH ser AS (SELECT unnest(generate_series(0, 255)) AS k),
@@ -164,6 +164,12 @@ ctx AS (
   FROM pg, ser
   WHERE k < len(regexp_extract_all(h, '(?s)<p(?:\\s[^>]*)?>(.*?)</p>', 1))
 ),
+"""
+
+# tagged-path mention + candidate-map CTEs (the reference's own
+# <span class="ne"> annotations); the untagged NER variant below
+# defines the SAME men2/cmap names so _KG_BODY composes with either.
+_KG_MEN_TAGGED = """\
 men AS (
   SELECT url, context_id, k AS mention_id,
          list_extract(regexp_extract_all(ctx_html, '(?s)<span class="ne" data-type="([A-Z]+)">(.*?)</span>', 2), k + 1) AS surface,
@@ -198,6 +204,9 @@ cmap AS (
   SELECT s.url, s.context_id, s.surface, g.uri_group, g.g_idx, g.n_groups
   FROM smap s JOIN grp g ON g.kind = s.kind AND g.alias_norm = s.norm
 ),
+"""
+
+_KG_BODY = """\
 route AS (
   SELECT url, context_id,
          CASE WHEN max(n_groups) >= 2 THEN 'Ok' ELSE 'NoAmbiguity' END AS route
@@ -381,6 +390,83 @@ linked AS (
   LEFT JOIN grp1 g1 ON g1.url = m.url AND g1.context_id = m.context_id AND g1.surface = m.surface
 )
 """
+
+_KG_LINKER_CTES = _KG_HEAD + _KG_MEN_TAGGED + _KG_BODY
+
+# untagged-path mention + candidate-map CTEs: the heuristic NER
+# (stages/ner.py) replayed in SQL.  Connector tokens (particles,
+# honorific periods) contain no capitals, so every join edge links
+# idx-CONSECUTIVE capitalized tokens and runs fall out of a window
+# cumsum — no recursion.  Surfaces are rebuilt exactly from the
+# token/separator factoring of the tag-stripped context text; the
+# ANY-kind candidate lookup is the per-norm dictionary in global row
+# order with first-occurrence dedup (state/dictionary.py groups()).
+_KG_NER_TOKRE = (
+    "[A-ZÀ-Þ][0-9A-Za-z_À-ÿ''-]*|[a-zà-ÿ][a-zà-ÿA-ZÀ-ÿ-]*''?|[^\\s0-9A-Za-z_À-ÿ]"
+)
+_KG_NER_PARTICLES = "('de','du','des','d''','l''','le','la','les','van','von','da')"
+_KG_NER_HONORIFICS = "('M','Mme','Mlle','Dr','Pr','St','Ste')"
+_KG_MEN_UNTAGGED = f"""\
+ctxt AS (SELECT url, context_id,
+   replace(regexp_replace(ctx_html, '<[^>]*>', '', 'g'), '&amp;', '&') AS txt FROM ctx),
+ntk AS MATERIALIZED (SELECT url, context_id,
+   regexp_extract_all(txt, '{_KG_NER_TOKRE}') AS tk,
+   string_split_regex(txt, '{_KG_NER_TOKRE}') AS sp,
+   len(regexp_extract_all(txt, '{_KG_NER_TOKRE}')) AS nt FROM ctxt),
+toks AS MATERIALIZED (SELECT url, context_id, i.i AS idx, tk[i.i] AS tok
+   FROM ntk, unnest(range(1, nt + 1)) i(i)),
+caps AS MATERIALIZED (SELECT url, context_id, idx, tok,
+   row_number() OVER (PARTITION BY url, context_id ORDER BY idx) AS cap_no
+   FROM toks WHERE regexp_matches(tok, '^[A-ZÀ-Þ]')),
+eok AS (SELECT a.url, a.context_id, a.cap_no,
+   CASE WHEN b.idx = a.idx + 1 THEN TRUE
+        WHEN b.idx = a.idx + 2 AND lower(n.tk[a.idx + 1]) IN
+          {_KG_NER_PARTICLES} THEN TRUE
+        WHEN b.idx = a.idx + 2 AND n.tk[a.idx + 1] = '.' AND
+          (a.tok IN {_KG_NER_HONORIFICS} OR length(a.tok) = 1) THEN TRUE
+        WHEN b.idx = a.idx + 3 AND n.tk[a.idx + 1] = '.' AND
+          (a.tok IN {_KG_NER_HONORIFICS} OR length(a.tok) = 1) AND
+          lower(n.tk[a.idx + 2]) IN {_KG_NER_PARTICLES} THEN TRUE
+        ELSE FALSE END AS joined
+   FROM caps a
+   JOIN caps b ON b.url = a.url AND b.context_id = a.context_id AND b.cap_no = a.cap_no + 1
+   JOIN ntk n ON n.url = a.url AND n.context_id = a.context_id),
+nrn AS (SELECT c.url, c.context_id, c.cap_no, c.idx,
+   CASE WHEN e.joined THEN 0 ELSE 1 END AS newr
+   FROM caps c LEFT JOIN eok e ON e.url = c.url AND e.context_id = c.context_id
+                              AND e.cap_no = c.cap_no - 1),
+runs0 AS (SELECT *, sum(newr) OVER (PARTITION BY url, context_id ORDER BY cap_no) AS run_id FROM nrn),
+runsg AS (SELECT url, context_id, run_id, min(idx) AS fidx, max(idx) AS lidx,
+   count(*) AS n_caps FROM runs0 GROUP BY 1, 2, 3),
+runs1 AS (SELECT r.url, r.context_id, r.fidx, r.lidx, r.n_caps, n.tk, n.sp,
+   (r.fidx > 1 AND lower(n.tk[r.fidx - 1]) IN ('d''', 'l''') AND n.sp[r.fidx] = '') AS elision,
+   (r.fidx = 1 OR n.tk[r.fidx - 1] IN ('.', '!', '?')) AS sent0
+   FROM runsg r JOIN ntk n ON n.url = r.url AND n.context_id = r.context_id),
+emitr AS (SELECT *,
+   CASE WHEN elision THEN tk[fidx - 1] ELSE '' END ||
+   array_to_string(list_transform(range(fidx, lidx + 1),
+     j -> tk[j] || if(j < lidx, sp[j + 1], '')), '') AS surface
+   FROM runs1 WHERE (NOT (sent0 AND NOT elision)) OR n_caps >= 2),
+men2 AS (SELECT url, context_id,
+   CAST(row_number() OVER (PARTITION BY url, context_id ORDER BY fidx) - 1 AS BIGINT) AS mention_id,
+   surface, 'ANY' AS ne_type,
+   lower(regexp_replace(surface, '(\\s|''|-)', '', 'g')) AS norm
+   FROM emitr),
+dict AS (SELECT alias_norm, kind, uri_group, file_row_number AS rn
+         FROM read_parquet('{{FX}}/dictionary.parquet', file_row_number = true)),
+grpu0 AS (SELECT alias_norm, uri_group, min(rn) AS grn
+          FROM dict GROUP BY alias_norm, uri_group),
+grp AS (SELECT 'ANY' AS kind, alias_norm, uri_group,
+               row_number() OVER (PARTITION BY alias_norm ORDER BY grn) AS g_idx,
+               count(*) OVER (PARTITION BY alias_norm) AS n_groups
+        FROM grpu0),
+cmap AS (
+  SELECT DISTINCT m.url, m.context_id, m.surface, g.uri_group, g.g_idx, g.n_groups
+  FROM men2 m JOIN grp g ON g.alias_norm = m.norm
+),
+"""
+
+_KG_LINKER_CTES_UNTAGGED = _KG_HEAD + _KG_MEN_UNTAGGED + _KG_BODY
 
 _KG_LINKS_TAIL = """\
 SELECT url, CAST(context_id AS INT) AS context_id, route,
@@ -732,8 +818,52 @@ aug AS (
 SELECT canonical_url, 'example.org' AS domain, max(warc_ts) AS warc_ts
 FROM aug GROUP BY 1
 """
+    # two-run composites: tagged and untagged linker SQLs as subqueries
+    ta = "(" + pre + _KG_LINKS_TAIL + ")"
+    tb = "(" + _KG_LINKER_CTES_UNTAGGED.replace("{FX}", fx) + _KG_LINKS_TAIL + ")"
+    two_run_join = (
+        f"FROM {ta} a FULL JOIN {tb} b "
+        "ON a.url = b.url AND a.context_id = b.context_id "
+        "AND a.mention_id = b.mention_id"
+    )
+    run_diff_sql = (
+        "SELECT COALESCE(a.url, b.url) AS url, "
+        "CAST(COALESCE(a.context_id, b.context_id) AS BIGINT) AS context_id, "
+        "CAST(COALESCE(a.mention_id, b.mention_id) AS BIGINT) AS mention_id, "
+        "a.chosen AS chosen_a, b.chosen AS chosen_b, "
+        "CASE WHEN a.url IS NULL THEN 'only_b' WHEN b.url IS NULL THEN 'only_a' "
+        "ELSE 'changed' END AS status "
+        + two_run_join
+        + " WHERE a.url IS NULL OR b.url IS NULL OR a.chosen <> b.chosen"
+    )
+    sig_pairs_sql = (
+        "SELECT COALESCE(a.url, b.url) AS url, "
+        "CAST(COALESCE(a.context_id, b.context_id) AS BIGINT) AS context_id, "
+        "CAST(COALESCE(a.mention_id, b.mention_id) AS BIGINT) AS mention_id, "
+        "COALESCE(CASE WHEN a.chosen <> '' THEN a.score END, 0.0) AS score_a, "
+        "COALESCE(CASE WHEN b.chosen <> '' THEN b.score END, 0.0) AS score_b "
+        + two_run_join
+    )
+    sig_t_sql = (
+        f"WITH p AS ({sig_pairs_sql}), "
+        "s AS (SELECT sum(score_a - score_b) AS sum_d, "
+        "sum((score_a - score_b) * (score_a - score_b)) AS sum_d2, "
+        "count(*) AS n FROM p), "
+        "m AS (SELECT n, sum_d / n AS mean, "
+        "sqrt(greatest(0.0, (sum_d2 - n * (sum_d / n) * (sum_d / n)) / (n - 1))) AS sd "
+        "FROM s) "
+        "SELECT CAST(n AS BIGINT) AS n, ROUND(mean, 6) AS mean_diff, "
+        "ROUND(sd, 6) AS sd_diff, "
+        "ROUND(CASE WHEN sd > 0 THEN mean / (sd / sqrt(n)) ELSE 0.0 END, 6) AS t "
+        "FROM m"
+    )
     return {
         "kg_links_degree": pre + _KG_LINKS_TAIL,
+        "kg_links_untagged_degree": _KG_LINKER_CTES_UNTAGGED.replace("{FX}", fx)
+        + _KG_LINKS_TAIL,
+        "kg_run_diff": run_diff_sql,
+        "kg_significance_pairs": sig_pairs_sql,
+        "kg_significance_t": sig_t_sql,
         "kg_triples": pre + _KG_TRIPLES_TAIL,
         "kg_pred_frequency": pre + _KG_PREDFREQ_TAIL,
         "kg_ambiguity_report": pre + _KG_AMBIGUITY_TAIL,
@@ -778,6 +908,15 @@ def _kg_links_degree(sf_dir: str):
     from reden_ray.pipelines.kg import links_view, run_fixture_pipeline
 
     links = links_view(run_fixture_pipeline(_fixture_for(sf_dir)))
+    return _links_hashable(links)
+
+
+def _links_hashable(links):
+    """links_view -> driver-hashable table: chosen_uris space-joined
+    (the reference's own wire format), score rounded half-away 6 dp."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     def fin(t: pa.Table) -> pa.Table:
         chosen = pc.binary_join(t.column("chosen_uris"), " ")
@@ -799,6 +938,20 @@ def _kg_links_degree(sf_dir: str):
         )
 
     return links.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+def _kg_links_untagged_degree(sf_dir: str):
+    """The UNTAGGED (heuristic-NER) NEL pipeline under a DuckDB hash
+    gate: the capitalized-run detector (particles, honorific periods,
+    elisions, the sentence-initial >=2-caps rule) is replayed in SQL as
+    chain edges over idx-consecutive capitals, the ANY-kind candidate
+    route as the per-norm global-row-order dictionary, and everything
+    downstream (fuse/prune/degree/choose) is the SAME SQL text the
+    tagged gate uses (_KG_BODY).  Oracle: _KG_LINKER_CTES_UNTAGGED +
+    _KG_LINKS_TAIL."""
+    from reden_ray.pipelines.kg import links_view, run_untagged_pipeline
+
+    return _links_hashable(links_view(run_untagged_pipeline(_fixture_for(sf_dir))))
 
 
 def _kg_triples(sf_dir: str):
@@ -1004,9 +1157,15 @@ def _kg_run_diff(sf_dir: str):
     return diff_runs(tagged, untagged)
 
 
-def _kg_significance_pairs(sf_dir: str):
-    """Significance-test prep (SignificanceTesting.java analogue):
-    paired per-mention scores of the tagged vs heuristic-NER runs."""
+def _rounded_sig_pairs(sf_dir: str):
+    """Significance pairs with scores rounded half-away at 6 dp — the
+    reference's own precision (it parses scores back out of PRINTED
+    'uri(score)' text, SignificanceTesting.java:81-93), and what makes
+    the pair table and the paired-t summary DuckDB-hash-comparable
+    (the linker oracle emits ROUND(score, 6))."""
+    import numpy as np
+    import pyarrow as pa
+
     from reden_ray.pipelines.evaluate import significance_pairs
     from reden_ray.pipelines.kg import (
         links_view,
@@ -1017,7 +1176,26 @@ def _kg_significance_pairs(sf_dir: str):
     fd = _fixture_for(sf_dir)
     tagged = links_view(run_fixture_pipeline(fd))
     untagged = links_view(run_untagged_pipeline(fd))
-    return significance_pairs(tagged, untagged)
+    pairs = significance_pairs(tagged, untagged)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        out = {}
+        for c in t.schema.names:
+            if c.startswith("score_"):
+                v = t.column(c).to_numpy(zero_copy_only=False)
+                out[c] = pa.array(np.floor(v * 1e6 + 0.5) / 1e6, pa.float64())
+            else:
+                out[c] = t.column(c)
+        return pa.table(out)
+
+    return pairs.map_batches(rnd, batch_format="pyarrow")
+
+
+def _kg_significance_pairs(sf_dir: str):
+    """Significance-test prep (SignificanceTesting.java analogue):
+    paired per-mention scores of the tagged vs heuristic-NER runs,
+    hash-gated against the full-outer join of the two linker SQLs."""
+    return _rounded_sig_pairs(sf_dir)
 
 
 def _dict_from_sources(sf_dir: str):
@@ -1138,21 +1316,24 @@ def _multimodal_video_frames(sf_dir: str):
 
 def _kg_significance_t(sf_dir: str):
     """Paired-t summary over the tagged-vs-NER significance pairs
-    (SignificanceTesting.java analogue) as a one-row table."""
+    (SignificanceTesting.java analogue) as a one-row table — computed
+    over the 6-dp-rounded pair scores (the reference's own printed
+    precision), outputs rounded half-away-from-zero so the DuckDB
+    ROUND comparison can't knife-edge."""
+    import math
+
     import pandas as pd
 
-    from reden_ray.pipelines.evaluate import paired_t_stats, significance_pairs
-    from reden_ray.pipelines.kg import (
-        links_view,
-        run_fixture_pipeline,
-        run_untagged_pipeline,
-    )
+    from reden_ray.pipelines.evaluate import paired_t_stats
 
-    fd = _fixture_for(sf_dir)
-    a = links_view(run_fixture_pipeline(fd))
-    b = links_view(run_untagged_pipeline(fd))
-    stats = paired_t_stats(significance_pairs(a, b))
-    return pd.DataFrame([{k: round(v, 6) for k, v in stats.items()}])
+    stats = paired_t_stats(_rounded_sig_pairs(sf_dir))
+
+    def away6(v):
+        if isinstance(v, int):
+            return v
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5) / 1e6, v)
+
+    return pd.DataFrame([{k: away6(v) for k, v in stats.items()}])
 
 
 def _dedup_minhash(sf_dir: str):
@@ -1490,6 +1671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_links": _kg_links,
         # round 5: the full degree-centrality linker under a SQL hash gate
         "kg_links_degree": _kg_links_degree,
+        "kg_links_untagged_degree": _kg_links_untagged_degree,
         "kg_triples": _kg_triples,
         "kg_candidates": _kg_candidates,
         "kg_eval_metrics": _kg_eval,
