@@ -468,6 +468,102 @@ cmap AS (
 
 _KG_LINKER_CTES_UNTAGGED = _KG_HEAD + _KG_MEN_UNTAGGED + _KG_BODY
 
+# dictionary-alias-tagged mention + candidate-map CTEs (stages/dicttag
+# replayed in SQL): aliases tokenize with the SAME regex as context
+# text, longest-match-per-position is a max() over exact token-window
+# joins, and the greedy left-to-right NON-OVERLAPPING sweep is a
+# recursive scan whose cursor advances by the match length (or 1) —
+# each round advances every context one step, so depth <= tokens per
+# context.  Mention kinds come from the alias (single kind, or 'ANY'
+# for cross-kind homonyms); the candidate map routes ANY through the
+# per-norm dictionary with last-type-wins merge (PER < LOC < ANY).
+_KG_MEN_DICTTAG = f"""\
+ctxt AS (SELECT url, context_id,
+   replace(regexp_replace(ctx_html, '<[^>]*>', '', 'g'), '&amp;', '&') AS txt FROM ctx),
+ntk AS MATERIALIZED (SELECT url, context_id,
+   regexp_extract_all(txt, '{_KG_NER_TOKRE}') AS tk,
+   string_split_regex(txt, '{_KG_NER_TOKRE}') AS sp,
+   len(regexp_extract_all(txt, '{_KG_NER_TOKRE}')) AS nt FROM ctxt),
+ctxn AS MATERIALIZED (SELECT url, context_id, nt FROM ntk),
+dict AS (SELECT alias_norm, kind, alias_raw, uri_group, file_row_number AS rn
+         FROM read_parquet('{{FX}}/dictionary.parquet', file_row_number = true)),
+atoks AS (SELECT alias_raw, kind,
+   regexp_extract_all(alias_raw, '{_KG_NER_TOKRE}') AS atk FROM (
+     SELECT DISTINCT alias_raw, kind FROM dict)),
+aliases AS MATERIALIZED (
+   SELECT array_to_string(atk, ' ') AS akey, len(atk) AS alen,
+          CASE WHEN count(DISTINCT kind) = 1 THEN any_value(kind)
+               ELSE 'ANY' END AS ne_type
+   FROM atoks WHERE len(atk) > 0 GROUP BY 1, 2),
+alens AS (SELECT DISTINCT alen FROM aliases),
+poskeys AS MATERIALIZED (
+   SELECT n.url, n.context_id, p.p, l.alen,
+          array_to_string(n.tk[p.p : p.p + l.alen - 1], ' ') AS akey
+   FROM ntk n, unnest(range(1, n.nt + 1)) p(p), alens l
+   WHERE p.p + l.alen - 1 <= n.nt),
+best AS MATERIALIZED (
+   SELECT k.url, k.context_id, k.p, max(k.alen) AS mlen
+   FROM poskeys k JOIN aliases a ON a.akey = k.akey AND a.alen = k.alen
+   GROUP BY 1, 2, 3),
+scan AS (
+   SELECT url, context_id, 1 AS pos FROM ctxn WHERE nt > 0
+   UNION ALL
+   SELECT s.url, s.context_id, s.pos + COALESCE(b.mlen, 1) AS pos
+   FROM scan s
+   JOIN ctxn c ON c.url = s.url AND c.context_id = s.context_id
+   LEFT JOIN best b ON b.url = s.url AND b.context_id = s.context_id AND b.p = s.pos
+   WHERE s.pos <= c.nt),
+hitsm AS (
+   SELECT s.url, s.context_id, s.pos AS p, b.mlen AS alen
+   FROM scan s JOIN best b ON b.url = s.url AND b.context_id = s.context_id AND b.p = s.pos),
+emitd AS (
+   SELECT h.url, h.context_id, h.p, h.alen,
+          array_to_string(list_transform(range(h.p, h.p + h.alen),
+            j -> n.tk[j] || if(j < h.p + h.alen - 1, n.sp[j + 1], '')), '') AS surface,
+          array_to_string(n.tk[h.p : h.p + h.alen - 1], ' ') AS akey
+   FROM hitsm h JOIN ntk n ON n.url = h.url AND n.context_id = h.context_id),
+men2 AS (
+   SELECT e.url, e.context_id,
+          CAST(row_number() OVER (PARTITION BY e.url, e.context_id ORDER BY e.p) - 1
+               AS BIGINT) AS mention_id,
+          e.surface, a.ne_type,
+          lower(regexp_replace(e.surface, '(\\s|''|-)', '', 'g')) AS norm
+   FROM emitd e JOIN aliases a ON a.akey = e.akey AND a.alen = e.alen),
+grpk0 AS (SELECT kind, alias_norm, uri_group, min(rn) AS grn
+          FROM dict GROUP BY kind, alias_norm, uri_group),
+grpk AS (SELECT kind, alias_norm, uri_group,
+                row_number() OVER (PARTITION BY kind, alias_norm ORDER BY grn) AS g_idx,
+                count(*) OVER (PARTITION BY kind, alias_norm) AS n_groups
+         FROM grpk0),
+grpu0 AS (SELECT alias_norm, uri_group, min(rn) AS grn
+          FROM dict GROUP BY alias_norm, uri_group),
+grpu AS (SELECT alias_norm, uri_group,
+                row_number() OVER (PARTITION BY alias_norm ORDER BY grn) AS g_idx,
+                count(*) OVER (PARTITION BY alias_norm) AS n_groups
+         FROM grpu0),
+sk AS (SELECT DISTINCT m.url, m.context_id, m.surface, m.norm, m.ne_type FROM men2 m
+   WHERE (m.ne_type = 'ANY' AND EXISTS (SELECT 1 FROM grpu g WHERE g.alias_norm = m.norm))
+      OR (m.ne_type <> 'ANY' AND EXISTS (SELECT 1 FROM grpk g
+            WHERE g.kind = m.ne_type AND g.alias_norm = m.norm))),
+smap AS (SELECT url, context_id, surface, norm,
+   CASE max(CASE ne_type WHEN 'PER' THEN 1 WHEN 'LOC' THEN 2 WHEN 'ANY' THEN 3 END)
+        WHEN 1 THEN 'PER' WHEN 2 THEN 'LOC' ELSE 'ANY' END AS kind
+   FROM sk GROUP BY 1, 2, 3, 4),
+cmap AS (
+  SELECT s.url, s.context_id, s.surface, g.uri_group, g.g_idx, g.n_groups
+  FROM smap s JOIN grpk g ON g.kind = s.kind AND g.alias_norm = s.norm
+  WHERE s.kind <> 'ANY'
+  UNION ALL
+  SELECT s.url, s.context_id, s.surface, g.uri_group, g.g_idx, g.n_groups
+  FROM smap s JOIN grpu g ON g.alias_norm = s.norm
+  WHERE s.kind = 'ANY'
+),
+"""
+
+_KG_LINKER_CTES_DICTTAG = (_KG_HEAD + _KG_MEN_DICTTAG + _KG_BODY).replace(
+    "WITH ser AS", "WITH RECURSIVE ser AS", 1
+)
+
 _KG_LINKS_TAIL = """\
 SELECT url, CAST(context_id AS INT) AS context_id, route,
        CAST(mention_id AS INT) AS mention_id, surface, ne_type, chosen, score, method
@@ -861,6 +957,8 @@ FROM aug GROUP BY 1
         "kg_links_degree": pre + _KG_LINKS_TAIL,
         "kg_links_untagged_degree": _KG_LINKER_CTES_UNTAGGED.replace("{FX}", fx)
         + _KG_LINKS_TAIL,
+        "kg_links_dict_tagged_degree": _KG_LINKER_CTES_DICTTAG.replace("{FX}", fx)
+        + _KG_LINKS_TAIL,
         "kg_run_diff": run_diff_sql,
         "kg_significance_pairs": sig_pairs_sql,
         "kg_significance_t": sig_t_sql,
@@ -938,6 +1036,19 @@ def _links_hashable(links):
         )
 
     return links.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+def _kg_links_dict_tagged_degree(sf_dir: str):
+    """The dictionary-alias-tagged (semi-automatic annotation) NEL
+    pipeline under a DuckDB hash gate: the greedy longest-match alias
+    sweep is replayed in SQL as a recursive cursor over precomputed
+    best-match-per-position windows, mention kinds come from the alias
+    (cross-kind homonyms -> 'ANY'), and the candidate map applies the
+    reference's last-type-wins merge (PER < LOC < ANY).  Oracle:
+    _KG_LINKER_CTES_DICTTAG + _KG_LINKS_TAIL."""
+    from reden_ray.pipelines.kg import links_view, run_dict_tagged_pipeline
+
+    return _links_hashable(links_view(run_dict_tagged_pipeline(_fixture_for(sf_dir))))
 
 
 def _kg_links_untagged_degree(sf_dir: str):
@@ -1672,6 +1783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: the full degree-centrality linker under a SQL hash gate
         "kg_links_degree": _kg_links_degree,
         "kg_links_untagged_degree": _kg_links_untagged_degree,
+        "kg_links_dict_tagged_degree": _kg_links_dict_tagged_degree,
         "kg_triples": _kg_triples,
         "kg_candidates": _kg_candidates,
         "kg_eval_metrics": _kg_eval,
