@@ -1500,6 +1500,91 @@ def _dedup_embedding(sf_dir: str):
     return _pairs_table(pairs, _EMB_PAIR_SCHEMA, ["vec_a", "vec_b"])
 
 
+def _dedup_minhash_md5(sf_dir: str):
+    """MinHash+LSH through the PRODUCTION band/bucket/distinct
+    machinery with the SQL-replayable md5 kernel (Md5MinHasher) —
+    the hash gate for the whole LSH pipeline; the blake2b/fmix twin
+    (dedup_minhash_docs) stays rows-only because its kernel is not
+    SQL-expressible."""
+    import ray.data as rd
+
+    from reden_ray.stages.dedup import _MINHASH_PAIR_SCHEMA, minhash_lsh_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(
+        docs,
+        threshold=0.5,
+        n_perm=16,
+        n_bands=4,
+        shingle_k=5,
+        max_bucket=1_000_000,
+        kernel="md5",
+    )
+    return _pairs_table(pairs, _MINHASH_PAIR_SCHEMA, ["doc_a", "doc_b"])
+
+
+def _dedup_minhash_md5_clusters(sf_dir: str):
+    """Near-dup clusters over the md5-kernel MinHash pairs: the full
+    pairs -> connected-components -> min-label chain under a DuckDB
+    recursive-CTE CC oracle (the blake2b twin stays rows-only)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reden_ray.pipelines.curation import near_dup_clusters
+    from reden_ray.stages.dedup import minhash_lsh_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(
+        docs,
+        threshold=0.5,
+        n_perm=16,
+        n_bands=4,
+        shingle_k=5,
+        max_bucket=1_000_000,
+        kernel="md5",
+    )
+    out = near_dup_clusters(pairs)
+    rows = sorted((r["doc_id"], r["cluster"]) for r in out.take_all())
+    return pa.table(
+        {
+            "doc_id": pa.array([a for a, _ in rows], pa.int64()),
+            "cluster": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
+
+
+def _dedup_simhash_md5(sf_dir: str):
+    """SimHash LSH (4x16-bit bands + in-bucket Hamming verify) through
+    the production machinery with the SQL-replayable md5 word-hash
+    kernel (Md5SimHasher)."""
+    import ray.data as rd
+
+    from reden_ray.stages.dedup import _SIMHASH_PAIR_SCHEMA, simhash_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = simhash_pairs(docs, max_hamming=3, max_bucket=1_000_000, kernel="md5")
+    return _pairs_table(pairs, _SIMHASH_PAIR_SCHEMA, ["doc_a", "doc_b"])
+
+
+def _dedup_embedding_int(sf_dir: str):
+    """Integer-exact hyperplane-LSH near-dup pairs (md5-derived integer
+    planes, floor-quantized vectors, cross-multiplied cosine threshold)
+    — the hash gate for the embedding bucket-then-verify machinery."""
+    import ray.data as rd
+
+    from reden_ray.stages.dedup import _EMB_INT_PAIR_SCHEMA, embedding_dup_pairs_int
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # cos >= 3/8 (9/64 squared): the fixture embeddings carry no true
+    # near-dups (max pairwise cosine ~0.42), so the gate threshold sits
+    # where the bucket-then-verify path emits real rows at every sf.
+    pairs = embedding_dup_pairs_int(
+        emb, threshold_num=9, threshold_den=64, n_planes=6, quant=1000,
+        max_bucket=1_000_000,
+    )
+    return _pairs_table(pairs, _EMB_INT_PAIR_SCHEMA, ["vec_a", "vec_b"])
+
+
 def _kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table (rows-only;
     the recurrence is golden-locked against a numpy reference in
@@ -1806,6 +1891,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_clusters": _dedup_minhash_clusters,
         "dedup_simhash_docs": _dedup_simhash,
         "dedup_embedding_docs": _dedup_embedding,
+        # round 5: SQL-replayable kernel twins — the SAME LSH machinery
+        # under DuckDB hash gates (md5 / integer-exact kernels)
+        "dedup_minhash_md5_pairs": _dedup_minhash_md5,
+        "dedup_minhash_md5_clusters": _dedup_minhash_md5_clusters,
+        "dedup_simhash_md5_pairs": _dedup_simhash_md5,
+        "dedup_embedding_int_pairs": _dedup_embedding_int,
         "text_quality_langid": _text_quality,
         "curation_pipeline": _curation,
         "curation_ngram": _curation_ngram,
@@ -2266,6 +2357,33 @@ def _curation_ngram_sql() -> str:
     )
 
 
+# Shared CTE chain for the md5-kernel MinHash twins: distinct lowercased
+# 5-gram shingles -> 16 md5 permutation minima -> 4 bands of 4 rows ->
+# band-key candidates -> exact signature-agreement estimate.  Mirrors
+# reden_ray.stages.dedup.Md5MinHasher + _band_rows semantics exactly
+# (bands group perms [4b, 4b+4); est = agreeing perms / 16, a dyadic).
+_MINHASH_MD5_CTES = (
+    "d AS (SELECT doc_id, lower(text) AS t FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, substr(t, j, 5) AS s "
+    "FROM d, range(1, 4001) r(j) WHERE j + 4 <= length(t) "
+    "UNION ALL SELECT doc_id, t AS s FROM d WHERE length(t) < 5), "
+    "mins AS (SELECT doc_id, i, "
+    "min(md5_number_upper(i::VARCHAR || chr(1) || s)) AS m "
+    "FROM sh, range(0, 16) p(i) GROUP BY doc_id, i), "
+    "bands AS (SELECT doc_id, i // 4 AS b, "
+    "string_agg(m::VARCHAR, ',' ORDER BY i) AS bkey FROM mins GROUP BY doc_id, i // 4), "
+    "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
+    "FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey "
+    "AND x.doc_id < y.doc_id), "
+    "mpairs AS (SELECT c.doc_a, c.doc_b, "
+    "(count(*) FILTER (WHERE ma.m = mb.m)) / 16.0 AS est_jaccard "
+    "FROM cand c JOIN mins ma ON ma.doc_id = c.doc_a "
+    "JOIN mins mb ON mb.doc_id = c.doc_b AND mb.i = ma.i "
+    "GROUP BY c.doc_a, c.doc_b "
+    "HAVING (count(*) FILTER (WHERE ma.m = mb.m)) / 16.0 >= 0.5)"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     d = {
         "j1_hash_join": (
@@ -2590,6 +2708,65 @@ def oracle_sql() -> dict[str, str]:
             "FROM shr JOIN counts ca ON ca.doc_id = doc_a "
             "JOIN counts cb ON cb.doc_id = doc_b "
             "WHERE shared * 1.0 / (ca.n + cb.n - shared) >= 0.8"
+        ),
+        "dedup_minhash_md5_pairs": (
+            "WITH " + _MINHASH_MD5_CTES + " "
+            "SELECT doc_a, doc_b, est_jaccard, FALSE AS truncated FROM mpairs"
+        ),
+        "dedup_minhash_md5_clusters": (
+            "WITH RECURSIVE " + _MINHASH_MD5_CTES + ", "
+            "sym AS (SELECT doc_a AS u, doc_b AS v FROM mpairs "
+            "UNION ALL SELECT doc_b AS u, doc_a AS v FROM mpairs), "
+            "nodes AS (SELECT DISTINCT u AS node FROM sym), "
+            "reach(node, r) AS (SELECT node, node FROM nodes "
+            "UNION SELECT sym.v, reach.r FROM reach JOIN sym ON sym.u = reach.node) "
+            "SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY 1"
+        ),
+        "dedup_simhash_md5_pairs": (
+            # Md5SimHasher in SQL: word votes over md5 bit j, fingerprint
+            # bit j = vote > 0; 4x16-bit band blocking; Hamming verify.
+            "WITH toks AS (SELECT doc_id, tok, count(*) AS cnt FROM "
+            "(SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS tok "
+            "FROM documents) GROUP BY 1, 2), "
+            "votes AS (SELECT doc_id, j, sum(cnt * (CASE WHEN "
+            "(md5_number_upper(tok) >> j) & 1 = 1 THEN 1 ELSE -1 END)) AS v "
+            "FROM toks, range(0, 64) r(j) GROUP BY 1, 2), "
+            "fp0 AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN 1::UBIGINT << j "
+            "ELSE 0::UBIGINT END)::UBIGINT AS fp FROM votes GROUP BY 1), "
+            "fp AS (SELECT d.doc_id, coalesce(f.fp, 0::UBIGINT) AS fp "
+            "FROM documents d LEFT JOIN fp0 f USING (doc_id)), "
+            "bands AS (SELECT doc_id, b, (fp >> (16 * b)) & 65535::UBIGINT AS key, fp "
+            "FROM fp, range(0, 4) r(b)), "
+            "cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.fp AS fa, "
+            "b.doc_id AS doc_b, b.fp AS fb FROM bands a JOIN bands b "
+            "ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id) "
+            "SELECT doc_a, doc_b, bit_count(xor(fa, fb))::BIGINT AS hamming, "
+            "FALSE AS truncated FROM cand WHERE bit_count(xor(fa, fb)) <= 3"
+        ),
+        "dedup_embedding_int_pairs": (
+            # integer-exact hyperplane LSH: floor-quantized vectors,
+            # md5-derived integer planes, cross-multiplied cosine gate
+            # (cos >= 3/8 <=> dot > 0 AND 64*dot^2 >= 9*|a|^2*|b|^2).
+            "WITH q AS (SELECT vec_id, d, "
+            "CAST(floor(CAST(embedding[d] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv "
+            "FROM embeddings, range(1, 65) r(d)), "
+            "pl AS (SELECT p, d, CAST(md5_number_upper(p::VARCHAR || ',' || d::VARCHAR) "
+            "% 7 AS BIGINT) - 3 AS c FROM range(0, 6) rp(p), range(1, 65) rd(d)), "
+            "bits AS (SELECT q.vec_id, pl.p, CASE WHEN sum(q.qv * pl.c) > 0 "
+            "THEN 1::BIGINT ELSE 0::BIGINT END AS bit FROM q JOIN pl ON q.d = pl.d "
+            "GROUP BY 1, 2), "
+            "bucket AS (SELECT vec_id, sum(bit * (1::BIGINT << p))::BIGINT AS bucket "
+            "FROM bits GROUP BY 1), "
+            "norms AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY 1), "
+            "cand AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM bucket a "
+            "JOIN bucket b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), "
+            "dots AS (SELECT c.va, c.vb, sum(qa.qv * qb.qv)::BIGINT AS dot "
+            "FROM cand c JOIN q qa ON qa.vec_id = c.va "
+            "JOIN q qb ON qb.vec_id = c.vb AND qb.d = qa.d GROUP BY 1, 2) "
+            "SELECT d.va AS vec_a, d.vb AS vec_b, d.dot AS qdot, FALSE AS truncated "
+            "FROM dots d JOIN norms na ON na.vec_id = d.va "
+            "JOIN norms nb ON nb.vec_id = d.vb "
+            "WHERE d.dot > 0 AND 64 * d.dot * d.dot >= 9 * na.nn * nb.nn"
         ),
         "wq_repetition_stats": (
             "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "

@@ -359,6 +359,43 @@ class MinHasher:
         )
 
 
+class Md5MinHasher(MinHasher):
+    """SQL-replayable MinHash kernel: shingles are the DISTINCT
+    lowercased character k-gram STRINGS (not integer hashes), and
+    permutation ``i`` is ``min over shingles s of
+    LE64(md5(f"{i}\\x01{s}")[0:8])`` — exactly DuckDB's
+    ``md5_number_upper(i::VARCHAR || chr(1) || s)``.  Slots into the
+    SAME band/bucket/distinct machinery as :class:`MinHasher` (same
+    packed-binary signature contract), so a DuckDB oracle can hash-gate
+    the full LSH pipeline end to end.  The blake2b/fmix production
+    kernel stays the default — this kernel pays one hashlib call per
+    (shingle, perm) and exists for verification, not throughput."""
+
+    def __init__(self, n_perm: int = 16, shingle_k: int = 5, seed: int = 0):
+        self.n_perm = n_perm
+        self.k = shingle_k
+        # md5 prefixes are fixed per permutation — precompute them
+        self._prefixes = [f"{i}\x01".encode() for i in range(n_perm)]
+
+    def signature(self, text: str) -> np.ndarray:
+        t = text.lower()
+        if len(t) < self.k:
+            # mirror _shingles: a short text is ONE window (maybe empty)
+            grams = [t.encode()]
+        else:
+            grams = [g.encode() for g in {t[j : j + self.k] for j in range(len(t) - self.k + 1)}]
+        md5 = hashlib.md5
+        sig = np.empty(self.n_perm, dtype=np.uint64)
+        for i, pre in enumerate(self._prefixes):
+            sig[i] = min(
+                int.from_bytes(md5(pre + g).digest()[:8], "little") for g in grams
+            )
+        return sig
+
+
+_MINHASH_KERNELS = {"fmix": MinHasher, "md5": Md5MinHasher}
+
+
 _BAND_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -419,6 +456,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     max_bucket: int = 200,
     checkpoint_dir: str | None = None,
+    kernel: str = "fmix",
 ) -> rd.Dataset:
     """Near-duplicate pairs (doc_a < doc_b, est_jaccard >= threshold),
     as a streaming Dataset.
@@ -438,12 +476,17 @@ def minhash_lsh_pairs(
     ``curation.curate_documents``).
     """
     rows_per_band = n_perm // n_bands
+    hasher_cls = _MINHASH_KERNELS[kernel]
 
-    def sig_batch(batch: pa.Table, n_perm=n_perm, shingle_k=shingle_k) -> pa.Table:
-        key = (n_perm, shingle_k)
+    def sig_batch(
+        batch: pa.Table, n_perm=n_perm, shingle_k=shingle_k, kernel=kernel
+    ) -> pa.Table:
+        key = (kernel, n_perm, shingle_k)
         hasher = _HASHER_CACHE.get(key)
         if hasher is None:
-            hasher = _HASHER_CACHE[key] = MinHasher(n_perm=n_perm, shingle_k=shingle_k)
+            hasher = _HASHER_CACHE[key] = hasher_cls(
+                n_perm=n_perm, shingle_k=shingle_k
+            )
         return hasher(batch)
 
     buckets = docs.map_batches(sig_batch, batch_format="pyarrow").map_batches(
@@ -541,6 +584,40 @@ class SimHasher:
         )
 
 
+class Md5SimHasher(SimHasher):
+    """SQL-replayable SimHash kernel: token hash is
+    ``u = LE64(md5(word)[0:8])`` (DuckDB ``md5_number_upper(word)``)
+    and output bit ``j`` of the fingerprint is set iff the count-weighted
+    vote ``sum(cnt * (2*((u >> j) & 1) - 1)) > 0``.  Tokens come from the
+    explicit ASCII class ``[0-9a-z_]+`` (RE2/DuckDB ``\\w`` is ASCII-only
+    while Python's is Unicode — the twin pins the portable class).  The
+    band/bucket/Hamming machinery downstream is identical, so a DuckDB
+    oracle gates the full SimHash LSH pipeline; blake2b stays the
+    production default."""
+
+    def __init__(self) -> None:
+        import re
+
+        self.word = re.compile(r"[0-9a-z_]+")
+        self._bits: dict[str, np.ndarray] = {}
+
+    def _word_bits(self, w: str) -> np.ndarray:
+        bits = self._bits.get(w)
+        if bits is None:
+            u = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+            # big-endian unpack: index i <-> bit (63 - i), matching
+            # SimHasher.simhash's ``out |= 1 << (63 - i)`` convention
+            bits = (
+                np.unpackbits(np.frombuffer(u.to_bytes(8, "big"), dtype=np.uint8))
+                .astype(np.int8)
+                * 2
+                - 1
+            ).astype(np.int8)
+            if len(self._bits) < self._CACHE_CAP:
+                self._bits[w] = bits
+        return bits
+
+
 _SIMHASH_PAIR_SCHEMA = pa.schema(
     [
         ("doc_a", pa.int64()),
@@ -552,15 +629,21 @@ _SIMHASH_PAIR_SCHEMA = pa.schema(
 
 
 def simhash_pairs(
-    docs: rd.Dataset, max_hamming: int = 6, max_bucket: int = 200
+    docs: rd.Dataset,
+    max_hamming: int = 6,
+    max_bucket: int = 200,
+    kernel: str = "blake2b",
 ) -> rd.Dataset:
     """Near-dup pairs by SimHash, as a streaming Dataset: 4x16-bit band
     blocking guarantees any pair within Hamming distance 3 shares a
     band; wider distances are best-effort (documented LSH recall
     trade-off).  The 64-bit hash rides into the band rows, so the
     Hamming verify happens inside the bucket groupby — no driver-side
-    signature map."""
-    sigs = docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 8))
+    signature map.  ``kernel="md5"`` swaps in the SQL-replayable
+    :class:`Md5SimHasher` (verification twin); the banding/verify path
+    is byte-identical either way."""
+    hasher_cls = {"blake2b": SimHasher, "md5": Md5SimHasher}[kernel]
+    sigs = docs.map_batches(hasher_cls, batch_format="pyarrow", concurrency=(1, 8))
 
     def band_rows(batch: pa.Table) -> pa.Table:
         doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
@@ -873,5 +956,110 @@ def embedding_dup_pairs(
     buckets = embeddings.map_batches(bucketize, batch_format="pyarrow")
     pairs = partitioned_bucket_pairs(
         buckets, bucket_pairs, _EMB_PAIR_SCHEMA, on=("bucket",)
+    )
+    return distinct_pairs(pairs, a="vec_a", b="vec_b")
+
+
+_EMB_INT_PAIR_SCHEMA = pa.schema(
+    [
+        ("vec_a", pa.int64()),
+        ("vec_b", pa.int64()),
+        ("qdot", pa.int64()),
+        ("truncated", pa.bool_()),
+    ]
+)
+
+
+def _int_planes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic small-integer hyperplanes, SQL-replayable:
+    ``c[d, p] = (LE64(md5(f"{p},{d}")[0:8]) % 7) - 3`` with ``d``
+    1-based — DuckDB ``md5_number_upper(p::VARCHAR || ',' || d::VARCHAR)
+    % 7 - 3``.  Coefficients in [-3, 3]; md5 gives the plane family
+    full determinism across workers with no RNG state to broadcast."""
+    c = np.empty((dim, n_planes), dtype=np.int64)
+    for p in range(n_planes):
+        for d in range(1, dim + 1):
+            u = int.from_bytes(hashlib.md5(f"{p},{d}".encode()).digest()[:8], "little")
+            c[d - 1, p] = (u % 7) - 3
+    return c
+
+
+def embedding_dup_pairs_int(
+    embeddings: rd.Dataset,
+    threshold_num: int = 16,
+    threshold_den: int = 25,
+    n_planes: int = 12,
+    quant: int = 1000,
+    id_column: str = "vec_id",
+    max_bucket: int = 200,
+) -> rd.Dataset:
+    """INTEGER-EXACT twin of :func:`embedding_dup_pairs` — same LSH
+    bucket-then-verify machinery (``partitioned_bucket_pairs`` +
+    ``distinct_pairs``), but every arithmetic step is integer so a
+    DuckDB oracle matches bit for bit with no float knife edges:
+
+    - vectors quantize to ``q = floor(x*quant + 0.5)`` int64 (IEEE
+      float64 multiply + floor are identical in numpy and DuckDB);
+    - hyperplanes are the md5-derived integer family (:func:`_int_planes`);
+    - a pair is a near-dup iff ``dot > 0`` and
+      ``threshold_den * dot^2 >= threshold_num * |a|^2 * |b|^2`` —
+      i.e. cosine >= sqrt(num/den) (default 4/5 = 0.8) squared away in
+      exact int64 (bounds: |q| <= ~quant, dim 64 -> dot^2*den < 2^63).
+
+    The quantized vectors ride the shuffle packed as little-endian
+    int64 binary (same trick as the MinHash signatures — Arrow joins
+    reject list payloads; binary is join/shuffle-safe)."""
+    import ray
+
+    first = embeddings.take(1)[0]
+    dim = len(first["embedding"])
+    planes_ref = ray.put(_int_planes(dim, n_planes))
+    plane_weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        q = np.floor(vecs * quant + 0.5).astype(np.int64)
+        bits = (q @ pl) > 0
+        keys = bits.dot(plane_weights)
+        return pa.table(
+            {
+                "vec_id": batch.column(id_column),
+                "bucket": pa.array(keys, pa.int64()),
+                "qvec": pa.array([r.tobytes() for r in q], pa.binary()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return _empty_pairs(_EMB_INT_PAIR_SCHEMA)
+        order = pc.sort_indices(group.column("vec_id"))
+        group = group.take(order)
+        truncated = n > max_bucket
+        group = group.slice(0, max_bucket)
+        ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+        blobs = group.column("qvec").to_pylist()
+        q = np.frombuffer(b"".join(blobs), dtype=np.int64).reshape(len(ids), dim)
+        gram = q @ q.T
+        nn = np.diag(gram)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        dot = gram[ia, ib]
+        keep = (dot > 0) & (
+            threshold_den * dot * dot >= threshold_num * nn[ia] * nn[ib]
+        )
+        ia, ib, dot = ia[keep], ib[keep], dot[keep]
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ia]),
+                "vec_b": pa.array(ids[ib]),
+                "qdot": pa.array(dot.astype(np.int64)),
+                "truncated": pa.array(np.full(len(ia), truncated), pa.bool_()),
+            }
+        )
+
+    buckets = embeddings.map_batches(bucketize, batch_format="pyarrow")
+    pairs = partitioned_bucket_pairs(
+        buckets, bucket_pairs, _EMB_INT_PAIR_SCHEMA, on=("bucket",)
     )
     return distinct_pairs(pairs, a="vec_a", b="vec_b")
