@@ -1500,6 +1500,32 @@ def _dedup_embedding(sf_dir: str):
     return _pairs_table(pairs, _EMB_PAIR_SCHEMA, ["vec_a", "vec_b"])
 
 
+def _bpe_merges_2it(sf_dir: str):
+    """Fixed-iteration gate for the distributed BPE trainer: 2 merge
+    rounds unrolled in SQL (pair stats -> argmax with the (count DESC,
+    left, right) tie-break -> greedy-left replace apply).  The
+    to-convergence twin (bpe_merges) stays rows-only + Sennrich-golden."""
+    import ray.data as rd
+
+    from reden_ray.stages.bpe import bpe_train_merges
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bpe_train_merges(docs, n_merges=2)
+
+
+def _bpe_token_counts_2it(sf_dir: str):
+    """BPE ENCODE under the SQL gate: tokenize every document with the
+    2-merge table (rank-priority apply loop == two sequential
+    greedy-left replaces for a 2-row table) and count tokens per doc."""
+    import ray.data as rd
+
+    from reden_ray.stages.bpe import bpe_encode_docs, bpe_train_merges
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = bpe_train_merges(docs, n_merges=2)
+    return bpe_encode_docs(docs, merges).select_columns(["doc_id", "n_bpe_tokens"])
+
+
 def _dedup_minhash_md5(sf_dir: str):
     """MinHash+LSH through the PRODUCTION band/bucket/distinct
     machinery with the SQL-replayable md5 kernel (Md5MinHasher) —
@@ -1893,6 +1919,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_docs": _dedup_embedding,
         # round 5: SQL-replayable kernel twins — the SAME LSH machinery
         # under DuckDB hash gates (md5 / integer-exact kernels)
+        "bpe_merges_2it": _bpe_merges_2it,
+        "bpe_token_counts_2it": _bpe_token_counts_2it,
         "dedup_minhash_md5_pairs": _dedup_minhash_md5,
         "dedup_minhash_md5_clusters": _dedup_minhash_md5_clusters,
         "dedup_simhash_md5_pairs": _dedup_simhash_md5,
@@ -2357,6 +2385,35 @@ def _curation_ngram_sql() -> str:
     )
 
 
+# Shared CTE chain for the 2-merge BPE twins: word-type histogram over
+# the shared whitespace-lower tokenizer -> round-1 adjacent-char pair
+# stats -> argmax (count DESC, left ASC, right ASC) -> greedy-left merge
+# apply via replace() into a chr(1) sentinel (left-to-right
+# non-overlapping replace IS Sennrich's greedy-left, incl. "aaa"+(a,a)
+# -> ["aa","a"]) -> round-2 pair stats over the token string.  Mirrors
+# reden_ray.stages.bpe.bpe_train_merges semantics exactly.
+_BPE_2IT_CTES = (
+    "toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), "
+    "'[ \\t\\n\\r\\f\\v]+'), x -> x <> '')) AS word FROM documents), "
+    "types AS (SELECT word, count(*)::BIGINT AS wcount FROM toks GROUP BY word), "
+    "p1 AS (SELECT substr(word, j, 1) AS \"left\", substr(word, j + 1, 1) AS \"right\", "
+    "sum(wcount)::BIGINT AS n FROM types, range(1, 64) r(j) "
+    "WHERE j + 1 <= length(word) GROUP BY 1, 2), "
+    "m1 AS (SELECT \"left\", \"right\", n FROM p1 "
+    "ORDER BY n DESC, \"left\", \"right\" LIMIT 1), "
+    "seg2 AS (SELECT replace(word, (SELECT \"left\" || \"right\" FROM m1), chr(1)) AS w2, "
+    "wcount FROM types), "
+    "p2 AS (SELECT CASE WHEN substr(w2, j, 1) = chr(1) "
+    "THEN (SELECT \"left\" || \"right\" FROM m1) ELSE substr(w2, j, 1) END AS \"left\", "
+    "CASE WHEN substr(w2, j + 1, 1) = chr(1) "
+    "THEN (SELECT \"left\" || \"right\" FROM m1) ELSE substr(w2, j + 1, 1) END AS \"right\", "
+    "sum(wcount)::BIGINT AS n FROM seg2, range(1, 64) r(j) "
+    "WHERE j + 1 <= length(w2) GROUP BY 1, 2), "
+    "m2 AS (SELECT \"left\", \"right\", n FROM p2 "
+    "ORDER BY n DESC, \"left\", \"right\" LIMIT 1)"
+)
+
+
 # Shared CTE chain for the md5-kernel MinHash twins: distinct lowercased
 # 5-gram shingles -> 16 md5 permutation minima -> 4 bands of 4 rows ->
 # band-key candidates -> exact signature-agreement estimate.  Mirrors
@@ -2708,6 +2765,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM shr JOIN counts ca ON ca.doc_id = doc_a "
             "JOIN counts cb ON cb.doc_id = doc_b "
             "WHERE shared * 1.0 / (ca.n + cb.n - shared) >= 0.8"
+        ),
+        "bpe_merges_2it": (
+            "WITH " + _BPE_2IT_CTES + " "
+            "SELECT 1::BIGINT AS rank, \"left\", \"right\", n AS pair_count FROM m1 "
+            "UNION ALL "
+            "SELECT 2::BIGINT AS rank, \"left\", \"right\", n AS pair_count FROM m2"
+        ),
+        "bpe_token_counts_2it": (
+            "WITH " + _BPE_2IT_CTES + ", "
+            "pats AS (SELECT (SELECT \"left\" || \"right\" FROM m1) AS pat1, "
+            "(SELECT CASE WHEN \"left\" = (SELECT \"left\" || \"right\" FROM m1) "
+            "THEN chr(1) ELSE \"left\" END || "
+            "CASE WHEN \"right\" = (SELECT \"left\" || \"right\" FROM m1) "
+            "THEN chr(1) ELSE \"right\" END FROM m2) AS pat2), "
+            "docw AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), "
+            "'[ \\t\\n\\r\\f\\v]+'), x -> x <> '')) AS word FROM documents), "
+            "cnt AS (SELECT doc_id, sum(length(replace(replace(word, pat1, chr(1)), "
+            "pat2, chr(2))))::BIGINT AS n FROM docw, pats GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS n_bpe_tokens "
+            "FROM documents d LEFT JOIN cnt c USING (doc_id)"
         ),
         "dedup_minhash_md5_pairs": (
             "WITH " + _MINHASH_MD5_CTES + " "
