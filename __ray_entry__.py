@@ -1767,6 +1767,23 @@ def _curation_ngram(sf_dir: str):
     ).select_columns(["doc_id", "lang", "source", "n_tokens_ws", "lang_pred"])
 
 
+def _curation_md5_minhash(sf_dir: str):
+    """The curation composite with the md5-kernel MinHash LSH near-dup
+    drop — the SAME chain curation_pipeline runs (blake2b kernel swapped
+    for the SQL-replayable md5 one), so the composite with an
+    APPROXIMATE near-dup stage sits under a DuckDB hash gate; threshold
+    0.5 matches the shared md5-twin banding config (16 perms, 4 bands)."""
+    from reden_ray.pipelines.curation import curate_documents
+
+    return curate_documents(
+        sf_dir,
+        min_quality=0.2,
+        min_tokens=5,
+        near_dup_method="minhash_md5",
+        near_dup_threshold=0.5,
+    ).select_columns(["doc_id", "lang", "source", "n_tokens_ws", "lang_pred"])
+
+
 def _text_quality(sf_dir: str):
     import ray.data as rd
 
@@ -1928,6 +1945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_langid": _text_quality,
         "curation_pipeline": _curation,
         "curation_ngram": _curation_ngram,
+        "curation_md5_minhash": _curation_md5_minhash,
         "knn_ivf_indexed": _knn_ivf_indexed,
         "kmeans_embeddings": _kmeans_embeddings,
         "kmeans_2it_assign": _kmeans_2it_assign,
@@ -2313,18 +2331,16 @@ SELECT min(doc_id) AS doc_id FROM clean GROUP BY text
 """
 
 
-def _curation_ngram_sql() -> str:
-    """The full curation composite in one DuckDB statement: quality
-    signals (same regexes + stopword list as the engine), ws-token
-    count, the keep filter, exact dedup (min doc_id per text), EXACT
-    trigram-Jaccard pairs among the dedup survivors, loser drop
-    (greater id of each >=0.8 pair), and the stopword-vote langid on
-    the way out."""
+def _curation_head_sql() -> str:
+    """Shared head of the curation-composite oracles: quality signals
+    (same regexes + stopword list as the engine), ws-token count, the
+    keep filter, exact dedup (min doc_id per text) — ends at the
+    ``sur`` (dedup survivors) CTE that the near-dup middle consumes."""
     from reden_ray.stages.textstats import _STOP
 
     stoplist = ", ".join(f"'{w}'" for w in sorted(set().union(*_STOP.values())))
     return (
-        "WITH w AS (SELECT doc_id, text, "
+        "w AS (SELECT doc_id, text, "
         "regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS words FROM documents), "
         "sig AS (SELECT doc_id, "
         "CASE WHEN len(words) > 0 THEN "
@@ -2349,18 +2365,15 @@ def _curation_ngram_sql() -> str:
         "JOIN tok ON tok.doc_id = d.doc_id "
         "WHERE q.quality >= 0.2 AND tok.n_tokens_ws >= 5), "
         "ded AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY text), "
-        "sur AS (SELECT f.* FROM filt f JOIN ded ON ded.doc_id = f.doc_id), "
-        "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
-        "'[^a-z0-9]+'), x -> x <> '') AS wd FROM sur), "
-        "grams AS (SELECT DISTINCT doc_id, array_to_string(wd[i:i+2], ' ') AS g "
-        "FROM toks, unnest(range(1, len(wd)-1)) AS t(i) WHERE len(wd) >= 3), "
-        "counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
-        "shr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared "
-        "FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id "
-        "GROUP BY 1, 2), "
-        "losers AS (SELECT DISTINCT doc_b AS doc_id FROM shr "
-        "JOIN counts ca ON ca.doc_id = doc_a JOIN counts cb ON cb.doc_id = doc_b "
-        "WHERE shared * 1.0 / (ca.n + cb.n - shared) >= 0.8), "
+        "sur AS (SELECT f.* FROM filt f JOIN ded ON ded.doc_id = f.doc_id)"
+    )
+
+
+def _curation_tail_sql() -> str:
+    """Shared tail of the curation-composite oracles: stopword-vote
+    langid over the survivors, minus the ``losers`` CTE the near-dup
+    middle produced."""
+    return (
         "lw AS (SELECT doc_id, "
         "regexp_extract_all(lower(text), '[a-zà-ÿ]+')[1:400] AS ws FROM sur), "
         "lu AS (SELECT doc_id, unnest(ws) AS wd FROM lw), "
@@ -2382,6 +2395,41 @@ def _curation_ngram_sql() -> str:
         "WHEN lv.ven >= lv.vde THEN 'en' ELSE 'de' END AS lang_pred "
         "FROM sur s LEFT JOIN lv ON s.doc_id = lv.doc_id "
         "WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)"
+    )
+
+
+def _curation_ngram_sql() -> str:
+    """The full curation composite in one DuckDB statement with the
+    EXACT trigram-Jaccard near-dup middle: pairs among the dedup
+    survivors, loser drop (greater id of each >=0.8 pair)."""
+    return (
+        "WITH " + _curation_head_sql() + ", "
+        "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        "'[^a-z0-9]+'), x -> x <> '') AS wd FROM sur), "
+        "grams AS (SELECT DISTINCT doc_id, array_to_string(wd[i:i+2], ' ') AS g "
+        "FROM toks, unnest(range(1, len(wd)-1)) AS t(i) WHERE len(wd) >= 3), "
+        "counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+        "shr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared "
+        "FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2), "
+        "losers AS (SELECT DISTINCT doc_b AS doc_id FROM shr "
+        "JOIN counts ca ON ca.doc_id = doc_a JOIN counts cb ON cb.doc_id = doc_b "
+        "WHERE shared * 1.0 / (ca.n + cb.n - shared) >= 0.8), "
+        + _curation_tail_sql()
+    )
+
+
+def _curation_md5_minhash_sql() -> str:
+    """The full curation composite with the md5-kernel MinHash LSH
+    near-dup middle — the SAME chain curation_pipeline runs (its
+    blake2b kernel swapped for the SQL-replayable md5 one), so the
+    composite with an LSH (not exact) near-dup stage sits under a
+    DuckDB hash gate too."""
+    return (
+        "WITH " + _curation_head_sql() + ", "
+        + _minhash_md5_ctes("sur") + ", "
+        "losers AS (SELECT DISTINCT doc_b AS doc_id FROM mpairs), "
+        + _curation_tail_sql()
     )
 
 
@@ -2419,8 +2467,11 @@ _BPE_2IT_CTES = (
 # band-key candidates -> exact signature-agreement estimate.  Mirrors
 # reden_ray.stages.dedup.Md5MinHasher + _band_rows semantics exactly
 # (bands group perms [4b, 4b+4); est = agreeing perms / 16, a dyadic).
-_MINHASH_MD5_CTES = (
-    "d AS (SELECT doc_id, lower(text) AS t FROM documents), "
+# ``src`` is any CTE/table exposing (doc_id, text) — the curation
+# composite feeds its dedup-survivor set through the same chain.
+def _minhash_md5_ctes(src: str = "documents") -> str:
+    return (
+        f"d AS (SELECT doc_id, lower(text) AS t FROM {src}), "
     "sh AS (SELECT DISTINCT doc_id, substr(t, j, 5) AS s "
     "FROM d, range(1, 4001) r(j) WHERE j + 4 <= length(t) "
     "UNION ALL SELECT doc_id, t AS s FROM d WHERE length(t) < 5), "
@@ -2432,13 +2483,16 @@ _MINHASH_MD5_CTES = (
     "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
     "FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey "
     "AND x.doc_id < y.doc_id), "
-    "mpairs AS (SELECT c.doc_a, c.doc_b, "
-    "(count(*) FILTER (WHERE ma.m = mb.m)) / 16.0 AS est_jaccard "
-    "FROM cand c JOIN mins ma ON ma.doc_id = c.doc_a "
-    "JOIN mins mb ON mb.doc_id = c.doc_b AND mb.i = ma.i "
-    "GROUP BY c.doc_a, c.doc_b "
-    "HAVING (count(*) FILTER (WHERE ma.m = mb.m)) / 16.0 >= 0.5)"
-)
+        "mpairs AS (SELECT c.doc_a, c.doc_b, "
+        "(count(*) FILTER (WHERE ma.m = mb.m)) / 16.0 AS est_jaccard "
+        "FROM cand c JOIN mins ma ON ma.doc_id = c.doc_a "
+        "JOIN mins mb ON mb.doc_id = c.doc_b AND mb.i = ma.i "
+        "GROUP BY c.doc_a, c.doc_b "
+        "HAVING (count(*) FILTER (WHERE ma.m = mb.m)) / 16.0 >= 0.5)"
+    )
+
+
+_MINHASH_MD5_CTES = _minhash_md5_ctes()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2962,6 +3016,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_2it_assign": _kmeans_2it_sql(),
         "text_quality_scores": _text_quality_scores_sql(),
         "curation_ngram": _curation_ngram_sql(),
+        "curation_md5_minhash": _curation_md5_minhash_sql(),
         "webtext_curation": _webtext_curation_sql(),
         "pii_redact_docs": (
             "WITH inj AS (SELECT doc_id, text || ' contact user' || doc_id || "

@@ -123,7 +123,9 @@ def curate_documents(
     'simhash' (Hamming; threshold interpreted as max Hamming distance
     when >= 1, else the default distance 3), 'ngram' (EXACT word-trigram
     Jaccard — the non-approximate sibling, fully SQL-expressible so the
-    whole composite sits under a DuckDB hash gate), or 'none'."""
+    whole composite sits under a DuckDB hash gate), 'minhash_md5' (the
+    LSH chain with the SQL-replayable md5 kernel — hash-gates the
+    composite WITH an approximate near-dup stage), or 'none'."""
     cols = ["doc_id", "text", "lang", "source"]
     if lang is not None:
         docs = rd.read_parquet(
@@ -177,6 +179,20 @@ def curate_documents(
     elif near_dup_method == "minhash":
         pairs = minhash_lsh_pairs(
             deduped.select_columns(["doc_id", "text"]), threshold=near_dup_threshold
+        )
+    elif near_dup_method == "minhash_md5":
+        # SQL-replayable kernel twin (stages.dedup.Md5MinHasher): the
+        # same LSH chain with fixed 16x4 banding so the WHOLE composite
+        # sits under a DuckDB hash gate (see __ray_entry__
+        # curation_md5_minhash); 'minhash' stays the production default.
+        pairs = minhash_lsh_pairs(
+            deduped.select_columns(["doc_id", "text"]),
+            threshold=near_dup_threshold,
+            n_perm=16,
+            n_bands=4,
+            shingle_k=5,
+            max_bucket=1_000_000,
+            kernel="md5",
         )
     else:
         raise ValueError(f"unknown near_dup_method: {near_dup_method!r}")
