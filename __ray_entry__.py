@@ -1500,6 +1500,20 @@ def _dedup_embedding(sf_dir: str):
     return _pairs_table(pairs, _EMB_PAIR_SCHEMA, ["vec_a", "vec_b"])
 
 
+def _emb_pca_power_2it(sf_dir: str):
+    """PCA machinery under a SQL hash gate: the production moments pass
+    (covariance_and_mean) + projection pass (project), with the
+    driver-side eigensolve swapped for a 2-step power-iteration
+    recurrence a DuckDB CTE chain can unroll (eigh has no SQL form).
+    The to-convergence eigh twin (emb_pca_project) stays rows-only."""
+    import ray.data as rd
+
+    from reden_ray.stages.pca import pca_power_project
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return pca_power_project(emb, n_iters=2)
+
+
 def _bpe_merges_2it(sf_dir: str):
     """Fixed-iteration gate for the distributed BPE trainer: 2 merge
     rounds unrolled in SQL (pair stats -> argmax with the (count DESC,
@@ -1936,6 +1950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_docs": _dedup_embedding,
         # round 5: SQL-replayable kernel twins — the SAME LSH machinery
         # under DuckDB hash gates (md5 / integer-exact kernels)
+        "emb_pca_power_2it": _emb_pca_power_2it,
         "bpe_merges_2it": _bpe_merges_2it,
         "bpe_token_counts_2it": _bpe_token_counts_2it,
         "dedup_minhash_md5_pairs": _dedup_minhash_md5,
@@ -2819,6 +2834,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM shr JOIN counts ca ON ca.doc_id = doc_a "
             "JOIN counts cb ON cb.doc_id = doc_b "
             "WHERE shared * 1.0 / (ca.n + cb.n - shared) >= 0.8"
+        ),
+        "emb_pca_power_2it": (
+            # power-iteration PCA unroll: population covariance
+            # (sum(xi*xj)/n - mi*mj, mirroring covariance_and_mean's
+            # element order), v1 = cov @ 1, v2 = cov @ v1, unit-
+            # normalize, centered projection; 4-dp rounding on both
+            # sides absorbs partial-sum order ulps.
+            "WITH x AS (SELECT vec_id, d, CAST(embedding[d] AS DOUBLE) AS v "
+            "FROM embeddings, range(1, 65) r(d)), "
+            "nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings), "
+            "mean AS (SELECT d, sum(v) / (SELECT n FROM nn) AS m FROM x GROUP BY d), "
+            "xx AS (SELECT a.d AS i, b.d AS j, sum(a.v * b.v) AS sxx "
+            "FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2), "
+            "cov AS (SELECT xx.i, xx.j, xx.sxx / (SELECT n FROM nn) - mi.m * mj.m AS c "
+            "FROM xx JOIN mean mi ON mi.d = xx.i JOIN mean mj ON mj.d = xx.j), "
+            "v1 AS (SELECT i, sum(c) AS v FROM cov GROUP BY i), "
+            "v2 AS (SELECT cov.i, sum(cov.c * v1.v) AS v "
+            "FROM cov JOIN v1 ON v1.i = cov.j GROUP BY cov.i), "
+            "nrm AS (SELECT sqrt(sum(v * v)) AS s FROM v2), "
+            "u AS (SELECT i, CASE WHEN (SELECT s FROM nrm) > 0 "
+            "THEN v / (SELECT s FROM nrm) ELSE v END AS v FROM v2) "
+            "SELECT x.vec_id, ROUND(sum((x.v - mean.m) * u.v), 4) AS pc0 "
+            "FROM x JOIN mean ON mean.d = x.d JOIN u ON u.i = x.d "
+            "GROUP BY x.vec_id"
         ),
         "bpe_merges_2it": (
             "WITH " + _BPE_2IT_CTES + " "

@@ -121,3 +121,45 @@ def pca_project(
     cov, mean, _ = covariance_and_mean(vecs, vec_col)
     comps = principal_components(cov, q)
     return project(vecs, comps, mean, id_col=id_col, vec_col=vec_col)
+
+
+def power_component(cov: np.ndarray, n_iters: int = 2) -> np.ndarray:
+    """Top-component estimate by ``n_iters`` power iterations from the
+    all-ones start vector, unit-normalized at the end only.
+
+    This is the SQL-unrollable twin of :func:`principal_components`
+    (``eigh`` has no DuckDB form; a fixed-iteration matvec recurrence
+    does) — it exists so the WHOLE pca machinery (moments pass +
+    projection pass) can sit under a DuckDB hash gate with only the
+    driver-side eigensolve swapped.  Deterministic: no RNG, and the
+    all-ones start avoids the sign ambiguity eigh needs fixing for."""
+    v = np.ones(cov.shape[0], dtype=np.float64)
+    for _ in range(n_iters):
+        v = cov @ v
+    nrm = float(np.sqrt((v * v).sum()))
+    if nrm > 0:
+        v = v / nrm
+    return v
+
+
+def pca_power_project(
+    vecs: rd.Dataset,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> rd.Dataset:
+    """(id, pc0): projection onto the power-iteration component —
+    the production moments + projection passes end to end; 4-dp
+    rounding absorbs the last-ulp partial-sum order difference vs a
+    sequential-sum oracle (the repo's distributed-float convention)."""
+    cov, mean, _ = covariance_and_mean(vecs, vec_col)
+    comp = power_component(cov, n_iters=n_iters)
+    return project(
+        vecs,
+        comp[None, :],
+        mean,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+    )

@@ -386,3 +386,44 @@ def test_ngram_metric_guard():
     ds = rd.from_arrow(pa.table({"doc_id": pa.array([0], pa.int64()), "text": ["x"]}))
     with pytest.raises(ValueError, match="unknown metric"):
         ngram_jaccard_pairs(ds, metric="dice")
+
+
+def test_pca_power_component_matches_naive():
+    from reden_ray.stages.pca import power_component
+
+    rng = _rng(9)
+    a = rng.normal(size=(6, 6))
+    cov = a @ a.T
+    v = np.ones(6)
+    for _ in range(2):
+        v = cov @ v
+    v = v / np.sqrt((v * v).sum())
+    np.testing.assert_allclose(power_component(cov, n_iters=2), v, rtol=1e-12)
+
+
+def test_pca_power_project_recurrence(ray_session):
+    import ray.data as rd
+
+    from reden_ray.stages.pca import (
+        covariance_and_mean,
+        pca_power_project,
+        power_component,
+    )
+
+    rng = _rng(11)
+    n, d = 120, 5
+    x = rng.normal(size=(n, d))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": pa.array(list(x), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(4)
+    out = {r["vec_id"]: r["pc0"] for r in pca_power_project(ds, n_iters=2).take_all()}
+    cov, mean, _ = covariance_and_mean(ds)
+    u = power_component(cov, 2)
+    want = np.round((x - mean) @ u, 4)
+    got = np.array([out[i] for i in range(n)])
+    np.testing.assert_allclose(got, want, atol=1e-9)
