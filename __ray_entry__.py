@@ -1500,6 +1500,28 @@ def _dedup_embedding(sf_dir: str):
     return _pairs_table(pairs, _EMB_PAIR_SCHEMA, ["vec_a", "vec_b"])
 
 
+def _pack_concat_chunks(sf_dir: str):
+    """GPT-style concat-then-chunk sequence packing (stages/packing.py):
+    window assignment as ONE ordered-prefix-sum pass; integer-only."""
+    import ray.data as rd
+
+    from reden_ray.stages.packing import pack_concat_chunks
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_concat_chunks(docs, capacity=256)
+
+
+def _pack_next_fit(sf_dir: str):
+    """Document-boundary next-fit packing, hash-sharded (8 shards):
+    the sequential walk is the per-shard map_groups body only."""
+    import ray.data as rd
+
+    from reden_ray.stages.packing import pack_next_fit
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_next_fit(docs, capacity=256, n_shards=8)
+
+
 def _emb_pca_power_2it(sf_dir: str):
     """PCA machinery under a SQL hash gate: the production moments pass
     (covariance_and_mean) + projection pass (project), with the
@@ -1951,6 +1973,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: SQL-replayable kernel twins — the SAME LSH machinery
         # under DuckDB hash gates (md5 / integer-exact kernels)
         "emb_pca_power_2it": _emb_pca_power_2it,
+        "pack_concat_chunks": _pack_concat_chunks,
+        "pack_next_fit_bins": _pack_next_fit,
         "bpe_merges_2it": _bpe_merges_2it,
         "bpe_token_counts_2it": _bpe_token_counts_2it,
         "dedup_minhash_md5_pairs": _dedup_minhash_md5,
@@ -2834,6 +2858,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM shr JOIN counts ca ON ca.doc_id = doc_a "
             "JOIN counts cb ON cb.doc_id = doc_b "
             "WHERE shared * 1.0 / (ca.n + cb.n - shared) >= 0.8"
+        ),
+        "pack_concat_chunks": (
+            "WITH tok AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n FROM documents), "
+            "t2 AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS cs FROM tok WHERE n > 0) "
+            "SELECT doc_id, n::BIGINT AS n_tokens, (cs - n)::BIGINT AS start_offset, "
+            "((cs - n) // 256)::BIGINT AS first_chunk, "
+            "((cs - 1) // 256)::BIGINT AS last_chunk, "
+            "((cs - 1) // 256 - (cs - n) // 256 + 1)::BIGINT AS n_chunks FROM t2"
+        ),
+        "pack_next_fit_bins": (
+            # per-shard next-fit walk as a recursive cursor: one row per
+            # shard per round, state = (pack seq, filled tokens)
+            "WITH RECURSIVE tok AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n "
+            "FROM documents), "
+            "ord AS (SELECT doc_id, doc_id % 8 AS shard, n, "
+            "row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn "
+            "FROM tok WHERE n > 0), "
+            "step(shard, rn, doc_id, n, seq, off) AS ("
+            "SELECT shard, rn, doc_id, n, 0::BIGINT, 0::BIGINT FROM ord WHERE rn = 1 "
+            "UNION ALL "
+            "SELECT o.shard, o.rn, o.doc_id, o.n, "
+            "CASE WHEN s.off + s.n + o.n > 256 AND s.off + s.n > 0 "
+            "THEN s.seq + 1 ELSE s.seq END, "
+            "CASE WHEN s.off + s.n + o.n > 256 AND s.off + s.n > 0 "
+            "THEN 0::BIGINT ELSE s.off + s.n END "
+            "FROM step s JOIN ord o ON o.shard = s.shard AND o.rn = s.rn + 1) "
+            "SELECT doc_id, shard, seq AS pack_seq, off AS pack_offset FROM step"
         ),
         "emb_pca_power_2it": (
             # power-iteration PCA unroll: population covariance
