@@ -1500,6 +1500,20 @@ def _dedup_embedding(sf_dir: str):
     return _pairs_table(pairs, _EMB_PAIR_SCHEMA, ["vec_a", "vec_b"])
 
 
+def _mixture_sample(sf_dir: str):
+    """Deterministic data-mixture draw (stages/mixture.py): per-source
+    600-token budget, md5-rank selection, grouped two-pass running sum
+    — nothing corpus-sized on the driver."""
+    import ray.data as rd
+
+    from reden_ray.stages.mixture import mixture_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return mixture_sample(docs, budgets=600)
+
+
 def _pack_concat_chunks(sf_dir: str):
     """GPT-style concat-then-chunk sequence packing (stages/packing.py):
     window assignment as ONE ordered-prefix-sum pass; integer-only."""
@@ -1975,6 +1989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pca_power_2it": _emb_pca_power_2it,
         "pack_concat_chunks": _pack_concat_chunks,
         "pack_next_fit_bins": _pack_next_fit,
+        "mixture_sample_600": _mixture_sample,
         "bpe_merges_2it": _bpe_merges_2it,
         "bpe_token_counts_2it": _bpe_token_counts_2it,
         "dedup_minhash_md5_pairs": _dedup_minhash_md5,
@@ -2858,6 +2873,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM shr JOIN counts ca ON ca.doc_id = doc_a "
             "JOIN counts cb ON cb.doc_id = doc_b "
             "WHERE shared * 1.0 / (ca.n + cb.n - shared) >= 0.8"
+        ),
+        "mixture_sample_600": (
+            # md5-rank selection under a per-source token budget; the
+            # boundary-crossing doc is included (tokens_before < budget)
+            "WITH tok AS (SELECT doc_id, source, CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n "
+            "FROM documents), "
+            "k AS (SELECT doc_id, source, n, "
+            "md5_number_upper(source || ':' || doc_id::VARCHAR) AS key "
+            "FROM tok WHERE n > 0), "
+            "cs AS (SELECT doc_id, source, n, coalesce(sum(n) OVER ("
+            "PARTITION BY source ORDER BY key, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb FROM k) "
+            "SELECT doc_id, source, n::BIGINT AS n_tokens, tb::BIGINT AS tokens_before "
+            "FROM cs WHERE tb < 600"
         ),
         "pack_concat_chunks": (
             "WITH tok AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
