@@ -33,6 +33,7 @@ WHITELIST = {
     "stages/skewjoin.py": (1, "hot keys only (>= threshold), max_hot_keys-guarded"),
     "stages/cc.py": (1, "per-block fingerprint scalars (one int row per block)"),
     "stages/bpe.py": (1, "exactly ONE argmax row per merge iteration"),
+    "stages/mixture.py": (1, "<= n_sources x n_buckets cell totals (grouped scan phase 2)"),
     "pipelines/relational3.py": (3, "nation rollup (25) + active-day set (date-domain) + event-type sizes (type-domain) broadcasts"),
 }
 
