@@ -1536,6 +1536,87 @@ def _pack_next_fit(sf_dir: str):
     return pack_next_fit(docs, capacity=256, n_shards=8)
 
 
+def _line_dedup(sf_dir: str):
+    """Corpus-frequency line-level boilerplate removal
+    (stages/lines.py): pages are built deterministically from the
+    fixture (texts joined with newlines per doc_id % 37 group, the
+    documents having no embedded newlines), then any line appearing in
+    >= 2 distinct pages is deleted from every page."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from reden_ray.stages.lines import line_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__page", pa.array(ids % 37))
+
+    def page(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[("doc_id", "ascending")]))
+        return pa.table(
+            {
+                "page_id": pa.array(
+                    [int(g.column("__page")[0].as_py())], pa.int64()
+                ),
+                "text": pa.array(
+                    ["\n".join(x or "" for x in g.column("text").to_pylist())],
+                    pa.string(),
+                ),
+            }
+        )
+
+    pages = (
+        docs.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__page")
+        .map_groups(page, batch_format="pyarrow")
+    )
+    return line_dedup(pages, min_docs=2, min_chars=1)
+
+
+def _train_order(sf_dir: str):
+    """Deterministic epoch-1 training shuffle rank (stages/ordering.py):
+    a global md5 permutation produced by the grouped two-pass scan —
+    no global sort, nothing corpus-sized on the driver."""
+    import ray.data as rd
+
+    from reden_ray.stages.ordering import train_order
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return train_order(docs, epoch=1)
+
+
+def _quality_linear(sf_dir: str):
+    """Hashed-bag-of-words linear scorer (stages/scoring.py): broadcast
+    integer weights (the fasttext-classifier plumbing), one actor-pool
+    pass, all-integer output."""
+    import ray.data as rd
+
+    from reden_ray.stages.scoring import quality_linear_score
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return quality_linear_score(docs, dim=1024)
+
+
+def _token_shards(sf_dir: str):
+    """Megatron-style token shard sink (stages/shards.py): writes
+    .bin/.idx pairs under a fresh /tmp dir, returns the manifest parsed
+    back FROM THE WRITTEN BYTES (the annotated-page-sink gate pattern:
+    the oracle hash-match verifies the files, not in-flight values)."""
+    import tempfile
+
+    import ray.data as rd
+
+    from reden_ray.stages.shards import write_token_shards
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = tempfile.mkdtemp(prefix="token_shards_")
+    return write_token_shards(docs, out, n_shards=8, vocab_size=32000)
+
+
 def _emb_pca_power_2it(sf_dir: str):
     """PCA machinery under a SQL hash gate: the production moments pass
     (covariance_and_mean) + projection pass (project), with the
@@ -1990,6 +2071,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_concat_chunks": _pack_concat_chunks,
         "pack_next_fit_bins": _pack_next_fit,
         "mixture_sample_600": _mixture_sample,
+        "line_dedup_pages": _line_dedup,
+        "train_order_epoch1": _train_order,
+        "quality_linear_score": _quality_linear,
+        "token_shards_manifest": _token_shards,
         "bpe_merges_2it": _bpe_merges_2it,
         "bpe_token_counts_2it": _bpe_token_counts_2it,
         "dedup_minhash_md5_pairs": _dedup_minhash_md5,
@@ -2888,6 +2973,57 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb FROM k) "
             "SELECT doc_id, source, n::BIGINT AS n_tokens, tb::BIGINT AS tokens_before "
             "FROM cs WHERE tb < 600"
+        ),
+        "line_dedup_pages": (
+            # pages = texts joined per doc_id % 37; a line (verbatim, no
+            # trim) in >= 2 distinct pages is boilerplate everywhere
+            "WITH pages AS (SELECT doc_id % 37 AS page_id, "
+            "string_agg(text, chr(10) ORDER BY doc_id) AS text "
+            "FROM documents GROUP BY 1), "
+            "ls AS (SELECT page_id, string_split(text, chr(10)) AS arr FROM pages), "
+            "lin AS (SELECT page_id, unnest(arr) AS line, "
+            "generate_subscripts(arr, 1) AS pos FROM ls), "
+            "hot AS (SELECT line FROM lin WHERE line <> '' "
+            "GROUP BY 1 HAVING count(DISTINCT page_id) >= 2) "
+            "SELECT l.page_id, coalesce(string_agg(l.line, chr(10) ORDER BY l.pos) "
+            "FILTER (WHERE h.line IS NULL), '') AS text, "
+            "count(*)::BIGINT AS n_lines, count(h.line)::BIGINT AS n_removed "
+            "FROM lin l LEFT JOIN hot h ON l.line = h.line GROUP BY 1"
+        ),
+        "train_order_epoch1": (
+            "SELECT doc_id, row_number() OVER (ORDER BY "
+            "md5_number_upper('e1:' || doc_id::VARCHAR), doc_id)::BIGINT "
+            "AS train_rank FROM documents"
+        ),
+        "quality_linear_score": (
+            # feature bucket j = md5(tok) % 1024; integer weight
+            # w[j] = md5('w:'||j) % 21 - 10; score = sum over tokens
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok "
+            "FROM documents), "
+            "b AS (SELECT doc_id, CAST(md5_number_upper(tok) % 1024 AS BIGINT) AS j "
+            "FROM toks), "
+            "s AS (SELECT doc_id, sum(CAST(md5_number_upper('w:' || j::VARCHAR) "
+            "% 21 AS BIGINT) - 10) AS score FROM b GROUP BY 1) "
+            "SELECT d.doc_id, coalesce(s.score, 0)::BIGINT AS score, "
+            "(CASE WHEN coalesce(s.score, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS keep "
+            "FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
+        "token_shards_manifest": (
+            # shard = doc_id % 8; token id = md5(tok) % 32000; the Ray
+            # side re-reads the written .bin/.idx bytes for these sums
+            "WITH doc AS (SELECT doc_id, doc_id % 8 AS shard, text FROM documents), "
+            "tk AS (SELECT shard, CAST(md5_number_upper(tok) % 32000 AS BIGINT) AS tid "
+            "FROM (SELECT shard, unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok "
+            "FROM doc)), "
+            "agg AS (SELECT shard, count(*) AS n_tokens, sum(tid) AS id_sum "
+            "FROM tk GROUP BY 1), "
+            "dc AS (SELECT shard, count(*) AS n_docs FROM doc GROUP BY 1) "
+            "SELECT dc.shard::BIGINT AS shard, dc.n_docs::BIGINT AS n_docs, "
+            "coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens, "
+            "coalesce(agg.id_sum, 0)::BIGINT AS id_sum "
+            "FROM dc LEFT JOIN agg USING (shard)"
         ),
         "pack_concat_chunks": (
             "WITH tok AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
