@@ -1601,6 +1601,33 @@ def _quality_linear(sf_dir: str):
     return quality_linear_score(docs, dim=1024)
 
 
+def _quality_threshold(sf_dir: str):
+    """Per-source quality-quantile cut (stages/scoring.py): threshold =
+    k-th largest integer score with k = ceil(0.25 * n_source), computed
+    from a score-domain-sized histogram — the integer-exact CCNet
+    perplexity-bucket filter shape."""
+    import ray.data as rd
+
+    from reden_ray.stages.scoring import quality_threshold_per_source
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return quality_threshold_per_source(docs, top_frac=0.25)
+
+
+def _dedup_keep_best(sf_dir: str):
+    """Quality-aware exact dedup (stages/scoring.py): identical texts
+    keep the best-scoring copy (ties -> smallest doc_id); bodies never
+    shuffle — only (hash, id, score) triples."""
+    import ray.data as rd
+
+    from reden_ray.stages.scoring import dedup_keep_best
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup_keep_best(docs)
+
+
 def _token_shards(sf_dir: str):
     """Megatron-style token shard sink (stages/shards.py): writes
     .bin/.idx pairs under a fresh /tmp dir, returns the manifest parsed
@@ -2074,6 +2101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_pages": _line_dedup,
         "train_order_epoch1": _train_order,
         "quality_linear_score": _quality_linear,
+        "quality_threshold_per_source": _quality_threshold,
+        "dedup_keep_best": _dedup_keep_best,
         "token_shards_manifest": _token_shards,
         "bpe_merges_2it": _bpe_merges_2it,
         "bpe_token_counts_2it": _bpe_token_counts_2it,
@@ -3008,6 +3037,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, coalesce(s.score, 0)::BIGINT AS score, "
             "(CASE WHEN coalesce(s.score, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS keep "
             "FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
+        "quality_threshold_per_source": (
+            # threshold = k-th largest score per source, k = ceil(.25 n)
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok "
+            "FROM documents), "
+            "b AS (SELECT doc_id, CAST(md5_number_upper(tok) % 1024 AS BIGINT) AS j "
+            "FROM toks), "
+            "sm AS (SELECT doc_id, sum(CAST(md5_number_upper('w:' || j::VARCHAR) "
+            "% 21 AS BIGINT) - 10) AS score FROM b GROUP BY 1), "
+            "sc AS (SELECT d.doc_id, d.source, coalesce(sm.score, 0)::BIGINT AS score "
+            "FROM documents d LEFT JOIN sm USING (doc_id)), "
+            "rk AS (SELECT source, score, row_number() OVER (PARTITION BY source "
+            "ORDER BY score DESC, doc_id) AS rn, "
+            "count(*) OVER (PARTITION BY source) AS n FROM sc), "
+            "thr AS (SELECT source, score AS threshold FROM rk "
+            "WHERE rn = CAST(ceil(0.25 * n) AS BIGINT)) "
+            "SELECT sc.doc_id, sc.score, sc.source, thr.threshold "
+            "FROM sc JOIN thr USING (source) WHERE sc.score >= thr.threshold"
+        ),
+        "dedup_keep_best": (
+            # identical texts keep the best-scoring copy (tie: min id)
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok "
+            "FROM documents), "
+            "b AS (SELECT doc_id, CAST(md5_number_upper(tok) % 1024 AS BIGINT) AS j "
+            "FROM toks), "
+            "sm AS (SELECT doc_id, sum(CAST(md5_number_upper('w:' || j::VARCHAR) "
+            "% 21 AS BIGINT) - 10) AS score FROM b GROUP BY 1), "
+            "sc AS (SELECT d.doc_id, d.text, coalesce(sm.score, 0)::BIGINT AS score "
+            "FROM documents d LEFT JOIN sm USING (doc_id)) "
+            "SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER ("
+            "PARTITION BY text ORDER BY score DESC, doc_id) AS rn FROM sc) "
+            "WHERE rn = 1"
         ),
         "token_shards_manifest": (
             # shard = doc_id % 8; token id = md5(tok) % 32000; the Ray

@@ -116,3 +116,188 @@ def quality_linear_score(
         batch_size=None,
         concurrency=(1, 4),
     )
+
+
+def _scored(docs: rd.Dataset, dim: int, id_column: str, text_column: str):
+    """(doc_id, source?, score) rows — the scorer pass plus carried keys."""
+    wref = ray.put(hash_weights(dim))
+    carry = [c for c in docs.schema().names if c not in (id_column, text_column)]
+
+    def score(t: pa.Table) -> pa.Table:
+        scorer = HashedLinearScorer(
+            wref, dim=dim, id_column=id_column, text_column=text_column
+        )
+        s = scorer(t)
+        for c in carry:
+            s = s.append_column(c, t.column(c))
+        return s
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def quality_threshold_per_source(
+    docs: rd.Dataset,
+    top_frac: float = 0.25,
+    dim: int = 1024,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    source_column: str = "source",
+) -> rd.Dataset:
+    """Keep each source's best-scoring slice: the per-source threshold
+    is the k-th largest score with ``k = ceil(top_frac * n_source)``,
+    and every document with ``score >= threshold`` survives (ties keep
+    extra docs rather than breaking them arbitrarily — deterministic
+    and SQL-replayable since scores are integers).
+
+    Scale shape: scores are bounded integers, so the driver never sees
+    documents — per-block ``(source, score) -> count`` partials reduce
+    through one small groupby into a score HISTOGRAM per source
+    (score-domain-sized, not corpus-sized); the k-th largest falls out
+    of the histogram's descending cumulative sum; thresholds broadcast
+    via ``ray.put`` and the filter is an embarrassingly parallel
+    second pass.  This is the integer-exact version of the CCNet
+    per-language perplexity-quantile cut."""
+    scored = _scored(docs, dim, id_column, text_column)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({source_column: t.column(source_column), "score": t.column("score")})
+            .append_column("n", pa.array(np.ones(t.num_rows, np.int64)))
+            .group_by([source_column, "score"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns([source_column, "score", "n"])
+
+    hist = (
+        scored.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby([source_column, "score"])
+        .sum("n")
+        .take_all()
+    )  # bounded: n_sources x distinct integer scores
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    totals: dict[str, int] = {}
+    for r in hist:
+        s = r[source_column]
+        by_src.setdefault(s, []).append((int(r["score"]), int(r["sum(n)"])))
+        totals[s] = totals.get(s, 0) + int(r["sum(n)"])
+    thresholds: dict[str, int] = {}
+    for s, cells in by_src.items():
+        need = int(np.ceil(top_frac * totals[s]))
+        run = 0
+        for sc, n in sorted(cells, reverse=True):
+            run += n
+            if run >= need:
+                thresholds[s] = sc
+                break
+    thr_ref = ray.put(thresholds)
+
+    def keep(t: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        srcs = t.column(source_column).to_pylist()
+        sc = t.column("score").to_numpy(zero_copy_only=False)
+        lim = np.fromiter(
+            (thr.get(s, np.iinfo(np.int64).max) for s in srcs),
+            dtype=np.int64,
+            count=len(srcs),
+        )
+        out = t.filter(pa.array(sc >= lim))
+        return out.append_column(
+            "threshold",
+            pa.array(
+                [thr[s] for s in out.column(source_column).to_pylist()], pa.int64()
+            ),
+        )
+
+    return scored.map_batches(keep, batch_format="pyarrow", batch_size=None).drop_columns(
+        ["keep"]
+    )
+
+
+def dedup_keep_best(
+    docs: rd.Dataset,
+    dim: int = 1024,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> rd.Dataset:
+    """Quality-aware exact dedup: among documents with IDENTICAL text,
+    keep the one with the highest model score (ties -> smallest id).
+    Plain exact dedup keeps an arbitrary-but-deterministic member;
+    curation stacks prefer the best-provenance/best-quality copy.
+
+    Scale shape mirrors ``stages/dedup.dedup_exact``: per-block
+    argmax partials per text hash (one row per distinct text per
+    block), then one coarse-partition final argmax — document bodies
+    never shuffle, only (hash, id, score) triples."""
+    b2 = hashlib.blake2b
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (
+                int.from_bytes(b2((x or "").encode(), digest_size=8).digest(), "little")
+                for x in t.column(text_column).to_pylist()
+            ),
+            dtype=np.uint64,
+            count=t.num_rows,
+        ).view(np.int64)
+        # bodies stay block-local: only (hash, id, score) shuffles
+        t = t.drop_columns(text_column).append_column("__h", pa.array(h))
+        # block-local best per hash: sort by (h, -score, id), first wins
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("__h", "ascending"),
+                ("score", "descending"),
+                (id_column, "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        hh = t.column("__h").to_numpy(zero_copy_only=False)
+        first = np.ones(len(hh), bool)
+        first[1:] = hh[1:] != hh[:-1]
+        return t.filter(pa.array(first))
+
+    from .partition import part_column
+    from .webtext import _default_span_parts
+
+    n_parts = _default_span_parts()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["__h"], n_parts))
+
+    def reduce_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.drop_columns("__part")
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("__h", "ascending"),
+                ("score", "descending"),
+                (id_column, "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        hh = t.column("__h").to_numpy(zero_copy_only=False)
+        first = np.ones(len(hh), bool)
+        first[1:] = hh[1:] != hh[:-1]
+        return t.filter(pa.array(first)).drop_columns("__h")
+
+    wref = ray.put(hash_weights(dim))
+
+    def score_keep_text(t: pa.Table) -> pa.Table:
+        scorer = HashedLinearScorer(
+            wref, dim=dim, id_column=id_column, text_column=text_column
+        )
+        s = scorer(t)
+        return s.append_column(text_column, t.column(text_column))
+
+    return (
+        docs.map_batches(score_keep_text, batch_format="pyarrow", batch_size=None)
+        .drop_columns(["keep"])
+        .map_batches(hash_partial, batch_format="pyarrow", batch_size=None)
+        .map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )

@@ -19,7 +19,12 @@ import ray.data as rd
 
 from reden_ray.stages.lines import line_dedup
 from reden_ray.stages.ordering import train_order
-from reden_ray.stages.scoring import hash_weights, quality_linear_score
+from reden_ray.stages.scoring import (
+    dedup_keep_best,
+    hash_weights,
+    quality_linear_score,
+    quality_threshold_per_source,
+)
 from reden_ray.stages.shards import (
     _token_ids,
     read_token_shards,
@@ -140,6 +145,52 @@ def test_quality_linear_score_matches_naive():
         s = _naive_score(x, 64)
         assert got[i] == (s, 1 if s > 0 else 0), x
     assert got[2] == (0, 0)  # empty text scores 0, dropped
+
+
+def test_quality_threshold_per_source_matches_naive():
+    rng = np.random.RandomState(7)
+    words = ["alpha", "beta", "gamma", "delta", "easy", "zork", "mumble"]
+    texts = [" ".join(rng.choice(words, size=rng.randint(1, 9))) for _ in range(60)]
+    srcs = [f"s{i % 3}" for i in range(60)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+            "text": pa.array(texts),
+            "source": pa.array(srcs),
+        }
+    )
+    dim = 64
+    scores = {i: _naive_score(x, dim) for i, x in enumerate(texts)}
+    want = {}
+    for s in set(srcs):
+        members = [i for i in range(60) if srcs[i] == s]
+        k = int(np.ceil(0.25 * len(members)))
+        thr = sorted((scores[i] for i in members), reverse=True)[k - 1]
+        for i in members:
+            if scores[i] >= thr:
+                want[i] = (scores[i], s, thr)
+    for parts in (1, 4):
+        rows = quality_threshold_per_source(
+            rd.from_arrow(t).repartition(parts), top_frac=0.25, dim=dim
+        ).take_all()
+        got = {r["doc_id"]: (r["score"], r["source"], r["threshold"]) for r in rows}
+        assert got == want, parts
+
+
+def test_dedup_keep_best_keeps_highest_score():
+    texts = ["good text wins", "good text wins", "bad", "bad", "bad", "solo"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    for parts in (1, 3):
+        rows = dedup_keep_best(rd.from_arrow(t).repartition(parts), dim=64).take_all()
+        got = {r["doc_id"]: r["score"] for r in rows}
+        # identical texts score identically -> min doc_id wins each group
+        assert sorted(got) == [0, 2, 5], parts
+        assert got[0] == _naive_score(texts[0], 64)
 
 
 # --------------------------------------------------------------- shards
