@@ -1628,6 +1628,21 @@ def _dedup_keep_best(sf_dir: str):
     return dedup_keep_best(docs)
 
 
+def _serve_ready(sf_dir: str):
+    """Serve-ready composite (pipelines/serve.py): keep-best exact
+    dedup -> per-source quality-quantile cut over the SURVIVORS ->
+    epoch-1 md5 shuffle rank, one streaming chain, bounded driver
+    state (histogram + bucket counts)."""
+    import ray.data as rd
+
+    from reden_ray.pipelines.serve import serve_ready_corpus
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return serve_ready_corpus(docs, top_frac=0.25, epoch=1)
+
+
 def _token_shards(sf_dir: str):
     """Megatron-style token shard sink (stages/shards.py): writes
     .bin/.idx pairs under a fresh /tmp dir, returns the manifest parsed
@@ -2103,6 +2118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_linear_score": _quality_linear,
         "quality_threshold_per_source": _quality_threshold,
         "dedup_keep_best": _dedup_keep_best,
+        "serve_ready_corpus": _serve_ready,
         "token_shards_manifest": _token_shards,
         "bpe_merges_2it": _bpe_merges_2it,
         "bpe_token_counts_2it": _bpe_token_counts_2it,
@@ -3071,6 +3087,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER ("
             "PARTITION BY text ORDER BY score DESC, doc_id) AS rn FROM sc) "
             "WHERE rn = 1"
+        ),
+        "serve_ready_corpus": (
+            # dedup (keep best) -> per-source quantile cut over the
+            # survivors -> epoch-1 md5 shuffle rank (stage order is the
+            # contract; mirrors pipelines/serve.py verbatim)
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok "
+            "FROM documents), "
+            "b AS (SELECT doc_id, CAST(md5_number_upper(tok) % 1024 AS BIGINT) AS j "
+            "FROM toks), "
+            "sm AS (SELECT doc_id, sum(CAST(md5_number_upper('w:' || j::VARCHAR) "
+            "% 21 AS BIGINT) - 10) AS score FROM b GROUP BY 1), "
+            "sc AS (SELECT d.doc_id, d.source, d.text, "
+            "coalesce(sm.score, 0)::BIGINT AS score "
+            "FROM documents d LEFT JOIN sm USING (doc_id)), "
+            "surv AS (SELECT doc_id, source, score FROM (SELECT doc_id, source, "
+            "score, row_number() OVER (PARTITION BY text "
+            "ORDER BY score DESC, doc_id) AS rn FROM sc) WHERE rn = 1), "
+            "rk AS (SELECT source, score, row_number() OVER (PARTITION BY source "
+            "ORDER BY score DESC, doc_id) AS srn, "
+            "count(*) OVER (PARTITION BY source) AS n FROM surv), "
+            "thr AS (SELECT source, score AS threshold FROM rk "
+            "WHERE srn = CAST(ceil(0.25 * n) AS BIGINT)) "
+            "SELECT surv.doc_id, surv.source, surv.score, thr.threshold, "
+            "row_number() OVER (ORDER BY "
+            "md5_number_upper('e1:' || surv.doc_id::VARCHAR), surv.doc_id)::BIGINT "
+            "AS train_rank "
+            "FROM surv JOIN thr USING (source) WHERE surv.score >= thr.threshold"
         ),
         "token_shards_manifest": (
             # shard = doc_id % 8; token id = md5(tok) % 32000; the Ray

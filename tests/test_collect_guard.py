@@ -37,6 +37,7 @@ WHITELIST = {
     "stages/lines.py": (1, "hot-line bank (boilerplate-sized by contract; join variant documented)"),
     "stages/ordering.py": (1, "<= n_buckets bucket totals (grouped scan phase 2)"),
     "stages/scoring.py": (1, "n_sources x distinct-integer-score histogram cells"),
+    "pipelines/serve.py": (2, "score histogram + <= n_buckets bucket totals (both bounded)"),
     "pipelines/relational3.py": (3, "nation rollup (25) + active-day set (date-domain) + event-type sizes (type-domain) broadcasts"),
 }
 
