@@ -1628,6 +1628,31 @@ def _dedup_keep_best(sf_dir: str):
     return dedup_keep_best(docs)
 
 
+def _upsample(sf_dir: str):
+    """Deterministic source upsampling (stages/upsample.py): weight =
+    0.5 + (source index % 4) * 0.5, fractional copies resolved by an
+    md5 draw on 1/1024 ticks — one vectorized expansion pass."""
+    import ray.data as rd
+
+    from reden_ray.stages.upsample import upsample_sources
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    weights = {f"src{i}": 0.5 + (i % 4) * 0.5 for i in range(1024)}
+    return upsample_sources(docs, weights)
+
+
+def _curriculum(sf_dir: str):
+    """Curriculum serving order (stages/curriculum.py): quality tiers
+    first (clipped integer model score), md5-shuffled within tier —
+    the tier-widened grouped two-pass rank scan."""
+    import ray.data as rd
+
+    from reden_ray.stages.curriculum import curriculum_order
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return curriculum_order(docs, epoch=1, clip=8)
+
+
 def _serve_ready(sf_dir: str):
     """Serve-ready composite (pipelines/serve.py): keep-best exact
     dedup -> per-source quality-quantile cut over the SURVIVORS ->
@@ -2119,6 +2144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_threshold_per_source": _quality_threshold,
         "dedup_keep_best": _dedup_keep_best,
         "serve_ready_corpus": _serve_ready,
+        "upsample_sources": _upsample,
+        "curriculum_order_epoch1": _curriculum,
         "token_shards_manifest": _token_shards,
         "bpe_merges_2it": _bpe_merges_2it,
         "bpe_token_counts_2it": _bpe_token_counts_2it,
@@ -3115,6 +3142,35 @@ def oracle_sql() -> dict[str, str]:
             "md5_number_upper('e1:' || surv.doc_id::VARCHAR), surv.doc_id)::BIGINT "
             "AS train_rank "
             "FROM surv JOIN thr USING (source) WHERE surv.score >= thr.threshold"
+        ),
+        "upsample_sources": (
+            # weight by source index; fractional copy iff md5 draw on
+            # 1/1024 ticks; one output row per replica
+            "WITH w AS (SELECT doc_id, source, "
+            "0.5 + (CAST(regexp_extract(source, '[0-9]+') AS INT) % 4) * 0.5 AS wt "
+            "FROM documents), "
+            "r AS (SELECT doc_id, source, CAST(floor(wt) AS BIGINT) + "
+            "CASE WHEN md5_number_upper('u:' || doc_id::VARCHAR) % 1024 < "
+            "CAST((wt - floor(wt)) * 1024 AS BIGINT) THEN 1 ELSE 0 END AS reps "
+            "FROM w) "
+            "SELECT doc_id, source, unnest(range(0, reps)) AS rep_idx "
+            "FROM r WHERE reps > 0"
+        ),
+        "curriculum_order_epoch1": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok "
+            "FROM documents), "
+            "b AS (SELECT doc_id, CAST(md5_number_upper(tok) % 1024 AS BIGINT) AS j "
+            "FROM toks), "
+            "sm AS (SELECT doc_id, sum(CAST(md5_number_upper('w:' || j::VARCHAR) "
+            "% 21 AS BIGINT) - 10) AS score FROM b GROUP BY 1), "
+            "sc AS (SELECT d.doc_id, coalesce(sm.score, 0)::BIGINT AS score "
+            "FROM documents d LEFT JOIN sm USING (doc_id)), "
+            "t AS (SELECT doc_id, least(greatest(score, -8), 8)::BIGINT AS tier "
+            "FROM sc) "
+            "SELECT doc_id, tier, row_number() OVER (ORDER BY tier DESC, "
+            "md5_number_upper('c1:' || doc_id::VARCHAR), doc_id)::BIGINT "
+            "AS train_rank FROM t"
         ),
         "token_shards_manifest": (
             # shard = doc_id % 8; token id = md5(tok) % 32000; the Ray
