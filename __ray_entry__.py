@@ -1653,6 +1653,28 @@ def _curriculum(sf_dir: str):
     return curriculum_order(docs, epoch=1, clip=8)
 
 
+def _truncate_tokens(sf_dir: str):
+    """Context-length cap (stages/textprep.py): char-exact prefix after
+    the 32nd whitespace token — token/separator factoring on both sides."""
+    import ray.data as rd
+
+    from reden_ray.stages.textprep import truncate_tokens
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return truncate_tokens(docs, max_tokens=32)
+
+
+def _hash_split(sf_dir: str):
+    """Deterministic train/valid/test hash split (stages/textprep.py):
+    md5 draw on 1/1000 ticks — stable under corpus growth."""
+    import ray.data as rd
+
+    from reden_ray.stages.textprep import hash_split
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return hash_split(docs)
+
+
 def _serve_ready(sf_dir: str):
     """Serve-ready composite (pipelines/serve.py): keep-best exact
     dedup -> per-source quality-quantile cut over the SURVIVORS ->
@@ -2146,6 +2168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "serve_ready_corpus": _serve_ready,
         "upsample_sources": _upsample,
         "curriculum_order_epoch1": _curriculum,
+        "truncate_tokens_32": _truncate_tokens,
+        "hash_split_corpus": _hash_split,
         "token_shards_manifest": _token_shards,
         "bpe_merges_2it": _bpe_merges_2it,
         "bpe_token_counts_2it": _bpe_token_counts_2it,
@@ -3171,6 +3195,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, tier, row_number() OVER (ORDER BY tier DESC, "
             "md5_number_upper('c1:' || doc_id::VARCHAR), doc_id)::BIGINT "
             "AS train_rank FROM t"
+        ),
+        "truncate_tokens_32": (
+            # token/separator factoring: prefix ends at the 32nd token's
+            # last char; explicit whitespace class (RE2 \\s != python \\s)
+            "WITH f AS (SELECT doc_id, text, "
+            "regexp_extract_all(text, '[^ \\t\\n\\r\\f]+') AS toks, "
+            "string_split_regex(text, '[^ \\t\\n\\r\\f]+') AS seps "
+            "FROM documents), "
+            "c AS (SELECT doc_id, text, toks, seps, len(toks) AS n FROM f) "
+            "SELECT doc_id, CASE WHEN n <= 32 THEN text ELSE left(text, "
+            "CAST(list_aggregate(list_transform(range(1, 33), "
+            "i -> length(seps[i]) + length(toks[i])), 'sum') AS BIGINT)) END AS text, "
+            "n::BIGINT AS n_tokens, "
+            "(CASE WHEN n > 32 THEN 1 ELSE 0 END)::BIGINT AS truncated FROM c"
+        ),
+        "hash_split_corpus": (
+            "SELECT doc_id, source, CASE "
+            "WHEN md5_number_upper('sp:' || doc_id::VARCHAR) % 1000 < 10 "
+            "THEN 'valid' "
+            "WHEN md5_number_upper('sp:' || doc_id::VARCHAR) % 1000 < 30 "
+            "THEN 'test' ELSE 'train' END AS split FROM documents"
         ),
         "token_shards_manifest": (
             # shard = doc_id % 8; token id = md5(tok) % 32000; the Ray
