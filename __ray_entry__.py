@@ -1690,6 +1690,31 @@ def _serve_ready(sf_dir: str):
     return serve_ready_corpus(docs, top_frac=0.25, epoch=1)
 
 
+def _curation_report(sf_dir: str):
+    """Per-source attrition datasheet (pipelines/audit.py): raw docs ->
+    unique after keep-best dedup -> kept above the per-source quality
+    quantile; only bounded aggregates reach the driver."""
+    import ray.data as rd
+
+    from reden_ray.pipelines.audit import curation_report
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return curation_report(docs, top_frac=0.25)
+
+
+def _length_histogram(sf_dir: str):
+    """Token-length distribution (pipelines/audit.py): power-of-two
+    buckets, block partials + one tiny groupby."""
+    import ray.data as rd
+
+    from reden_ray.pipelines.audit import length_histogram
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return length_histogram(docs)
+
+
 def _token_shards(sf_dir: str):
     """Megatron-style token shard sink (stages/shards.py): writes
     .bin/.idx pairs under a fresh /tmp dir, returns the manifest parsed
@@ -2170,6 +2195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_order_epoch1": _curriculum,
         "truncate_tokens_32": _truncate_tokens,
         "hash_split_corpus": _hash_split,
+        "curation_report": _curation_report,
+        "length_histogram": _length_histogram,
         "token_shards_manifest": _token_shards,
         "bpe_merges_2it": _bpe_merges_2it,
         "bpe_token_counts_2it": _bpe_token_counts_2it,
@@ -3216,6 +3243,45 @@ def oracle_sql() -> dict[str, str]:
             "THEN 'valid' "
             "WHEN md5_number_upper('sp:' || doc_id::VARCHAR) % 1000 < 30 "
             "THEN 'test' ELSE 'train' END AS split FROM documents"
+        ),
+        "curation_report": (
+            # per-source attrition through the serve gates (same CTEs
+            # as serve_ready_corpus, aggregated)
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok "
+            "FROM documents), "
+            "b AS (SELECT doc_id, CAST(md5_number_upper(tok) % 1024 AS BIGINT) AS j "
+            "FROM toks), "
+            "sm AS (SELECT doc_id, sum(CAST(md5_number_upper('w:' || j::VARCHAR) "
+            "% 21 AS BIGINT) - 10) AS score FROM b GROUP BY 1), "
+            "sc AS (SELECT d.doc_id, d.source, d.text, "
+            "coalesce(sm.score, 0)::BIGINT AS score "
+            "FROM documents d LEFT JOIN sm USING (doc_id)), "
+            "surv AS (SELECT doc_id, source, score FROM (SELECT doc_id, source, "
+            "score, row_number() OVER (PARTITION BY text "
+            "ORDER BY score DESC, doc_id) AS rn FROM sc) WHERE rn = 1), "
+            "rk AS (SELECT source, score, row_number() OVER (PARTITION BY source "
+            "ORDER BY score DESC, doc_id) AS srn, "
+            "count(*) OVER (PARTITION BY source) AS n FROM surv), "
+            "thr AS (SELECT source, score AS threshold FROM rk "
+            "WHERE srn = CAST(ceil(0.25 * n) AS BIGINT)), "
+            "kept AS (SELECT surv.source FROM surv JOIN thr USING (source) "
+            "WHERE surv.score >= thr.threshold), "
+            "rawc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1), "
+            "un AS (SELECT source, count(*) AS n_unique FROM surv GROUP BY 1), "
+            "kc AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY 1) "
+            "SELECT rawc.source, rawc.n_docs::BIGINT AS n_docs, "
+            "coalesce(un.n_unique, 0)::BIGINT AS n_unique, "
+            "coalesce(kc.n_kept, 0)::BIGINT AS n_kept "
+            "FROM rawc LEFT JOIN un USING (source) LEFT JOIN kc USING (source)"
+        ),
+        "length_histogram": (
+            "WITH n AS (SELECT CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n "
+            "FROM documents) "
+            "SELECT CASE WHEN n = 0 THEN -1 ELSE "
+            "CAST(floor(log2(n)) AS BIGINT) END AS bucket, "
+            "count(*)::BIGINT AS n_docs FROM n GROUP BY 1"
         ),
         "token_shards_manifest": (
             # shard = doc_id % 8; token id = md5(tok) % 32000; the Ray

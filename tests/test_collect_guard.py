@@ -39,6 +39,7 @@ WHITELIST = {
     "stages/scoring.py": (1, "n_sources x distinct-integer-score histogram cells"),
     "pipelines/serve.py": (2, "score histogram + <= n_buckets bucket totals (both bounded)"),
     "stages/curriculum.py": (1, "<= (2*clip+1) x n_buckets cell totals (grouped scan phase 2)"),
+    "pipelines/audit.py": (1, "per-source counts (source-domain-sized, rel_io convention)"),
     "pipelines/relational3.py": (3, "nation rollup (25) + active-day set (date-domain) + event-type sizes (type-domain) broadcasts"),
 }
 
