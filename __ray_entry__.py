@@ -2113,6 +2113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tfidf_topk": R.text_tfidf_topk,
         "text_bm25_topk": R.text_bm25_topk,
         "text_unigram_logprob": R.text_unigram_logprob,
+        "text_bigram_logprob": R.text_bigram_logprob,
         "j10_full_outer": R.j10_full_outer,
         "f1_vector_norm": R.f1_vector_norm,
         "o16_stratified_sample": R.o16_stratified_sample,
@@ -2995,6 +2996,23 @@ def oracle_sql() -> dict[str, str]:
             "   FROM scored) "
             "SELECT doc_id, term, ROUND(tfidf, 4) AS tfidf, rank "
             "FROM ranked WHERE rank <= 3"
+        ),
+        "text_bigram_logprob": (
+            "WITH toks AS ("
+            "  SELECT doc_id, list_filter(string_split_regex(lower(text),"
+            "    '[ \t\n\r\f\v]+'), x -> x <> '') AS tk FROM documents"
+            "), bg AS ("
+            "  SELECT doc_id, z[1] AS w1, z[2] AS w2"
+            "  FROM toks, UNNEST(list_zip(tk[:-2], tk[2:])) AS u(z)"
+            "  WHERE len(tk) >= 2"
+            "), tf AS (SELECT doc_id, w1, w2, count(*) AS tfc FROM bg GROUP BY 1,2,3),"
+            " nb AS (SELECT doc_id, count(*) AS nbg FROM bg GROUP BY 1),"
+            " bc AS (SELECT w1, w2, sum(tfc) AS cnt FROM tf GROUP BY 1,2),"
+            " cx AS (SELECT w1, sum(cnt) AS ctx FROM bc GROUP BY 1),"
+            " scored AS (SELECT tf.doc_id, (tfc * LN(cnt / ctx)) / nbg AS c"
+            "   FROM tf JOIN nb USING (doc_id) JOIN bc USING (w1, w2)"
+            "   JOIN cx USING (w1)) "
+            "SELECT doc_id, ROUND(sum(c), 4) AS logprob FROM scored GROUP BY 1"
         ),
         "text_unigram_logprob": (
             "WITH tok AS ("

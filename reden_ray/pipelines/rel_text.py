@@ -339,6 +339,149 @@ def text_ppl_buckets(sf_dir: str) -> rd.Dataset:
     return lp.map_batches(bucket, batch_format="pyarrow", batch_size=None)
 
 
+def _doc_bigram_rows(t: pa.Table) -> pa.Table:
+    """documents batch -> distinct (doc_id, w1, w2, tfc, nbg) rows —
+    adjacent token pairs after empty-token filtering (matching the
+    oracle's ``list_filter`` -> ``list_zip`` reconstruction exactly).
+    Vectorized: one Arrow regex split, numpy adjacency mask, one C++
+    group_by.  Docs are whole rows here, so nbg (bigrams per doc) is a
+    safe per-doc stamp (the bm25 dlen lesson)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(t.column("text")), pattern=r"[ \t\n\r\f\v]+"
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    parent = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False), lens)
+    flat = toks.flatten()
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    words = flat.filter(pa.array(keep))
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    parent = parent[keep]
+    if len(words) < 2:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "tfc": pa.array([], pa.int64()),
+                "nbg": pa.array([], pa.int64()),
+            }
+        )
+    adj = pa.array(parent[:-1] == parent[1:])
+    n = len(words)
+    pairs = pa.table(
+        {
+            "doc_id": pa.array(parent[:-1], pa.int64()),
+            "w1": words.slice(0, n - 1),
+            "w2": words.slice(1, n - 1),
+        }
+    ).filter(adj)
+    counted = pairs.group_by(["doc_id", "w1", "w2"]).aggregate([("w2", "count")])
+    uniq, bcounts = np.unique(
+        pairs.column("doc_id").to_numpy(zero_copy_only=False), return_counts=True
+    )
+    cdoc = counted.column("doc_id").to_numpy(zero_copy_only=False)
+    nbg = bcounts[np.searchsorted(uniq, cdoc)]
+    return pa.table(
+        {
+            "doc_id": counted.column("doc_id"),
+            "w1": counted.column("w1"),
+            "w2": counted.column("w2"),
+            "tfc": counted.column("w2_count").cast(pa.int64()),
+            "nbg": pa.array(nbg, pa.int64()),
+        }
+    )
+
+
+def text_bigram_logprob(sf_dir: str) -> rd.Dataset:
+    """Per-doc mean bigram log-probability under the corpus's own
+    bigram LM (P(w2|w1) = c(w1,w2) / c(w1·)) — the order-2 upgrade of
+    the oracled ``text_unigram_logprob`` and the closest SQL-gateable
+    shape to CCNet's KenLM perplexity filter (Wenzek et al. 2019).
+    Plan: bigram rows via the vectorized adjacency tokenizer; the
+    bigram-count MODEL is pair-shaped (corpus-bigrams-sized), so its
+    reduce is the coarse-partition ``__part`` map_groups (never a
+    native multi-key groupby — the pair-stream lesson) and it reaches
+    the scorer through a HASH JOIN on (w1, w2), never a broadcast;
+    context counts c(w1·) reduce from the model (vocab-sized) and join
+    on w1 model-side, so the doc rows are joined exactly once."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join, staged_nonempty
+    from ..stages.partition import part_column
+    from ..stages.webtext import _default_span_parts
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = docs.map_batches(
+        _doc_bigram_rows, batch_format="pyarrow", batch_size=None
+    ).materialize()  # two consumers: model partials + join probe
+
+    n_parts = _default_span_parts()
+
+    def model_partial(t: pa.Table) -> pa.Table:
+        c = t.group_by(["w1", "w2"]).aggregate([("tfc", "sum")])
+        c = c.rename_columns(["w1", "w2", "cnt"])
+        return c.append_column("__part", part_column(c, ["w1", "w2"], n_parts))
+
+    def model_reduce(g: pa.Table) -> pa.Table:
+        r = (
+            g.drop_columns("__part")
+            .group_by(["w1", "w2"])
+            .aggregate([("cnt", "sum")])
+        )
+        return r.rename_columns(["w1", "w2", "cnt"])
+
+    model = (
+        rows.map_batches(model_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(model_reduce, batch_format="pyarrow")
+        .materialize()  # two consumers: ctx partials + the pair join
+    )
+
+    def ctx_partial(t: pa.Table) -> pa.Table:
+        c = t.group_by("w1").aggregate([("cnt", "sum")])
+        return c.rename_columns(["w1", "ctx"])
+
+    ctx = (
+        model.map_batches(ctx_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("w1")
+        .sum("ctx")
+        .map_batches(lambda t: t.rename_columns(["w1", "ctx"]), batch_format="pyarrow")
+    )
+    staged_ctx = staged_nonempty(ctx)
+    if staged_ctx is None:
+        return rows.select_columns(["doc_id"])
+    model_ctx = hash_join(model, staged_ctx, on=["w1"])
+    scored = hash_join(rows, staged_nonempty(model_ctx), on=["w1", "w2"])
+
+    def contrib(t: pa.Table) -> pa.Table:
+        tfc = t.column("tfc").to_numpy(zero_copy_only=False).astype(np.float64)
+        nbg = t.column("nbg").to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        ctxv = t.column("ctx").to_numpy(zero_copy_only=False).astype(np.float64)
+        c = (tfc * np.log(cnt / ctxv)) / nbg
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "c": pa.array(c, pa.float64())}
+        )
+
+    return (
+        scored.map_batches(contrib, batch_format="pyarrow", batch_size=None)
+        .groupby("doc_id")
+        .sum("c")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "logprob": pc.round(t.column("sum(c)"), 4),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def text_bm25_topk(sf_dir: str, k: int = 3, k1: float = 1.2, b: float = 0.75) -> rd.Dataset:
     """BM25 (Robertson; Lucene-style non-negative idf) with per-doc
     top-k terms — TF-IDF's production sibling.  Same plan shape as
