@@ -1628,6 +1628,73 @@ def _dedup_keep_best(sf_dir: str):
     return dedup_keep_best(docs)
 
 
+def _split_mod3(sf_dir: str):
+    """Deterministic base/delta snapshot split of the documents table:
+    base = doc_id % 3 != 0; delta = the doc_id % 3 == 0 docs PLUS
+    re-crawled copies (same text, doc_id + 100000) of every
+    doc_id % 5 == 0 page — so the within-delta dedup AND the
+    store anti-join both provably drop rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _mod_filter(t: pa.Table, k: int, want_zero: bool) -> pa.Table:
+        m = t.column("doc_id").to_numpy(zero_copy_only=False) % k == 0
+        return t.filter(pa.array(m if want_zero else ~m))
+
+    def _recrawl(t: pa.Table) -> pa.Table:
+        t = _mod_filter(t, 5, True)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) + 100000
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": t.column("text")}
+        )
+
+    base = docs.map_batches(
+        lambda t: _mod_filter(t, 3, False), batch_format="pyarrow", batch_size=None
+    )
+    fresh = docs.map_batches(
+        lambda t: _mod_filter(t, 3, True), batch_format="pyarrow", batch_size=None
+    )
+    recrawl = docs.map_batches(_recrawl, batch_format="pyarrow", batch_size=None)
+    return base, fresh.union(recrawl)
+
+
+def _delta_dedup(sf_dir: str):
+    """Incremental snapshot ingestion (stages/incremental.py): base
+    corpus -> persisted (fp, doc_id) store; delta snapshot deduped
+    within itself (min-id winners) then anti-joined against the store
+    by hash partition.  Returns surviving delta doc ids."""
+    import tempfile
+
+    from reden_ray.stages.incremental import build_fingerprint_store, delta_dedup
+
+    base, delta = _split_mod3(sf_dir)
+    store = tempfile.mkdtemp(prefix="fpstore_")
+    build_fingerprint_store(base, store)
+    return delta_dedup(delta, store).select_columns(["doc_id"])
+
+
+def _delta_store(sf_dir: str):
+    """Full store lifecycle under one gate: build from base, ingest the
+    delta (APPENDS survivor fingerprints as new parquet files), then
+    RE-READ the store from the written bytes — the token_shards
+    convention: the hash gate verifies the files themselves."""
+    import tempfile
+
+    from reden_ray.stages.incremental import (
+        build_fingerprint_store,
+        ingest_snapshot,
+        read_store,
+    )
+
+    base, delta = _split_mod3(sf_dir)
+    store = tempfile.mkdtemp(prefix="fpstore_")
+    build_fingerprint_store(base, store)
+    ingest_snapshot(delta, store)
+    return read_store(store).select_columns(["doc_id"])
+
+
 def _upsample(sf_dir: str):
     """Deterministic source upsampling (stages/upsample.py): weight =
     0.5 + (source index % 4) * 0.5, fractional copies resolved by an
@@ -2187,6 +2254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_next_fit_bins": _pack_next_fit,
         "mixture_sample_600": _mixture_sample,
         "line_dedup_pages": _line_dedup,
+        "delta_dedup_docs": _delta_dedup,
+        "delta_store_docs": _delta_store,
         "train_order_epoch1": _train_order,
         "quality_linear_score": _quality_linear,
         "quality_threshold_per_source": _quality_threshold,
@@ -3114,6 +3183,22 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb FROM k) "
             "SELECT doc_id, source, n::BIGINT AS n_tokens, tb::BIGINT AS tokens_before "
             "FROM cs WHERE tb < 600"
+        ),
+        "delta_dedup_docs": (
+            "WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0 UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0),"
+            " base AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),"
+            " dwin AS (SELECT min(doc_id) AS doc_id, text FROM delta GROUP BY text) "
+            "SELECT d.doc_id FROM dwin d WHERE NOT EXISTS"
+            " (SELECT 1 FROM base b WHERE b.text = d.text)"
+        ),
+        "delta_store_docs": (
+            "WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0 UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0),"
+            " base AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),"
+            " bwin AS (SELECT min(doc_id) AS doc_id, text FROM base GROUP BY text),"
+            " dwin AS (SELECT min(doc_id) AS doc_id, text FROM delta GROUP BY text),"
+            " surv AS (SELECT d.doc_id FROM dwin d WHERE NOT EXISTS"
+            "   (SELECT 1 FROM base b WHERE b.text = d.text)) "
+            "SELECT doc_id FROM bwin UNION ALL SELECT doc_id FROM surv"
         ),
         "line_dedup_pages": (
             # pages = texts joined per doc_id % 37; a line (verbatim, no
