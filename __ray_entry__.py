@@ -1695,6 +1695,39 @@ def _delta_store(sf_dir: str):
     return read_store(store).select_columns(["doc_id"])
 
 
+def _corpus_diff(sf_dir: str):
+    """Snapshot diff (stages/incremental.py): v1 = doc_id % 7 != 0,
+    v2 = doc_id % 5 != 0 with text amended (' v2') when doc_id % 11
+    == 0 — so added, removed AND changed all occur.  Bodies reduce to
+    (id, fp) streams before the full-outer hash join; unchanged rows
+    are dropped in the classify map."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from reden_ray.stages.incremental import corpus_diff
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _v1(t: pa.Table) -> pa.Table:
+        m = t.column("doc_id").to_numpy(zero_copy_only=False) % 7 != 0
+        return t.filter(pa.array(m))
+
+    def _v2(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 5 != 0))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        amended = pc.binary_join_element_wise(
+            t.column("text"), pa.array(["v2"] * t.num_rows), " "
+        )
+        text = pa.compute.if_else(pa.array(ids % 11 == 0), amended, t.column("text"))
+        return pa.table({"doc_id": t.column("doc_id"), "text": text})
+
+    v1 = docs.map_batches(_v1, batch_format="pyarrow", batch_size=None)
+    v2 = docs.map_batches(_v2, batch_format="pyarrow", batch_size=None)
+    return corpus_diff(v1, v2)
+
+
 def _upsample(sf_dir: str):
     """Deterministic source upsampling (stages/upsample.py): weight =
     0.5 + (source index % 4) * 0.5, fractional copies resolved by an
@@ -2256,6 +2289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_pages": _line_dedup,
         "delta_dedup_docs": _delta_dedup,
         "delta_store_docs": _delta_store,
+        "corpus_diff_docs": _corpus_diff,
         "train_order_epoch1": _train_order,
         "quality_linear_score": _quality_linear,
         "quality_threshold_per_source": _quality_threshold,
@@ -3183,6 +3217,17 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb FROM k) "
             "SELECT doc_id, source, n::BIGINT AS n_tokens, tb::BIGINT AS tokens_before "
             "FROM cs WHERE tb < 600"
+        ),
+        "corpus_diff_docs": (
+            "WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),"
+            " v2 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2'"
+            "   ELSE text END AS text FROM documents WHERE doc_id % 5 <> 0) "
+            "SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,"
+            " CASE WHEN v1.doc_id IS NULL THEN 'added'"
+            "      WHEN v2.doc_id IS NULL THEN 'removed'"
+            "      ELSE 'changed' END AS status"
+            " FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id"
+            " WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.text <> v2.text"
         ),
         "delta_dedup_docs": (
             "WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0 UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0),"

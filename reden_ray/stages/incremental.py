@@ -138,6 +138,93 @@ def delta_dedup(
     return shuffle_anti_join(winners, read_store(store_dir), on=["fp"])
 
 
+def corpus_diff(
+    v1: rd.Dataset,
+    v2: rd.Dataset,
+    column: str = "text",
+    id_column: str = "doc_id",
+    include_unchanged: bool = False,
+) -> rd.Dataset:
+    """Classify every document id across two corpus versions as
+    ``added`` / ``removed`` / ``changed`` (content fingerprint differs)
+    — the audit step between crawl snapshots.  Each side reduces to a
+    16-byte (id, fp) stream BEFORE the full-outer hash join, so bodies
+    never shuffle; ``unchanged`` rows (the overwhelming majority
+    between adjacent snapshots) are filtered out unless asked for.
+    Both sides are staged (the empty-first-block join rule)."""
+    from .joins import default_join_partitions, staged_nonempty
+
+    def fps(name: str):
+        def f(t: pa.Table) -> pa.Table:
+            w = _fp_batch(t, column, id_column)
+            return pa.table({"doc_id": w.column("doc_id"), name: w.column("fp")})
+
+        return f
+
+    left = staged_nonempty(
+        v1.map_batches(fps("fp1"), batch_format="pyarrow", batch_size=None)
+    )
+    right = staged_nonempty(
+        v2.map_batches(fps("fp2"), batch_format="pyarrow", batch_size=None)
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        f1, f2 = t.column("fp1"), t.column("fp2")
+        n1 = pa.compute.is_null(f1).to_numpy(zero_copy_only=False)
+        n2 = pa.compute.is_null(f2).to_numpy(zero_copy_only=False)
+        # fill nulls BEFORE to_numpy: a nullable int64 otherwise converts
+        # to float64 and 63-bit fingerprints collide past 2**53
+        a1 = pa.compute.fill_null(f1, 0).to_numpy(zero_copy_only=False)
+        a2 = pa.compute.fill_null(f2, 0).to_numpy(zero_copy_only=False)
+        status = np.where(
+            n1, "added", np.where(n2, "removed", np.where(a1 != a2, "changed", "unchanged"))
+        )
+        out = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "status": pa.array(status.tolist(), pa.string()),
+            }
+        )
+        if include_unchanged:
+            return out
+        return out.filter(pa.compute.not_equal(out.column("status"), "unchanged"))
+
+    if left is None and right is None:
+        return _empty_store().map_batches(
+            lambda t: pa.table(
+                {"doc_id": pa.array([], pa.int64()), "status": pa.array([], pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
+    if left is None:
+        return right.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "status": pa.array(["added"] * t.num_rows, pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    if right is None:
+        return left.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "status": pa.array(["removed"] * t.num_rows, pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    joined = left.join(
+        right,
+        join_type="full_outer",
+        num_partitions=default_join_partitions(),
+        on=("doc_id",),
+    )
+    return joined.map_batches(classify, batch_format="pyarrow", batch_size=None)
+
+
 def ingest_snapshot(
     delta: rd.Dataset,
     store_dir: str,

@@ -64,6 +64,29 @@ def test_ingest_appends_and_rereads():
     assert sorted(read_store(store).to_pandas()["doc_id"]) == [1, 2, 4, 11, 13]
 
 
+def test_corpus_diff_classifies():
+    from reden_ray.stages.incremental import corpus_diff
+
+    v1 = _ds([(1, "a"), (2, "b"), (3, "c")])
+    v2 = _ds([(2, "b"), (3, "cc"), (4, "d")])
+    d = corpus_diff(v1, v2).to_pandas().set_index("doc_id")["status"].to_dict()
+    assert d == {1: "removed", 3: "changed", 4: "added"}
+    full = corpus_diff(v1, v2, include_unchanged=True).to_pandas()
+    assert len(full) == 4
+    assert full.set_index("doc_id")["status"][2] == "unchanged"
+
+
+def test_corpus_diff_empty_sides():
+    from reden_ray.stages.incremental import corpus_diff
+
+    v = _ds([(1, "a"), (2, "b")])
+    d1 = corpus_diff(_ds([]), v).to_pandas()
+    assert sorted(d1["status"].unique()) == ["added"] and len(d1) == 2
+    d2 = corpus_diff(v, _ds([])).to_pandas()
+    assert sorted(d2["status"].unique()) == ["removed"] and len(d2) == 2
+    assert corpus_diff(_ds([]), _ds([])).count() == 0
+
+
 def test_empty_store_short_circuits():
     store = tempfile.mkdtemp(prefix="fpstore_t_")
     build_fingerprint_store(_ds([]), store)
