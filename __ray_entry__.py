@@ -1728,6 +1728,21 @@ def _corpus_diff(sf_dir: str):
     return corpus_diff(v1, v2)
 
 
+def _stratified_split(sf_dir: str):
+    """Exact-count per-source train/val/test split (stages/textprep.py):
+    md5-rank within source, first ceil(10%) -> val, next ceil(10%) ->
+    test; integer-only count arithmetic.  Grouped two-pass scan —
+    bounded cell table on the driver, one cell shuffle."""
+    import ray.data as rd
+
+    from reden_ray.stages.textprep import stratified_split
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return stratified_split(docs, val_pct=10, test_pct=10)
+
+
 def _upsample(sf_dir: str):
     """Deterministic source upsampling (stages/upsample.py): weight =
     0.5 + (source index % 4) * 0.5, fractional copies resolved by an
@@ -2290,6 +2305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_dedup_docs": _delta_dedup,
         "delta_store_docs": _delta_store,
         "corpus_diff_docs": _corpus_diff,
+        "stratified_split_docs": _stratified_split,
         "train_order_epoch1": _train_order,
         "quality_linear_score": _quality_linear,
         "quality_threshold_per_source": _quality_threshold,
@@ -3217,6 +3233,18 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb FROM k) "
             "SELECT doc_id, source, n::BIGINT AS n_tokens, tb::BIGINT AS tokens_before "
             "FROM cs WHERE tb < 600"
+        ),
+        "stratified_split_docs": (
+            "WITH k AS (SELECT doc_id, source,"
+            " md5_number_upper('strat:' || source || ':' || doc_id::VARCHAR) AS key"
+            " FROM documents),"
+            " r AS (SELECT doc_id, source,"
+            "  row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk,"
+            "  count(*) OVER (PARTITION BY source) AS n FROM k) "
+            "SELECT doc_id, source,"
+            " CASE WHEN rk <= (n*10 + 99) // 100 THEN 'val'"
+            "      WHEN rk <= 2 * ((n*10 + 99) // 100) THEN 'test'"
+            "      ELSE 'train' END AS split FROM r"
         ),
         "corpus_diff_docs": (
             "WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),"

@@ -90,3 +90,114 @@ def hash_split(
         return t.append_column("split", pa.array(split.tolist(), pa.string()))
 
     return docs.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def stratified_split(
+    docs: rd.Dataset,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    source_column: str = "source",
+    id_column: str = "doc_id",
+    n_buckets: int = 256,
+) -> rd.Dataset:
+    """Exact-count per-source train/val/test split: within each source,
+    documents rank by ``LE64(md5('strat:' || source || ':' || id))``
+    and the first ``ceil(pct% * n_source)`` ranks go to val, the next
+    block to test, the rest to train — EXACT per-source counts, unlike
+    ``hash_split``'s proportional-in-expectation draw (the trade-off:
+    rank splits reshuffle when the corpus grows; hash splits don't).
+    Counts use integer arithmetic only (``(n*pct + 99) // 100``) — no
+    float ceil knife edges against the SQL oracle.
+
+    Scale shape: the grouped two-pass scan (``stages/ordering.py``):
+    per-(source, key-top-bits) cell counts collect once (bounded:
+    sources x ``n_buckets`` rows), become per-cell rank offsets +
+    per-source totals, and ONE cell-hash shuffle ranks each cell
+    locally.  Nothing corpus-sized reaches the driver."""
+    md5 = hashlib.md5
+    shift = np.uint64(64 - max(1, (n_buckets - 1).bit_length()))
+    sep = "\x1f"
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs = t.column(source_column).to_pylist()
+        keys = np.fromiter(
+            (
+                int.from_bytes(
+                    md5(f"strat:{s}:{i}".encode()).digest()[:8], "little"
+                )
+                for s, i in zip(srcs, ids)
+            ),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        cells = [f"{s}{sep}{int(b)}" for s, b in zip(srcs, keys >> shift)]
+        return pa.table(
+            {
+                id_column: pa.array(ids),
+                source_column: t.column(source_column),
+                "__key": pa.array(keys.view(np.int64)),
+                "__cell": pa.array(cells, pa.string()),
+            }
+        )
+
+    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ones = pa.table(
+            {
+                "__cell": t.column("__cell"),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return (
+            ones.group_by("__cell").aggregate([("n", "sum")])
+            .rename_columns(["__cell", "n"])
+        )
+
+    cells = (
+        keyed_ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("__cell")
+        .sum("n")
+        .take_all()
+    )  # bounded: <= n_sources * n_buckets rows
+    parsed = []
+    for r in cells:
+        s, b = r["__cell"].rsplit(sep, 1)
+        parsed.append((s, int(b), int(r["sum(n)"])))
+    parsed.sort(key=lambda x: (x[0], x[1]))
+    offsets: dict[str, int] = {}
+    totals: dict[str, int] = {}
+    for s, b, n in parsed:
+        offsets[f"{s}{sep}{b}"] = totals.get(s, 0)
+        totals[s] = totals.get(s, 0) + n
+    import ray
+
+    state_ref = ray.put((offsets, totals))
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        offs, tots = ray.get(state_ref)
+        cell = g.column("__cell")[0].as_py()
+        src = cell.rsplit(sep, 1)[0]
+        off, n = offs[cell], tots[src]
+        n_val = (n * val_pct + 99) // 100
+        n_test = (n * test_pct + 99) // 100
+        order = pc.sort_indices(
+            g, sort_keys=[("__key", "ascending"), (id_column, "ascending")]
+        )
+        g = g.take(order)
+        rk = off + 1 + np.arange(g.num_rows, dtype=np.int64)
+        split = np.where(
+            rk <= n_val, "val", np.where(rk <= n_val + n_test, "test", "train")
+        )
+        return pa.table(
+            {
+                id_column: g.column(id_column),
+                source_column: g.column(source_column),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return keyed_ds.groupby("__cell").map_groups(rank_group, batch_format="pyarrow")

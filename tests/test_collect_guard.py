@@ -36,6 +36,7 @@ WHITELIST = {
     "stages/mixture.py": (1, "<= n_sources x n_buckets cell totals (grouped scan phase 2)"),
     "stages/lines.py": (1, "hot-line bank (boilerplate-sized by contract; join variant documented)"),
     "stages/ordering.py": (1, "<= n_buckets bucket totals (grouped scan phase 2)"),
+    "stages/textprep.py": (1, "<= n_sources * n_buckets cell totals (grouped scan phase 2)"),
     "stages/scoring.py": (1, "n_sources x distinct-integer-score histogram cells"),
     "pipelines/serve.py": (2, "score histogram + <= n_buckets bucket totals (both bounded)"),
     "stages/curriculum.py": (1, "<= (2*clip+1) x n_buckets cell totals (grouped scan phase 2)"),

@@ -63,3 +63,34 @@ def test_hash_split_is_deterministic_and_stable():
         rd.from_arrow(t.slice(0, 100)), valid_ticks=100, test_ticks=100
     ).take_all()
     assert all(got[r["doc_id"]] == r["split"] for r in sub)
+
+
+def test_stratified_split_exact_counts_and_partition_invariance():
+    from reden_ray.stages.textprep import stratified_split
+
+    n = 437  # not a multiple of anything convenient
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "source": pa.array([f"s{i % 3}" for i in range(n)]),
+        }
+    )
+    out = stratified_split(rd.from_arrow(t), val_pct=10, test_pct=5).take_all()
+    assert len(out) == n
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r["split"])
+    for src, splits in per.items():
+        m = len(splits)
+        want_val = (m * 10 + 99) // 100
+        want_test = (m * 5 + 99) // 100
+        assert splits.count("val") == want_val, src
+        assert splits.count("test") == want_test, src
+        assert splits.count("train") == m - want_val - want_test, src
+    # partition invariance: a 7-block input assigns identically
+    out2 = stratified_split(
+        rd.from_arrow(t).repartition(7), val_pct=10, test_pct=5
+    ).take_all()
+    assert {r["doc_id"]: r["split"] for r in out2} == {
+        r["doc_id"]: r["split"] for r in out
+    }
