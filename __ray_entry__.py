@@ -2229,6 +2229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bm25_topk": R.text_bm25_topk,
         "text_unigram_logprob": R.text_unigram_logprob,
         "text_bigram_logprob": R.text_bigram_logprob,
+        "split_leakage_report": R.split_leakage_report,
         "j10_full_outer": R.j10_full_outer,
         "f1_vector_norm": R.f1_vector_norm,
         "o16_stratified_sample": R.o16_stratified_sample,
@@ -3115,6 +3116,31 @@ def oracle_sql() -> dict[str, str]:
             "   FROM scored) "
             "SELECT doc_id, term, ROUND(tfidf, 4) AS tfidf, rank "
             "FROM ranked WHERE rank <= 3"
+        ),
+        "split_leakage_report": (
+            "WITH k AS (SELECT doc_id, source,"
+            " md5_number_upper('strat:' || source || ':' || doc_id::VARCHAR) AS key"
+            " FROM documents),"
+            " r AS (SELECT doc_id, source,"
+            "  row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk,"
+            "  count(*) OVER (PARTITION BY source) AS n FROM k),"
+            " sp AS (SELECT doc_id, source,"
+            "  CASE WHEN rk <= (n*10 + 99) // 100 THEN 'val'"
+            "       WHEN rk <= 2 * ((n*10 + 99) // 100) THEN 'test'"
+            "       ELSE 'train' END AS split FROM r),"
+            " toks AS (SELECT d.doc_id, sp.split, list_filter(string_split_regex("
+            "  lower(d.text), '[^a-z0-9]+'), x -> x <> '') AS w"
+            "  FROM documents d JOIN sp USING (doc_id)),"
+            " grams AS (SELECT DISTINCT doc_id, split,"
+            "  array_to_string(w[i:i+3], ' ') AS g"
+            "  FROM toks, unnest(range(1, len(w)-2)) AS t(i) WHERE len(w) >= 4),"
+            " tg AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),"
+            " leaky AS (SELECT DISTINCT doc_id FROM grams"
+            "  WHERE split = 'val' AND g IN (SELECT g FROM tg)) "
+            "SELECT sp.source, CAST(sum(CAST(l.doc_id IS NOT NULL AS BIGINT)) AS BIGINT)"
+            " AS n_leaky,"
+            " count(*) AS n_val FROM sp LEFT JOIN leaky l USING (doc_id)"
+            " WHERE sp.split = 'val' GROUP BY 1"
         ),
         "text_bigram_logprob": (
             "WITH toks AS ("

@@ -132,6 +132,65 @@ def decontaminate_docs(sf_dir: str) -> rd.Dataset:
     )
 
 
+def split_leakage_report(sf_dir: str) -> rd.Dataset:
+    """Split-leakage audit: after the exact-count stratified split, how
+    many VAL documents share a word 4-gram with any TRAIN document, per
+    source — the post-split decontamination check a training pipeline
+    runs before shipping a corpus (train->val n-gram leakage inflates
+    eval scores).  Composes the oracled ``stratified_split`` with the
+    inverted gram-hash join decontamination (both sides corpus-sized,
+    nothing broadcast); the per-source report is all-integer."""
+    from ..stages.joins import hash_join, staged_nonempty
+    from ..stages.textprep import stratified_split
+    from ..stages.webtext import decontaminate_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    split = stratified_split(
+        docs.map_batches(
+            lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow"
+        ),
+        val_pct=10,
+        test_pct=10,
+    ).materialize()  # three consumers: val filter, train filter, report join
+
+    def keep(which: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("split"), which)).select(["doc_id"])
+
+        return f
+
+    docs_s = docs.materialize()  # two semi-join probes
+    val_ids = split.map_batches(keep("val"), batch_format="pyarrow")
+    train_ids = split.map_batches(keep("train"), batch_format="pyarrow")
+    val_docs = hash_join(docs_s, staged_nonempty(val_ids), on=["doc_id"])
+    train_docs = hash_join(docs_s, staged_nonempty(train_ids), on=["doc_id"])
+    flags = decontaminate_join(val_docs, train_docs, n=4)
+
+    val_src = split.map_batches(
+        lambda t: t.filter(pc.equal(t.column("split"), "val")).select(
+            ["doc_id", "source"]
+        ),
+        batch_format="pyarrow",
+    )
+    report = hash_join(val_src, staged_nonempty(flags), on=["doc_id"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate(
+            [("contaminated", "sum"), ("doc_id", "count")]
+        )
+        return g.rename_columns(["source", "n_leaky", "n_val"])
+
+    return (
+        report.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby("source")
+        .sum(["n_leaky", "n_val"])
+        .map_batches(
+            lambda t: t.rename_columns(["source", "n_leaky", "n_val"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def pii_redact_docs(sf_dir: str) -> rd.Dataset:
     """PII scrub over documents, DRIVER-ORACLED: the synthetic corpus
     carries no PII (verified at every sf), so the query first INJECTS a
