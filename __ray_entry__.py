@@ -1743,6 +1743,55 @@ def _stratified_split(sf_dir: str):
     return stratified_split(docs, val_pct=10, test_pct=10)
 
 
+def _neardup_keep_best(sf_dir: str):
+    """Cluster-level keep-best: md5-kernel MinHash-LSH near-dup
+    clusters (the SQL-replayable twin) keep their highest
+    quality_linear_score member, ties -> min doc_id.  Singletons are
+    their own cluster (label coalesced to doc_id after a left join);
+    the argmax + kept flag are decided inside one cluster-hash
+    shuffle of 24-byte rows (pipelines/curation.keep_best_per_cluster)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from reden_ray.pipelines.curation import keep_best_per_cluster, near_dup_clusters
+    from reden_ray.stages.dedup import minhash_lsh_pairs
+    from reden_ray.stages.joins import hash_join, staged_nonempty
+    from reden_ray.stages.scoring import quality_linear_score
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(
+        docs,
+        threshold=0.5,
+        n_perm=16,
+        n_bands=4,
+        shingle_k=5,
+        max_bucket=1_000_000,
+        kernel="md5",
+    )
+    clusters = near_dup_clusters(pairs)
+    scores = quality_linear_score(docs, dim=1024).map_batches(
+        lambda t: t.select(["doc_id", "score"]), batch_format="pyarrow"
+    )
+    staged_clusters = staged_nonempty(clusters)
+    if staged_clusters is None:
+        labeled = scores.map_batches(
+            lambda t: t.append_column("cluster", t.column("doc_id")),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = hash_join(scores, staged_clusters, on=["doc_id"], how="left_outer")
+        labeled = joined.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("cluster"),
+                "cluster",
+                pc.coalesce(t.column("cluster"), t.column("doc_id")),
+            ),
+            batch_format="pyarrow",
+        )
+    return keep_best_per_cluster(labeled)
+
+
 def _upsample(sf_dir: str):
     """Deterministic source upsampling (stages/upsample.py): weight =
     0.5 + (source index % 4) * 0.5, fractional copies resolved by an
@@ -2306,6 +2355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_dedup_docs": _delta_dedup,
         "delta_store_docs": _delta_store,
         "corpus_diff_docs": _corpus_diff,
+        "neardup_keep_best": _neardup_keep_best,
         "stratified_split_docs": _stratified_split,
         "train_order_epoch1": _train_order,
         "quality_linear_score": _quality_linear,
@@ -3271,6 +3321,29 @@ def oracle_sql() -> dict[str, str]:
             " CASE WHEN rk <= (n*10 + 99) // 100 THEN 'val'"
             "      WHEN rk <= 2 * ((n*10 + 99) // 100) THEN 'test'"
             "      ELSE 'train' END AS split FROM r"
+        ),
+        "neardup_keep_best": (
+            "WITH RECURSIVE " + _MINHASH_MD5_CTES + ", "
+            "sym AS (SELECT doc_a AS u, doc_b AS v FROM mpairs "
+            "UNION ALL SELECT doc_b AS u, doc_a AS v FROM mpairs), "
+            "nodes AS (SELECT DISTINCT u AS node FROM sym), "
+            "reach(node, r) AS (SELECT node, node FROM nodes "
+            "UNION SELECT sym.v, reach.r FROM reach JOIN sym ON sym.u = reach.node), "
+            "clus AS (SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY 1), "
+            "toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok "
+            "FROM documents), "
+            "bkt AS (SELECT doc_id, CAST(md5_number_upper(tok) % 1024 AS BIGINT) AS j "
+            "FROM toks), "
+            "sc0 AS (SELECT doc_id, sum(CAST(md5_number_upper('w:' || j::VARCHAR) "
+            "% 21 AS BIGINT) - 10) AS score FROM bkt GROUP BY 1), "
+            "sc AS (SELECT d.doc_id, coalesce(sc0.score, 0)::BIGINT AS score "
+            "FROM documents d LEFT JOIN sc0 USING (doc_id)), "
+            "lab AS (SELECT sc.doc_id, coalesce(c.cluster, sc.doc_id) AS cluster, "
+            "sc.score FROM sc LEFT JOIN clus c ON c.doc_id = sc.doc_id), "
+            "rk AS (SELECT doc_id, cluster, score, row_number() OVER ("
+            "PARTITION BY cluster ORDER BY score DESC, doc_id) AS r FROM lab) "
+            "SELECT doc_id, cluster, score, CAST(r = 1 AS BIGINT) AS kept FROM rk"
         ),
         "corpus_diff_docs": (
             "WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),"

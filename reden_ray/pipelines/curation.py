@@ -31,6 +31,7 @@ exceeds aggregate object-store memory.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -108,6 +109,45 @@ def near_dup_clusters(
         )
 
     return mapping.map_batches(unpad, batch_format="pyarrow")
+
+
+def keep_best_per_cluster(
+    labeled: rd.Dataset,
+    score_column: str = "score",
+    id_column: str = "doc_id",
+    cluster_column: str = "cluster",
+) -> rd.Dataset:
+    """Near-dup clusters keep their BEST-scoring member (ties -> min
+    id): input (id, cluster, score) rows come back with a ``kept``
+    0/1 column.  ONE cluster-hash shuffle of 24-byte rows; the argmax
+    AND the flag are decided inside the partition group where each
+    cluster's rows are co-located, so no winner table rides back on a
+    second join.  Bodies never move — callers semi-join survivors by
+    id afterwards."""
+    from ..stages.partition import part_column, sorted_segments
+    from ..stages.webtext import _default_span_parts
+
+    n_parts = _default_span_parts()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, [cluster_column], n_parts))
+
+    def flag_group(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__part")
+        s, starts, _ = sorted_segments(
+            g,
+            [cluster_column],
+            extra_sort=[(score_column, "descending"), (id_column, "ascending")],
+        )
+        kept = np.zeros(s.num_rows, dtype=np.int64)
+        kept[starts] = 1
+        return s.append_column("kept", pa.array(kept, pa.int64()))
+
+    return (
+        labeled.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(flag_group, batch_format="pyarrow")
+    )
 
 
 def curate_documents(
