@@ -2303,6 +2303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_count_per_group": R.distinct_count_per_group,
         "approx_distinct_count_per_group": R.approx_distinct_count_per_group,
         "approx_quantile_price": R.approx_quantile_price,
+        "rank_sketch_quantile_price": R.rank_sketch_quantile_price,
         # webtext curation (Gopher rules / PII / decontamination)
         "wq_repetition_stats": R.wq_repetition_stats,
         "wq_source_quality": R.wq_source_quality,
@@ -3842,6 +3843,16 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_count_per_group": (
             "SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, "
             "TRUE AS hll_ok FROM lineitem GROUP BY l_suppkey"
+        ),
+        "rank_sketch_quantile_price": (
+            "SELECT CAST(0.25 AS DOUBLE) AS quantile, "
+            "ROUND(quantile_disc(l_extendedprice, 0.25), 4) AS price, TRUE AS bound_ok FROM lineitem "
+            "UNION ALL SELECT CAST(0.5 AS DOUBLE), "
+            "ROUND(quantile_disc(l_extendedprice, 0.5), 4), TRUE FROM lineitem "
+            "UNION ALL SELECT CAST(0.75 AS DOUBLE), "
+            "ROUND(quantile_disc(l_extendedprice, 0.75), 4), TRUE FROM lineitem "
+            "UNION ALL SELECT CAST(0.99 AS DOUBLE), "
+            "ROUND(quantile_disc(l_extendedprice, 0.99), 4), TRUE FROM lineitem"
         ),
         "approx_quantile_price": (
             "SELECT CAST(0.5 AS DOUBLE) AS quantile, "

@@ -656,6 +656,67 @@ def approx_quantile_price(sf_dir: str) -> pa.Table:
     )
 
 
+def rank_sketch_quantile_price(sf_dir: str) -> pa.Table:
+    """Merge-reduce RANK-error quantile sketch (stages/qsketch.py) over
+    l_extendedprice, DRIVER-ORACLED via the sketch's self-carried
+    certificate: the sketch accumulates a hard rank-error bound from
+    its own halvings, and the query verifies |true_rank(answer) -
+    ceil(q*N)| <= err with one distributed counting pass (count_lt /
+    count_le per answer — ties certified by the two-sided window).
+    The rank-guarantee member of the sketch family, complementing the
+    VALUE-bound histogram sketch (``approx_quantile_price``) on
+    heavy-tailed domains where a bin width is meaningless.  Emits the
+    EXACT discrete quantiles (distributed selection) plus ``bound_ok``;
+    oracle = probed ``quantile_disc`` with TRUE."""
+    import math
+
+    from ray.data.aggregate import AggregateFn
+
+    from ..stages.qsketch import quantile_sketch, sketch_quantile
+    from ..stages.selection import select_order_stats
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = [0.25, 0.5, 0.75, 0.99]
+    vals, wts, err = quantile_sketch(li, "l_extendedprice", k=256)
+    n = int(li.count())  # NOT aggregate(Count()): 0 on arrow blocks (Ray 2.49)
+    answers = {q: sketch_quantile(vals, wts, q)[0] for q in qs}
+    ans_arr = np.array([answers[q] for q in qs])
+
+    def acc(counts: np.ndarray, block: pa.Table) -> np.ndarray:
+        v = block.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        lt = np.array([(v < a).sum() for a in ans_arr], dtype=np.int64)
+        le = np.array([(v <= a).sum() for a in ans_arr], dtype=np.int64)
+        return counts + np.concatenate([lt, le])
+
+    fn = AggregateFn(
+        init=lambda _k: np.zeros(2 * len(qs), dtype=np.int64),
+        merge=lambda a, b: a + b,
+        accumulate_block=acc,
+        name="rankcnt",
+    )
+    res = li.aggregate(fn)
+    cnt = np.asarray(res["rankcnt"] if isinstance(res, dict) else res)
+    lt, le = cnt[: len(qs)], cnt[len(qs):]
+    ok = True
+    for i, q in enumerate(qs):
+        target = max(1, math.ceil(q * n))
+        # answer occupies ranks (lt, le]; certificate: the window
+        # intersects [target - err, target + err]
+        if not (int(lt[i]) < target + err and int(le[i]) >= target - err):
+            ok = False
+    ranks = {q: max(0, math.ceil(q * n) - 1) for q in qs}
+    exact = select_order_stats(li, "l_extendedprice", sorted(set(ranks.values())))
+    return pa.table(
+        {
+            "quantile": pa.array(qs, pa.float64()),
+            "price": pa.array(
+                [round(exact[ranks[q]], 4) for q in qs], pa.float64()
+            ),
+            "bound_ok": pa.array([ok] * len(qs), pa.bool_()),
+        }
+    )
+
+
 def _stratum_topk(
     ds: rd.Dataset,
     stratum: str,
