@@ -2424,6 +2424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f6_dim_means": R.f6_dim_means,
         "a22_mad_quantity": R.a22_mad_quantity,
         "graph_kcore": R.graph_kcore,
+        "graph_lpa_2it": R.graph_lpa_2it,
         "graph_assortativity": R.graph_assortativity,
         "graph_clustering_coeff": R.graph_clustering_coeff,
         "f7_label_centroids": R.f7_label_centroids,
@@ -4437,6 +4438,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, CAST(min(d) AS BIGINT) AS hops FROM bfs GROUP BY 1"
         ),
         "semdedup_embeddings": _semdedup_sql(),
+        "graph_lpa_2it": (
+            "WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "
+            "l_partkey AS p FROM lineitem), "
+            "e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM op a "
+            "JOIN op b ON a.o = b.o AND a.p < b.p), "
+            "adj AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e), "
+            "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM adj), "
+            "l1 AS MATERIALIZED (SELECT node, label FROM ("
+            "SELECT adj.u AS node, p.label AS label, "
+            "row_number() OVER (PARTITION BY adj.u "
+            "ORDER BY count(*) DESC, p.label) AS rk "
+            "FROM adj JOIN l0 p ON p.node = adj.v GROUP BY adj.u, p.label"
+            ") WHERE rk = 1), "
+            "l2 AS MATERIALIZED (SELECT node, label FROM ("
+            "SELECT adj.u AS node, p.label AS label, "
+            "row_number() OVER (PARTITION BY adj.u "
+            "ORDER BY count(*) DESC, p.label) AS rk "
+            "FROM adj JOIN l1 p ON p.node = adj.v GROUP BY adj.u, p.label"
+            ") WHERE rk = 1) "
+            "SELECT node, label FROM l2"
+        ),
         "graph_kcore": _kcore_sql(),
         "o31_range_frame": (
             "SELECT CAST(user_id AS BIGINT) AS user_id, "

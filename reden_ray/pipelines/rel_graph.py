@@ -168,6 +168,17 @@ def graph_kcore(sf_dir: str) -> rd.Dataset:
     return core_numbers(_cooccur_edges(sf_dir, "l_orderkey", "l_partkey"))
 
 
+def graph_lpa_2it(sf_dir: str) -> rd.Dataset:
+    """Two synchronous label-propagation rounds over the part co-order
+    graph (stages/lpa.py): deterministic most-frequent-neighbor-label
+    update with the smallest-label tie-break, all-integer output — the
+    fixed-iteration twin the SQL oracle unrolls round by round (the
+    pagerank_2it / kmeans_2it convention)."""
+    from ..stages.lpa import lpa_labels
+
+    return lpa_labels(_cooccur_edges(sf_dir, "l_orderkey", "l_partkey"), rounds=2)
+
+
 def _coorder_degrees(e: rd.Dataset) -> rd.Dataset:
     """(node, d) undirected degree table from a canonical edge list —
     per-block np.unique partials, one node groupby."""
