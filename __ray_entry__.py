@@ -1792,6 +1792,25 @@ def _neardup_keep_best(sf_dir: str):
     return keep_best_per_cluster(labeled)
 
 
+def _quality_rank(sf_dir: str):
+    """Exact per-source rank normalization of the integer quality score
+    (stages/scoring.score_rank_per_source): all-integer (rk, n_src)
+    output via the value-keyed grouped two-pass scan — score-domain
+    census once, one cell-hash shuffle, no global sort."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reden_ray.stages.scoring import _scored, score_rank_per_source
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    scored = _scored(docs, 1024, "doc_id", "text").map_batches(
+        lambda t: t.select(["doc_id", "source", "score"]), batch_format="pyarrow"
+    )
+    return score_rank_per_source(scored)
+
+
 def _upsample(sf_dir: str):
     """Deterministic source upsampling (stages/upsample.py): weight =
     0.5 + (source index % 4) * 0.5, fractional copies resolved by an
@@ -2293,6 +2312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o8_asof_join": R.o8_asof_join,
         "o9_range_count": R.o9_range_count,
         "sessionize": R.sessionize,
+        "event_transitions": R.event_transitions,
         "dedup_exact_docs": R.dedup_exact_docs,
         "dedup_ngram_pairs": R.dedup_ngram_pairs,
         "doc_fingerprints": R.doc_fingerprints,
@@ -2358,6 +2378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff_docs": _corpus_diff,
         "neardup_keep_best": _neardup_keep_best,
         "stratified_split_docs": _stratified_split,
+        "quality_rank_per_source": _quality_rank,
         "train_order_epoch1": _train_order,
         "quality_linear_score": _quality_linear,
         "quality_threshold_per_source": _quality_threshold,
@@ -3270,6 +3291,12 @@ def oracle_sql() -> dict[str, str]:
             "AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY "
             "GROUP BY o.o_orderkey"
         ),
+        "event_transitions": (
+            "WITH o AS (SELECT user_id, event_type, lead(event_type) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) "
+            "SELECT event_type AS from_type, nxt AS to_type, count(*) AS n "
+            "FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
         "sessionize": (
             "WITH gaps AS (SELECT user_id, event_id, ts, "
             "CASE WHEN epoch(ts - lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk "
@@ -3311,6 +3338,21 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb FROM k) "
             "SELECT doc_id, source, n::BIGINT AS n_tokens, tb::BIGINT AS tokens_before "
             "FROM cs WHERE tb < 600"
+        ),
+        "quality_rank_per_source": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok "
+            "FROM documents), "
+            "b AS (SELECT doc_id, CAST(md5_number_upper(tok) % 1024 AS BIGINT) AS j "
+            "FROM toks), "
+            "s0 AS (SELECT doc_id, sum(CAST(md5_number_upper('w:' || j::VARCHAR) "
+            "% 21 AS BIGINT) - 10) AS score FROM b GROUP BY 1), "
+            "j AS (SELECT d.doc_id, d.source, coalesce(s0.score, 0)::BIGINT AS score "
+            "FROM documents d LEFT JOIN s0 USING (doc_id)) "
+            "SELECT doc_id, source, score, "
+            "CAST(row_number() OVER (PARTITION BY source "
+            "ORDER BY score DESC, doc_id) AS BIGINT) AS rk, "
+            "CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src FROM j"
         ),
         "stratified_split_docs": (
             "WITH k AS (SELECT doc_id, source,"

@@ -1240,3 +1240,61 @@ def o30_rolling_anomaly(sf_dir: str) -> rd.Dataset:
         .map_groups(detect, batch_format="pyarrow", num_cpus=1)
     )
 
+
+
+def event_transitions(sf_dir: str) -> rd.Dataset:
+    """Markov transition counts over per-user event sequences: order
+    each user's events by (ts, event_id), count adjacent
+    (from_type, to_type) pairs — the sequence-mining primitive behind
+    next-action models and behavioral QA.  One user-hash shuffle
+    (whole users co-locate in their partition group; adjacency decided
+    by one vectorized lexsort per group), then a tiny native groupby —
+    transition keys are |event_type|^2, never pair-shaped."""
+    from ..stages.partition import part_column
+    from ..stages.webtext import _default_span_parts
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    n_parts = _default_span_parts()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    def transitions(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        et = g.column("event_type").take(pa.array(order)).combine_chunks()
+        uid = uid[order]
+        adj = pa.array(uid[:-1] == uid[1:])
+        n = len(et)
+        pairs = pa.table(
+            {
+                "from_type": et.slice(0, n - 1),
+                "to_type": et.slice(1, n - 1),
+            }
+        ).filter(adj)
+        c = pairs.group_by(["from_type", "to_type"]).aggregate([("to_type", "count")])
+        return pa.table(
+            {
+                "from_type": c.column("from_type"),
+                "to_type": c.column("to_type"),
+                "n": c.column("to_type_count").cast(pa.int64()),
+            }
+        )
+
+    partials = (
+        ev.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(transitions, batch_format="pyarrow")
+    )
+    return (
+        partials.groupby(["from_type", "to_type"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["from_type", "to_type", "n"]),
+            batch_format="pyarrow",
+        )
+    )

@@ -301,3 +301,92 @@ def dedup_keep_best(
         .groupby("__part")
         .map_groups(reduce_part, batch_format="pyarrow")
     )
+
+
+def score_rank_per_source(
+    scored: rd.Dataset,
+    id_column: str = "doc_id",
+    source_column: str = "source",
+    score_column: str = "score",
+) -> rd.Dataset:
+    """Exact per-source rank normalization WITHOUT a global sort:
+    every row gets ``rk`` (1-based, best score first, ties -> smallest
+    id) and ``n_src`` (source size) — the all-integer form of
+    percent_rank, ready for cross-source mixing or curriculum cuts
+    (the float percentile is ``(rk-1)/(n_src-1)`` if a caller wants
+    it; emitting integers keeps the oracle knife-edge-free).
+
+    Scale shape: scores are bounded integers, so the (source, score)
+    cell census is score-domain-sized — it collects once, turns into
+    exclusive better-score offsets + per-source totals (broadcast via
+    ``ray.put``), and ONE cell-hash shuffle ranks each cell's rows by
+    id locally.  The grouped two-pass scan, with cells keyed by VALUE
+    instead of key-hash bits (``stages/ordering.py``'s trick only
+    works for uniform keys)."""
+    from .partition import part_column, sorted_segments
+    from .webtext import _default_span_parts
+
+    n_parts = _default_span_parts()
+
+    def census(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "src": t.column(source_column),
+                    "score": t.column(score_column),
+                }
+            )
+            .append_column("n", pa.array(np.ones(t.num_rows, np.int64)))
+            .group_by(["src", "score"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["src", "score", "n"])
+
+    cells = (
+        scored.map_batches(census, batch_format="pyarrow", batch_size=None)
+        .groupby(["src", "score"])
+        .sum("n")
+        .take_all()
+    )  # bounded: sources x integer-score domain
+    per_src: dict[str, list[tuple[int, int]]] = {}
+    for r in cells:
+        per_src.setdefault(r["src"], []).append((int(r["score"]), int(r["sum(n)"])))
+    offsets: dict[tuple[str, int], int] = {}
+    totals: dict[str, int] = {}
+    for src, rows in per_src.items():
+        run = 0
+        for score, n in sorted(rows, key=lambda x: -x[0]):  # best first
+            offsets[(src, score)] = run
+            run += n
+        totals[src] = run
+    state_ref = ray.put((offsets, totals))
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__part", part_column(t, [source_column, score_column], n_parts)
+        )
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        offs, tots = ray.get(state_ref)
+        g = g.drop_columns("__part")
+        s, starts, ends = sorted_segments(
+            g,
+            [source_column, score_column],
+            extra_sort=[(id_column, "ascending")],
+        )
+        srcs = s.column(source_column).to_pylist()
+        scores = s.column(score_column).to_numpy(zero_copy_only=False)
+        rk = np.empty(s.num_rows, dtype=np.int64)
+        nsrc = np.empty(s.num_rows, dtype=np.int64)
+        for a, b in zip(starts, ends):
+            key = (srcs[a], int(scores[a]))
+            rk[a:b] = offs[key] + 1 + np.arange(b - a, dtype=np.int64)
+            nsrc[a:b] = tots[srcs[a]]
+        s = s.append_column("rk", pa.array(rk, pa.int64()))
+        return s.append_column("n_src", pa.array(nsrc, pa.int64()))
+
+    return (
+        scored.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(rank_group, batch_format="pyarrow")
+    )
