@@ -2463,6 +2463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f9_quantile_bucket": R.f9_quantile_bucket,
         "merge_cdc_latest": R.merge_cdc_latest,
         "emb_covariance": R.emb_covariance,
+        "emb_fd_sketch": R.emb_fd_sketch,
         "f10_explode_tokens": R.f10_explode_tokens,
         "cohort_matrix": R.cohort_matrix,
         "zorder_layout": R.zorder_layout,
@@ -4363,6 +4364,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, value, row_number() OVER "
             "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
             "FROM events) WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        "emb_fd_sketch": (
+            "SELECT d AS dim, ROUND(sum(CAST(embedding[d] AS DOUBLE) * "
+            "CAST(embedding[d] AS DOUBLE)), 4) AS ss, TRUE AS bound_ok "
+            "FROM embeddings, range(1, 65) r(d) GROUP BY d"
         ),
         "emb_covariance": (
             "SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, "

@@ -551,3 +551,34 @@ def emb_quantize_error(sf_dir: str) -> rd.Dataset:
     return emb.map_batches(quant_err, batch_format="pyarrow", batch_size=None)
 
 
+
+
+def emb_fd_sketch(sf_dir: str) -> pa.Table:
+    """Frequent-Directions matrix sketch over the embedding column
+    (stages/fd.py), DRIVER-ORACLED via the sketch's self-carried
+    certificate: FD guarantees 0 <= x'(A'A - B'B)x <= sum(shrink
+    deltas) for every unit x, and the query CHECKS both sides against
+    the exact Gram matrix (reconstructed from the streaming d^2
+    covariance partials — one bounded pass) by eigendecomposition.
+    Emits the exact per-dimension sum of squares (diag of the Gram)
+    plus ``bound_ok``; the DuckDB oracle recomputes the diagonal and
+    TRUE — a violated FD bound hash-fails the gate."""
+    from ..stages.fd import frequent_directions
+    from ..stages.pca import covariance_and_mean
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    b, delta_sum = frequent_directions(emb, "embedding", ell=16)
+    cov, mean, n = covariance_and_mean(emb, "embedding")
+    gram = (cov + np.outer(mean, mean)) * n
+    g = gram - (b.T @ b if b.size else np.zeros_like(gram))
+    ev = np.linalg.eigvalsh(g)
+    tol = 1e-8 * float(np.trace(gram)) + 1e-9
+    ok = bool(ev[0] >= -tol and ev[-1] <= delta_sum + tol)
+    ss = np.diag(gram)
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(1, len(ss) + 1, dtype=np.int64)),
+            "ss": pa.array(np.floor(ss * 1e4 + 0.5) / 1e4, pa.float64()),
+            "bound_ok": pa.array([ok] * len(ss), pa.bool_()),
+        }
+    )

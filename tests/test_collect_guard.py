@@ -38,6 +38,7 @@ WHITELIST = {
     "stages/ordering.py": (1, "<= n_buckets bucket totals (grouped scan phase 2)"),
     "stages/textprep.py": (1, "<= n_sources * n_buckets cell totals (grouped scan phase 2)"),
     "stages/qsketch.py": (1, "<= n_parts * 2k sketch summary rows (bounded by construction)"),
+    "stages/fd.py": (1, "<= n_parts * 2*ell sketch rows (bounded by construction)"),
     "stages/scoring.py": (2, "n_sources x distinct-integer-score histogram cells (threshold + rank census)"),
     "pipelines/serve.py": (2, "score histogram + <= n_buckets bucket totals (both bounded)"),
     "stages/curriculum.py": (1, "<= (2*clip+1) x n_buckets cell totals (grouped scan phase 2)"),
