@@ -2313,6 +2313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o9_range_count": R.o9_range_count,
         "sessionize": R.sessionize,
         "event_transitions": R.event_transitions,
+        "event_bursts": R.event_bursts,
         "dedup_exact_docs": R.dedup_exact_docs,
         "dedup_ngram_pairs": R.dedup_ngram_pairs,
         "doc_fingerprints": R.doc_fingerprints,
@@ -3291,6 +3292,18 @@ def oracle_sql() -> dict[str, str]:
             "ON l.l_shipdate >= o.o_orderdate "
             "AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY "
             "GROUP BY o.o_orderkey"
+        ),
+        "event_bursts": (
+            "WITH c AS (SELECT event_type, "
+            "epoch_us(ts::TIMESTAMP) // 3600000000 AS hour, "
+            "count(*)::BIGINT AS n FROM events GROUP BY 1, 2), "
+            "w AS (SELECT event_type, hour, n, "
+            "count(*) OVER tw AS k, sum(n) OVER tw AS s FROM c "
+            "WINDOW tw AS (PARTITION BY event_type ORDER BY hour "
+            "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)) "
+            "SELECT event_type, hour, n, "
+            "CAST(CASE WHEN k = 3 AND 3 * n > 2 * s THEN 1 ELSE 0 END AS BIGINT) "
+            "AS burst FROM w"
         ),
         "event_transitions": (
             "WITH o AS (SELECT user_id, event_type, lead(event_type) OVER ("

@@ -1298,3 +1298,51 @@ def event_transitions(sf_dir: str) -> rd.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def event_bursts(sf_dir: str, window_hours: int = 1, trail: int = 3) -> rd.Dataset:
+    """Rate-burst detection per event type: hourly counts, and an hour
+    is a BURST when its count more than doubles the mean of the
+    previous ``trail`` observed hours (cross-multiplied integer
+    comparison — ``trail * n > 2 * sum_trail`` — so the gate has no
+    float edge).  Monitoring-shape op: the hourly rollup is a tiny
+    (type x hour) aggregate; the trailing window runs per type inside
+    one co-located group (event types are domain-sized)."""
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    span = 3_600_000_000 * window_hours
+
+    def hourly(t: pa.Table) -> pa.Table:
+        h = pc.divide(
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), span
+        )
+        g = (
+            pa.table({"event_type": t.column("event_type"), "hour": h})
+            .append_column("n", pa.array(np.ones(t.num_rows, np.int64)))
+            .group_by(["event_type", "hour"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["event_type", "hour", "n"])
+
+    counts = (
+        ev.map_batches(hourly, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "hour"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["event_type", "hour", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def flag(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("hour", "ascending")])
+        g = g.take(idx)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        burst = np.zeros(len(n), dtype=np.int64)
+        for i in range(len(n)):
+            lo = max(0, i - trail)
+            if i - lo == trail:  # full trailing window observed
+                s = int(n[lo:i].sum())
+                burst[i] = int(trail * int(n[i]) > 2 * s)
+        return g.append_column("burst", pa.array(burst, pa.int64()))
+
+    return counts.groupby("event_type").map_groups(flag, batch_format="pyarrow")
