@@ -2325,6 +2325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_count_per_group": R.approx_distinct_count_per_group,
         "approx_quantile_price": R.approx_quantile_price,
         "rank_sketch_quantile_price": R.rank_sketch_quantile_price,
+        "approx_distinct_kmv": R.approx_distinct_kmv,
         # webtext curation (Gopher rules / PII / decontamination)
         "wq_repetition_stats": R.wq_repetition_stats,
         "wq_source_quality": R.wq_source_quality,
@@ -2447,6 +2448,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a22_mad_quantity": R.a22_mad_quantity,
         "graph_kcore": R.graph_kcore,
         "graph_lpa_2it": R.graph_lpa_2it,
+        "graph_hits_2it": R.graph_hits_2it,
+        "graph_walks_2step": R.graph_walks_2step,
+        "graph_sssp_2it": R.graph_sssp_2it,
         "graph_assortativity": R.graph_assortativity,
         "graph_clustering_coeff": R.graph_clustering_coeff,
         "f7_label_centroids": R.f7_label_centroids,
@@ -4519,6 +4523,81 @@ def oracle_sql() -> dict[str, str]:
             "FROM adj JOIN l1 p ON p.node = adj.v GROUP BY adj.u, p.label"
             ") WHERE rk = 1) "
             "SELECT node, label FROM l2"
+        ),
+        "graph_hits_2it": (
+            "WITH e AS MATERIALIZED (SELECT CAST(l_suppkey AS BIGINT) AS src, "
+            "CAST(l_partkey + 10000000 AS BIGINT) AS dst FROM lineitem), "
+            "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+            "a1 AS MATERIALIZED (SELECT dst AS node, CAST(count(*) AS BIGINT) AS a "
+            "FROM e GROUP BY 1), "
+            "h1 AS MATERIALIZED (SELECT e.src AS node, CAST(sum(a1.a) AS BIGINT) AS h "
+            "FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1), "
+            "a2 AS MATERIALIZED (SELECT e.dst AS node, CAST(sum(h1.h) AS BIGINT) AS a "
+            "FROM e JOIN h1 ON h1.node = e.src GROUP BY 1), "
+            "h2 AS MATERIALIZED (SELECT e.src AS node, CAST(sum(a2.a) AS BIGINT) AS h "
+            "FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1) "
+            "SELECT n.node, CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub, "
+            "CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth "
+            "FROM nodes n LEFT JOIN h2 ON h2.node = n.node "
+            "LEFT JOIN a2 ON a2.node = n.node"
+        ),
+        "graph_walks_2step": (
+            "WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "
+            "l_partkey AS p FROM lineitem), "
+            "e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM op a "
+            "JOIN op b ON a.o = b.o AND a.p < b.p), "
+            "adj AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e), "
+            "w1 AS MATERIALIZED (SELECT start, s1 FROM ("
+            "SELECT adj.u AS start, adj.v AS s1, "
+            "row_number() OVER (PARTITION BY adj.u ORDER BY "
+            "md5_number_upper(adj.u::VARCHAR || ',1,' || adj.v::VARCHAR), adj.v) AS rk "
+            "FROM adj) WHERE rk = 1), "
+            "w2 AS MATERIALIZED (SELECT start, s1, s2 FROM ("
+            "SELECT w1.start, w1.s1, adj.v AS s2, "
+            "row_number() OVER (PARTITION BY w1.start ORDER BY "
+            "md5_number_upper(w1.start::VARCHAR || ',2,' || adj.v::VARCHAR), adj.v) AS rk "
+            "FROM w1 JOIN adj ON adj.u = w1.s1) WHERE rk = 1) "
+            "SELECT CAST(start AS BIGINT) AS start, CAST(s1 AS BIGINT) AS s1, "
+            "CAST(s2 AS BIGINT) AS s2 FROM w2"
+        ),
+        "graph_sssp_2it": (
+            "WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "
+            "l_partkey AS p FROM lineitem), "
+            "e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM op a "
+            "JOIN op b ON a.o = b.o AND a.p < b.p), "
+            "adj AS MATERIALIZED (SELECT u, v, 1 + (u + v) % 9 AS w FROM "
+            "(SELECT u, v FROM e UNION ALL SELECT v, u FROM e)), "
+            "d0 AS (SELECT CAST(min(u) AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist "
+            "FROM adj), "
+            "r1 AS MATERIALIZED (SELECT adj.v AS node, min(d0.dist + adj.w) AS cand "
+            "FROM adj JOIN d0 ON adj.u = d0.node GROUP BY 1), "
+            "d1 AS MATERIALIZED (SELECT COALESCE(d0.node, r1.node) AS node, "
+            "CAST(least(COALESCE(d0.dist, 9223372036854775807), "
+            "COALESCE(r1.cand, 9223372036854775807)) AS BIGINT) AS dist "
+            "FROM d0 FULL JOIN r1 ON d0.node = r1.node), "
+            "r2 AS MATERIALIZED (SELECT adj.v AS node, min(d1.dist + adj.w) AS cand "
+            "FROM adj JOIN d1 ON adj.u = d1.node GROUP BY 1), "
+            "d2 AS (SELECT COALESCE(d1.node, r2.node) AS node, "
+            "CAST(least(COALESCE(d1.dist, 9223372036854775807), "
+            "COALESCE(r2.cand, 9223372036854775807)) AS BIGINT) AS dist "
+            "FROM d1 FULL JOIN r2 ON d1.node = r2.node) "
+            "SELECT node, dist FROM d2"
+        ),
+        "approx_distinct_kmv": (
+            "WITH vals AS (SELECT DISTINCT l_partkey AS v FROM lineitem), "
+            "hs AS (SELECT md5_number_upper(CAST(v AS VARCHAR)) AS h FROM vals), "
+            "bot AS (SELECT h FROM hs ORDER BY h LIMIT 64), "
+            "agg AS (SELECT CAST(count(*) AS BIGINT) AS k, max(h) AS kth_hash "
+            "FROM bot), "
+            "ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM vals), "
+            "est AS (SELECT agg.k, agg.kth_hash, "
+            "CAST((CAST(agg.k - 1 AS HUGEINT) * 18446744073709551616) "
+            "// CAST(agg.kth_hash AS HUGEINT) AS BIGINT) AS est_distinct, "
+            "ex.exact_distinct FROM agg, ex) "
+            "SELECT k, kth_hash, est_distinct, exact_distinct, "
+            "((est_distinct - exact_distinct) * (est_distinct - exact_distinct) "
+            "* (k - 2) <= 9 * exact_distinct * exact_distinct) AS within_3sigma "
+            "FROM est"
         ),
         "graph_kcore": _kcore_sql(),
         "o31_range_frame": (

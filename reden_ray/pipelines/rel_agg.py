@@ -1579,3 +1579,16 @@ def f9_quantile_bucket(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
+
+def approx_distinct_kmv(sf_dir: str) -> rd.Dataset:
+    """KMV (bottom-k) distinct-count sketch over lineitem part keys
+    (stages/kmv.py, k=64): one row carrying the k-th smallest md5
+    hash, the EXACT-integer estimate (k-1)*2^64 // h_k, the exact
+    distinct count, and the integer-cross-multiplied 3-sigma
+    certificate — the whole sketch sits under a DuckDB hash gate
+    (md5_number_upper twin), unlike HLL whose kernel is rows-only."""
+    from ..stages.kmv import kmv_distinct_estimate
+
+    return kmv_distinct_estimate(
+        _read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey", k=64
+    )

@@ -565,3 +565,94 @@ def pmi_part_pairs(sf_dir: str) -> rd.Dataset:
     return partials.sort(["pmi", "u", "v"], descending=[True, False, False]).limit(k)
 
 
+
+def graph_hits_2it(sf_dir: str) -> rd.Dataset:
+    """Two unnormalized HITS rounds (stages/hits.py) over the DIRECTED
+    supplier -> part supply graph (lineitem rows as weighted
+    multi-edges; part node ids offset by 10^7 to keep the two key
+    spaces disjoint): hubs = suppliers whose parts are heavily
+    supplied, authorities = parts endorsed by strong hubs.  With unit
+    init the 2-round scores are ALL-INTEGER, so the twin hash-gates
+    the production join+gather machinery against a DuckDB CTE unroll
+    with zero float edges (the pagerank_2it convention)."""
+    from ..stages.hits import hits_scores
+
+    edges = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("l_suppkey").cast(pa.int64()),
+                "dst": pc.add(
+                    t.column("l_partkey").cast(pa.int64()),
+                    pa.scalar(10_000_000, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return hits_scores(edges, rounds=2, normalize=False)
+
+
+def graph_walks_2step(sf_dir: str) -> rd.Dataset:
+    """Two deterministic hash-argmin walk steps (stages/walks.py, md5
+    kernel) from every node of the symmetrized part co-order graph —
+    the DeepWalk/node2vec walk sampler with replayable randomness.
+    Duplicate adjacency rows cannot change an argmin, so the
+    block-locally-deduped co-order expansion feeds it directly."""
+    from ..stages.walks import md5_walks
+
+    e = _cooccur_edges(sf_dir, "l_orderkey", "l_partkey")
+    sym = e.map_batches(
+        lambda t: pa.table(
+            {
+                "u": pa.concat_arrays(
+                    [
+                        t.column("u").combine_chunks(),
+                        t.column("v").combine_chunks(),
+                    ]
+                ),
+                "v": pa.concat_arrays(
+                    [
+                        t.column("v").combine_chunks(),
+                        t.column("u").combine_chunks(),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return md5_walks(sym, steps=2, kernel="md5")
+
+
+def graph_sssp_2it(sf_dir: str) -> rd.Dataset:
+    """Two Bellman-Ford relaxation rounds (stages/sssp.py) from the
+    smallest part of the symmetrized co-order graph, edge weight =
+    1 + (u + v) % 9 (a deterministic integer toll — symmetric, so the
+    undirected semantics hold).  All-integer output; duplicate edges
+    cannot change a min-relaxation.  The fixpoint/golden behavior is
+    pinned in tests/test_sssp.py; this twin hash-gates the production
+    join+min machinery round by round."""
+    from ray.data.aggregate import Min as _Min
+
+    from ..stages.sssp import sssp_distances
+
+    e = _cooccur_edges(sf_dir, "l_orderkey", "l_partkey").materialize()
+
+    def sym_w(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        uu = np.concatenate([u, v])
+        vv = np.concatenate([v, u])
+        w = 1 + (uu + vv) % 9
+        return pa.table(
+            {
+                "u": pa.array(uu, pa.int64()),
+                "v": pa.array(vv, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+            }
+        )
+
+    sym = e.map_batches(sym_w, batch_format="pyarrow", batch_size=None)
+    src = e.aggregate(_Min("u", alias_name="s"))["s"]
+    return sssp_distances(sym, source=int(src), rounds=2)
