@@ -2489,6 +2489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "io_compact_small_files": _R2("io_compact_small_files"),
         "j16_overlap_join": _R2("j16_overlap_join"),
         "text_containment_pairs": _R2("text_containment_pairs"),
+        "text_cosine_pairs": _R2("text_cosine_pairs"),
         "o20_watermark_late": _R2("o20_watermark_late"),
         # round-4 continuation 4
         "a25_division": _R2("a25_division"),
@@ -4631,6 +4632,23 @@ def oracle_sql() -> dict[str, str]:
             "ON iv.s <= wk.ws + 604799999999 AND wk.ws <= iv.e) "
             "SELECT CAST(k AS BIGINT) AS wk, count(*) AS n_orders "
             "FROM ov GROUP BY 1"
+        ),
+        "text_cosine_pairs": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split_regex("
+            "lower(text), '[^a-z0-9]+'), x -> x <> '') AS w FROM documents), "
+            "tf0 AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM toks, unnest(w) AS u(t) GROUP BY 1, 2), "
+            "df AS (SELECT term, count(*) AS df FROM tf0 GROUP BY 1), "
+            "tf AS (SELECT tf0.* FROM tf0 JOIN df USING(term) WHERE df.df <= 100), "
+            "nrm AS (SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS n2 "
+            "FROM tf GROUP BY 1), "
+            "dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(sum(a.tf*b.tf) AS BIGINT) AS dot FROM tf a "
+            "JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, dot, na.n2 AS norm_a, nb.n2 AS norm_b "
+            "FROM dots JOIN nrm na ON na.doc_id = doc_a "
+            "JOIN nrm nb ON nb.doc_id = doc_b "
+            "WHERE dot > 0 AND 5 * dot * dot >= 4 * na.n2 * nb.n2"
         ),
         "text_containment_pairs": (
             "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "

@@ -1046,3 +1046,18 @@ def text_vocab_ids(sf_dir: str, min_count: int = 10) -> rd.Dataset:
     return counts.repartition(1).map_batches(
         assign, batch_format="pyarrow", batch_size=None
     )
+
+# --------------------------------------------------------- tf cosine
+
+
+def text_cosine_pairs(sf_dir: str) -> rd.Dataset:
+    """Sparse bag-of-words cosine similarity join (stages/tfcos.py):
+    document pairs with cos^2 >= 4/5 over terms with df <= 100 —
+    inverted-index join with the Bayardo frequency prune, integer
+    cross-multiplied gate, all-int64 output (no float knife edges
+    anywhere).  The tf-weighted companion to dedup_ngram_pairs
+    (set semantics) and semdedup_embeddings (dense vectors)."""
+    from ..stages.tfcos import tf_cosine_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tf_cosine_pairs(docs, threshold_num=4, threshold_den=5, max_df=100)
