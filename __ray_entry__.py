@@ -2477,6 +2477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sources_balanced": R.mix_sources_balanced,
         "split_train_val_test": R.split_train_val_test,
         "io_partitioned_write": R.io_partitioned_write,
+        "inverted_index_postings": R.inverted_index_postings,
+        "index_search_and": R.index_search_and,
         "emb_quantize_error": R.emb_quantize_error,
         "o30_rolling_anomaly": R.o30_rolling_anomaly,
         # round-4 continuation 3 (relational2 module)
@@ -4452,6 +4454,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(0.9 * 4294967296 AS BIGINT) THEN 'val' "
             "ELSE 'test' END AS split, count(*) AS n_docs "
             "FROM documents GROUP BY 1, 2"
+        ),
+        "inverted_index_postings": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split_regex("
+            "lower(text), '[^a-z0-9]+'), x -> x <> '') AS w FROM documents), "
+            "tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM toks, unnest(w) AS u(t) GROUP BY 1, 2) "
+            "SELECT term, CAST(count(*) AS BIGINT) AS df, "
+            "CAST(sum(tf) AS BIGINT) AS total_tf, "
+            "string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings "
+            "FROM tf GROUP BY term"
+        ),
+        "index_search_and": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split_regex("
+            "lower(text), '[^a-z0-9]+'), x -> x <> '') AS w FROM documents), "
+            "tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM toks, unnest(w) AS u(t) GROUP BY 1, 2), "
+            "hits AS (SELECT doc_id, count(*) AS n, CAST(sum(tf) AS BIGINT) "
+            "AS score FROM tf WHERE term IN ('dup', 'data') GROUP BY 1) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, score FROM hits "
+            "WHERE n = 2 ORDER BY score DESC, doc_id LIMIT 10"
         ),
         "io_partitioned_write": (
             "SELECT source, count(*) AS n_docs, "

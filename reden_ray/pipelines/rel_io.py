@@ -234,3 +234,44 @@ def io_partitioned_write(sf_dir: str) -> rd.Dataset:
     )
 
 
+
+def inverted_index_postings(sf_dir: str) -> rd.Dataset:
+    """Build the sharded inverted text index (stages/invindex.py) over
+    documents into a scratch dir, then RE-READ THE WRITTEN BYTES and
+    return (term, df, total_tf, postings) — the hash gate verifies the
+    index artifact itself (the token_shards_manifest discipline), with
+    postings serialized "doc:tf,..." sorted by doc_id so DuckDB's
+    ordered string_agg replays them exactly."""
+    import shutil
+    import tempfile
+
+    from ..stages.invindex import build_inverted_index, read_index
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    tmp = tempfile.mkdtemp(prefix="reden_invidx_")
+    try:
+        build_inverted_index(docs, tmp, num_shards=8)
+        out = read_index(tmp).materialize()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def index_search_and(sf_dir: str) -> rd.Dataset:
+    """Conjunctive (AND) search through the written index: top-10
+    documents containing BOTH 'dup' and 'data', score = summed tf,
+    ties by doc_id — reads only the shards the two terms hash to
+    (path-level pruning), postings intersected document-at-a-time."""
+    import shutil
+    import tempfile
+
+    from ..stages.invindex import build_inverted_index, search_and
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    tmp = tempfile.mkdtemp(prefix="reden_invidx_")
+    try:
+        build_inverted_index(docs, tmp, num_shards=8)
+        out = search_and(tmp, ["dup", "data"], k=10, num_shards=8).materialize()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
