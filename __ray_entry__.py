@@ -2281,6 +2281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m1_normalize": R.m1_normalize,
         "m8_date_filter": R.m8_date_filter,
         "window_tumbling": R.window_tumbling,
+        "window_distinct_users": R.window_distinct_users,
         "window_hopping": R.window_hopping,
         "a9_rollup": R.a9_rollup,
         "a10_cube": R.a10_cube,
@@ -3025,6 +3026,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_shipdate, "
             "CAST(year(l_shipdate) AS BIGINT) AS ship_year "
             "FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'"
+        ),
+        "window_distinct_users": (
+            "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+            "count(*) AS n_events FROM events GROUP BY 1"
         ),
         "window_tumbling": (
             "SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id, "

@@ -1346,3 +1346,63 @@ def event_bursts(sf_dir: str, window_hours: int = 1, trail: int = 3) -> rd.Datas
         return g.append_column("burst", pa.array(burst, pa.int64()))
 
     return counts.groupby("event_type").map_groups(flag, batch_format="pyarrow")
+
+# --- per-window exact distinct users --------------------------------------
+
+def window_distinct_users(sf_dir: str) -> rd.Dataset:
+    """Exact distinct users + event totals per 1-hour tumbling window —
+    the streaming cardinality companion of window_tumbling (the KMV/HLL
+    sketches are the approximate path; this is the exact two-level
+    reduce).  Level 1: block-local distinct (window, user) partials
+    with per-pair event counts; level 2: one (window, user) groupby
+    collapses cross-block repeats; level 3: a window-keyed groupby
+    counts survivors — the distinct count never materializes a user
+    set, windows×users rows are the ceiling through both exchanges."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 1_000_000
+        )
+        win = pc.cast(
+            pc.floor(pc.divide(pc.cast(epoch, pa.float64()), 3600.0)), pa.int64()
+        )
+        t2 = pa.table({"window_id": win, "user_id": t.column("user_id")})
+        agg = t2.group_by(["window_id", "user_id"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["window_id", "user_id", "pn"])
+
+    pairs = (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["window_id", "user_id"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+    def per_user_row(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_id": t.column("window_id").cast(pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n": t.column("n").cast(pa.int64()),
+            }
+        )
+
+    import numpy as np
+
+    out = (
+        pairs.map_batches(per_user_row, batch_format="pyarrow", batch_size=None)
+        .groupby("window_id")
+        .aggregate(
+            Sum("one", alias_name="n_users"), Sum("n", alias_name="n_events")
+        )
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "window_id": t.column("window_id").cast(pa.int64()),
+                "n_users": t.column("n_users").cast(pa.int64()),
+                "n_events": t.column("n_events").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
