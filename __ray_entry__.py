@@ -2452,6 +2452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_hits_2it": R.graph_hits_2it,
         "graph_walks_2step": R.graph_walks_2step,
         "graph_sssp_2it": R.graph_sssp_2it,
+        "graph_matching_2it": R.graph_matching_2it,
         "graph_assortativity": R.graph_assortativity,
         "graph_clustering_coeff": R.graph_clustering_coeff,
         "f7_label_centroids": R.f7_label_centroids,
@@ -4611,6 +4612,33 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(r2.cand, 9223372036854775807)) AS BIGINT) AS dist "
             "FROM d1 FULL JOIN r2 ON d1.node = r2.node) "
             "SELECT node, dist FROM d2"
+        ),
+        "graph_matching_2it": (
+            "WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "
+            "l_partkey AS p FROM lineitem), "
+            "h0 AS MATERIALIZED (SELECT u, v, "
+            "md5_number_upper(u::VARCHAR || ',' || v::VARCHAR) AS h FROM "
+            "(SELECT DISTINCT a.p AS u, b.p AS v FROM op a "
+            "JOIN op b ON a.o = b.o AND a.p < b.p)), "
+            "nm1 AS MATERIALIZED (SELECT node, min(h) AS hmin FROM "
+            "(SELECT u AS node, h FROM h0 UNION ALL SELECT v, h FROM h0) "
+            "GROUP BY 1), "
+            "m1 AS MATERIALIZED (SELECT h0.u, h0.v FROM h0 "
+            "JOIN nm1 a ON a.node = h0.u AND a.hmin = h0.h "
+            "JOIN nm1 b ON b.node = h0.v AND b.hmin = h0.h), "
+            "mn1 AS MATERIALIZED (SELECT u AS node FROM m1 "
+            "UNION SELECT v FROM m1), "
+            "e1 AS MATERIALIZED (SELECT h0.* FROM h0 "
+            "WHERE u NOT IN (SELECT node FROM mn1) "
+            "AND v NOT IN (SELECT node FROM mn1)), "
+            "nm2 AS MATERIALIZED (SELECT node, min(h) AS hmin FROM "
+            "(SELECT u AS node, h FROM e1 UNION ALL SELECT v, h FROM e1) "
+            "GROUP BY 1), "
+            "m2 AS MATERIALIZED (SELECT e1.u, e1.v FROM e1 "
+            "JOIN nm2 a ON a.node = e1.u AND a.hmin = e1.h "
+            "JOIN nm2 b ON b.node = e1.v AND b.hmin = e1.h) "
+            "SELECT u, v, CAST(1 AS BIGINT) AS round FROM m1 "
+            "UNION ALL SELECT u, v, CAST(2 AS BIGINT) FROM m2"
         ),
         "approx_distinct_kmv": (
             "WITH vals AS (SELECT DISTINCT l_partkey AS v FROM lineitem), "

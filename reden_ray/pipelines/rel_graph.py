@@ -656,3 +656,15 @@ def graph_sssp_2it(sf_dir: str) -> rd.Dataset:
     sym = e.map_batches(sym_w, batch_format="pyarrow", batch_size=None)
     src = e.aggregate(_Min("u", alias_name="s"))["s"]
     return sssp_distances(sym, source=int(src), rounds=2)
+
+def graph_matching_2it(sf_dir: str) -> rd.Dataset:
+    """Two handshake rounds of the deterministic greedy maximal
+    matching (stages/matching.py) over the part co-order graph —
+    (u, v, round) for every mutual-min edge selected in rounds 1-2.
+    The md5 edge priority makes the twin SQL-replayable; the
+    to-maximality behavior is golden-locked in tests/test_matching.py."""
+    from ..stages.matching import maximal_matching
+
+    return maximal_matching(
+        _cooccur_edges(sf_dir, "l_orderkey", "l_partkey"), max_rounds=2
+    )
