@@ -2519,6 +2519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a30_weighted_median": _R3("a30_weighted_median"),
         "seq_trigrams": _R3("seq_trigrams"),
         "er_clusters": _R3("er_clusters"),
+        "er_snm_pairs": _R3("er_snm_pairs"),
         "type_user_jaccard": _R3("type_user_jaccard"),
     }
 
@@ -4969,6 +4970,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) "
             "SELECT e1, e2, e3, count(*) AS n FROM s "
             "WHERE e3 IS NOT NULL GROUP BY 1, 2, 3"
+        ),
+        "er_snm_pairs": (
+            "WITH r AS (SELECT p_partkey AS id, p_name AS k, "
+            "row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS rk FROM part) "
+            "SELECT a.id AS id_a, b.id AS id_b, a.rk AS rank_a, b.rk AS rank_b, "
+            "ROUND(jaro_winkler_similarity(a.k, b.k), 4) AS jw "
+            "FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 4 "
+            "WHERE jaro_winkler_similarity(a.k, b.k) >= 0.9"
         ),
         "er_clusters": (
             "WITH RECURSIVE "

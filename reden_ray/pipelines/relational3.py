@@ -1057,3 +1057,37 @@ def type_user_jaccard(sf_dir: str) -> rd.Dataset:
         )
 
     return inter.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+# ------------------------------------------------- sorted-neighborhood ER
+
+
+def er_snm_pairs(sf_dir: str) -> rd.Dataset:
+    """Sorted-neighborhood entity-resolution candidates over part
+    names (stages/snm.py): global rank by (p_name, p_partkey) via the
+    monotone-prefix two-pass scan (no global sort), sliding window 4,
+    then the DuckDB-exact Jaro-Winkler kernel keeps pairs >= 0.9 —
+    the windowed-blocking complement of the SymSpell/LSH blockers.
+    Output jw rounded 4dp HALF-AWAY (DuckDB ROUND semantics)."""
+    from ..stages.snm import elementwise_jw, sorted_neighborhood_pairs
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    cands = sorted_neighborhood_pairs(
+        parts, key_column="p_name", id_column="p_partkey", window=4
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        jw = elementwise_jw(
+            t.column("key_a").to_pylist(), t.column("key_b").to_pylist()
+        )
+        keep = jw >= 0.9
+        return pa.table(
+            {
+                "id_a": t.column("id_a").cast(pa.int64()).filter(pa.array(keep)),
+                "id_b": t.column("id_b").cast(pa.int64()).filter(pa.array(keep)),
+                "rank_a": t.column("rank_a").cast(pa.int64()).filter(pa.array(keep)),
+                "rank_b": t.column("rank_b").cast(pa.int64()).filter(pa.array(keep)),
+                "jw": pa.array(np.floor(jw[keep] * 1e4 + 0.5) / 1e4, pa.float64()),
+            }
+        )
+
+    return cands.map_batches(score, batch_format="pyarrow", batch_size=None)
