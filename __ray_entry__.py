@@ -2520,6 +2520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_trigrams": _R3("seq_trigrams"),
         "er_clusters": _R3("er_clusters"),
         "er_snm_pairs": _R3("er_snm_pairs"),
+        "er_fs_scores": _R3("er_fs_scores"),
+        "text_sentence_stats": _R3("text_sentence_stats"),
         "type_user_jaccard": _R3("type_user_jaccard"),
     }
 
@@ -4970,6 +4972,34 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) "
             "SELECT e1, e2, e3, count(*) AS n FROM s "
             "WHERE e3 IS NOT NULL GROUP BY 1, 2, 3"
+        ),
+        "text_sentence_stats": (
+            "WITH base AS (SELECT doc_id, list_filter(list_transform("
+            "string_split_regex(text, '[.!?]+'), "
+            "s -> len(list_filter(string_split_regex(lower(s), '[^a-z0-9]+'), "
+            "x -> x <> ''))), w -> w > 0) AS wl FROM documents) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(len(wl) AS BIGINT) AS n_sentences, "
+            "CAST(COALESCE(list_max(wl), 0) AS BIGINT) AS max_words, "
+            "CAST(COALESCE(wl[1], 0) AS BIGINT) AS first_words FROM base"
+        ),
+        "er_fs_scores": (
+            "WITH r AS (SELECT p_partkey AS id, p_name AS k, p_brand, p_type, "
+            "p_size, row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS rk "
+            "FROM part), "
+            "c AS (SELECT a.id AS id_a, b.id AS id_b, "
+            "jaro_winkler_similarity(a.k, b.k) AS jw, "
+            "a.p_brand = b.p_brand AS be, a.p_type = b.p_type AS te, "
+            "a.p_size = b.p_size AS se FROM r a "
+            "JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 4), "
+            "s AS (SELECT id_a, id_b, "
+            "(CASE WHEN jw >= 0.95 THEN 6 ELSE -2 END "
+            "+ CASE WHEN be THEN 3 ELSE -1 END "
+            "+ CASE WHEN te THEN 2 ELSE -1 END "
+            "+ CASE WHEN se THEN 2 ELSE -1 END) AS score FROM c) "
+            "SELECT id_a, id_b, CAST(score AS BIGINT) AS score, "
+            "CASE WHEN score >= 8 THEN 'match' WHEN score >= 4 THEN 'possible' "
+            "ELSE 'non_match' END AS decision FROM s"
         ),
         "er_snm_pairs": (
             "WITH r AS (SELECT p_partkey AS id, p_name AS k, "

@@ -1091,3 +1091,86 @@ def er_snm_pairs(sf_dir: str) -> rd.Dataset:
         )
 
     return cands.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+def er_fs_scores(sf_dir: str) -> rd.Dataset:
+    """Fellegi-Sunter-style match scoring over the sorted-neighborhood
+    candidates (the classify step of the ER stack: SNM blocking ->
+    field-weighted agreement score -> match/possible/non_match):
+    integer agreement/disagreement weights per field (name-JW >= 0.95
+    +6/-2, brand +3/-1, type +2/-1, size +2/-1), thresholds 8/4 —
+    all-integer scores over the exact JW kernel, so the whole decision
+    table hash-gates.  Field attributes attach to the pair stream via
+    two node-sized smart_joins (broadcast here, shuffle at scale)."""
+    from ..stages.joins import smart_join
+    from ..stages.snm import elementwise_jw, sorted_neighborhood_pairs
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_type", "p_size"])
+    cands = sorted_neighborhood_pairs(
+        parts.select_columns(["p_partkey", "p_name"]),
+        key_column="p_name",
+        id_column="p_partkey",
+        window=4,
+    ).map_batches(
+        lambda t: t.select(["id_a", "id_b", "key_a", "key_b"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    attrs = parts.map_batches(
+        lambda t: pa.table(
+            {
+                "pid": t.column("p_partkey").cast(pa.int64()),
+                "brand": t.column("p_brand"),
+                "ptype": t.column("p_type"),
+                "psize": t.column("p_size").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    aa = attrs.map_batches(
+        lambda t: t.rename_columns(["id_a", "brand_a", "type_a", "size_a"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    ab = attrs.map_batches(
+        lambda t: t.rename_columns(["id_b", "brand_b", "type_b", "size_b"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    joined = smart_join(smart_join(cands, aa, on=["id_a"]), ab, on=["id_b"])
+
+    def score(t: pa.Table) -> pa.Table:
+        jw = elementwise_jw(
+            t.column("key_a").to_pylist(), t.column("key_b").to_pylist()
+        )
+        s = np.where(jw >= 0.95, 6, -2)
+        for fa, fb, wp, wm in (
+            ("brand_a", "brand_b", 3, -1),
+            ("type_a", "type_b", 2, -1),
+            ("size_a", "size_b", 2, -1),
+        ):
+            eq = pc.equal(t.column(fa), t.column(fb)).to_numpy(
+                zero_copy_only=False
+            )
+            s = s + np.where(eq, wp, wm)
+        decision = np.where(
+            s >= 8, "match", np.where(s >= 4, "possible", "non_match")
+        )
+        return pa.table(
+            {
+                "id_a": t.column("id_a").cast(pa.int64()),
+                "id_b": t.column("id_b").cast(pa.int64()),
+                "score": pa.array(s.astype(np.int64), pa.int64()),
+                "decision": pa.array(decision.tolist(), pa.string()),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+def text_sentence_stats(sf_dir: str) -> rd.Dataset:
+    """Per-document sentence splitter stats (stages/textprep.py:
+    sentence_stats) — the sentence-level text-prep primitive, oracled
+    via list_transform/list_filter replay of the same two regexes."""
+    from ..stages.textprep import sentence_stats
+
+    return sentence_stats(_read(sf_dir, "documents", ["doc_id", "text"]))

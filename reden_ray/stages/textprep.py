@@ -201,3 +201,46 @@ def stratified_split(
         )
 
     return keyed_ds.groupby("__cell").map_groups(rank_group, batch_format="pyarrow")
+
+
+_SENT_RE = re.compile(r"[.!?]+")
+_WORD_RE = re.compile(r"[^a-z0-9]+")
+
+
+def sentence_stats(
+    docs: rd.Dataset, id_column: str = "doc_id", text_column: str = "text"
+) -> rd.Dataset:
+    """Per-document sentence statistics from the deterministic
+    sentence splitter (segments between ``[.!?]+`` runs; a segment is
+    a sentence iff it contains at least one ``[a-z0-9]`` word token,
+    so whitespace-only fragments never count): (doc_id, n_sentences,
+    max_words, first_words) — all integers (no average, per the
+    integer-mean knife-edge lesson; consumers divide).  The sentence
+    splitter is the text-prep stage per-sentence dedup/packing builds
+    on; the oracle replays it with list_transform/list_filter."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column).to_pylist()
+        texts = t.column(text_column).to_pylist()
+        n_s: list[int] = []
+        mx: list[int] = []
+        fw: list[int] = []
+        for tx in texts:
+            ws = [
+                sum(1 for w in _WORD_RE.split(seg.lower()) if w)
+                for seg in _SENT_RE.split(tx or "")
+            ]
+            ws = [w for w in ws if w > 0]
+            n_s.append(len(ws))
+            mx.append(max(ws) if ws else 0)
+            fw.append(ws[0] if ws else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_sentences": pa.array(n_s, pa.int64()),
+                "max_words": pa.array(mx, pa.int64()),
+                "first_words": pa.array(fw, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow", batch_size=None)

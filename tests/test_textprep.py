@@ -94,3 +94,39 @@ def test_stratified_split_exact_counts_and_partition_invariance():
     assert {r["doc_id"]: r["split"] for r in out2} == {
         r["doc_id"]: r["split"] for r in out
     }
+
+
+def test_sentence_stats_edges(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reden_ray.stages.textprep import sentence_stats
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(
+                    [
+                        "One two. Three!  ?? Four five six.",
+                        "no terminator here",
+                        "",
+                        "...",
+                        "A.b? c!!",  # a.b splits into two sentences
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    ).repartition(2)
+    got = {
+        r["doc_id"]: (r["n_sentences"], r["max_words"], r["first_words"])
+        for r in sentence_stats(docs).take_all()
+    }
+    assert got == {
+        1: (3, 3, 2),
+        2: (1, 3, 3),
+        3: (0, 0, 0),
+        4: (0, 0, 0),
+        5: (3, 1, 1),
+    }
