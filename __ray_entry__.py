@@ -2481,6 +2481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "io_partitioned_write": R.io_partitioned_write,
         "inverted_index_postings": R.inverted_index_postings,
         "index_search_and": R.index_search_and,
+        "io_zonemap_prune": R.io_zonemap_prune,
         "emb_quantize_error": R.emb_quantize_error,
         "o30_rolling_anomaly": R.o30_rolling_anomaly,
         # round-4 continuation 3 (relational2 module)
@@ -2522,6 +2523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_snm_pairs": _R3("er_snm_pairs"),
         "er_fs_scores": _R3("er_fs_scores"),
         "text_sentence_stats": _R3("text_sentence_stats"),
+        "approx_jaccard_users": _R3("approx_jaccard_users"),
         "type_user_jaccard": _R3("type_user_jaccard"),
     }
 
@@ -4475,6 +4477,13 @@ def oracle_sql() -> dict[str, str]:
             "string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings "
             "FROM tf GROUP BY term"
         ),
+        "io_zonemap_prune": (
+            "SELECT count(*) AS n_rows, "
+            "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders, "
+            "ROUND(sum(l_quantity), 2) AS sum_qty FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate <= TIMESTAMP '1997-12-31 23:59:59.999999'"
+        ),
         "index_search_and": (
             "WITH toks AS (SELECT doc_id, list_filter(string_split_regex("
             "lower(text), '[^a-z0-9]+'), x -> x <> '') AS w FROM documents), "
@@ -4972,6 +4981,23 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) "
             "SELECT e1, e2, e3, count(*) AS n FROM s "
             "WHERE e3 IS NOT NULL GROUP BY 1, 2, 3"
+        ),
+        "approx_jaccard_users": (
+            "WITH ca AS (SELECT user_id FROM events WHERE event_type = 'click' "
+            "GROUP BY 1 HAVING count(*) >= 14), "
+            "cb AS (SELECT user_id FROM events WHERE event_type = 'error' "
+            "GROUP BY 1 HAVING count(*) >= 14), "
+            "u AS (SELECT user_id FROM ca UNION SELECT user_id FROM cb), "
+            "bot AS (SELECT user_id FROM u "
+            "ORDER BY md5_number_upper(CAST(user_id AS VARCHAR)) LIMIT 32), "
+            "k AS (SELECT CAST(count(*) AS BIGINT) AS k_used FROM bot), "
+            "m AS (SELECT CAST(count(*) AS BIGINT) AS matches FROM bot "
+            "WHERE user_id IN (SELECT user_id FROM ca) "
+            "AND user_id IN (SELECT user_id FROM cb)), "
+            "i AS (SELECT CAST(count(*) AS BIGINT) AS inter_exact FROM ca "
+            "WHERE user_id IN (SELECT user_id FROM cb)), "
+            "uu AS (SELECT CAST(count(*) AS BIGINT) AS union_exact FROM u) "
+            "SELECT k_used, matches, inter_exact, union_exact FROM k, m, i, uu"
         ),
         "text_sentence_stats": (
             "WITH base AS (SELECT doc_id, list_filter(list_transform("

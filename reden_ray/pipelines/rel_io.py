@@ -275,3 +275,71 @@ def index_search_and(sf_dir: str) -> rd.Dataset:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+def io_zonemap_prune(sf_dir: str) -> rd.Dataset:
+    """Zone-map data skipping (stages/zonemap.py): lineitem is written
+    range-clustered on l_shipdate into 16 files, the min/max manifest
+    is built FROM THE WRITTEN FOOTERS (metadata-only), and a one-year
+    scan reads only the overlapping files + an exact residual filter.
+    The gate hash-compares the pruned scan's aggregate against plain
+    filtered SQL over the source table — a zone map may change which
+    bytes are read, never the answer; the files-actually-skipped
+    behavior is pinned in tests/test_zonemap.py and measured in
+    SCALE.md."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from ..stages.zonemap import pruned_read, write_clustered
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_quantity"])
+    tmp = tempfile.mkdtemp(prefix="reden_zonemap_")
+    try:
+        write_clustered(li, tmp, "l_shipdate", num_files=16)
+        lo = datetime.datetime(1997, 1, 1)
+        hi = datetime.datetime(1997, 12, 31, 23, 59, 59, 999999)
+        ds, n_read, n_total = pruned_read(tmp, "l_shipdate", lo, hi)
+        if ds is None:
+            out = rd.from_arrow(
+                pa.table(
+                    {
+                        "n_rows": pa.array([0], pa.int64()),
+                        "n_orders": pa.array([0], pa.int64()),
+                        "sum_qty": pa.array([0.0], pa.float64()),
+                    }
+                )
+            ).materialize()
+        else:
+            def partial(t: pa.Table) -> pa.Table:
+                q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+                o = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        "n_rows": pa.array([t.num_rows], pa.int64()),
+                        "o": pa.array([int(np.unique(o).size)], pa.int64()),
+                        "sum_qty": pa.array([float(q.sum())], pa.float64()),
+                    }
+                )
+
+            # n_orders needs a true distinct (orders straddle files):
+            # one tiny groupby over the pruned slice
+            n_orders = (
+                ds.groupby("l_orderkey").count().count()
+            )
+            agg = ds.map_batches(
+                partial, batch_format="pyarrow", batch_size=None
+            ).aggregate(Sum("n_rows", alias_name="n_rows"), Sum("sum_qty", alias_name="sum_qty"))
+            out = rd.from_arrow(
+                pa.table(
+                    {
+                        "n_rows": pa.array([int(agg["n_rows"])], pa.int64()),
+                        "n_orders": pa.array([int(n_orders)], pa.int64()),
+                        "sum_qty": pa.array(
+                            [round(float(agg["sum_qty"]), 2)], pa.float64()
+                        ),
+                    }
+                )
+            ).materialize()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -1174,3 +1174,61 @@ def text_sentence_stats(sf_dir: str) -> rd.Dataset:
     from ..stages.textprep import sentence_stats
 
     return sentence_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+# ------------------------------------------------------ KMV set Jaccard
+
+
+def approx_jaccard_users(sf_dir: str) -> rd.Dataset:
+    """Bottom-k (KMV) Jaccard estimate between two user COHORTS (heavy
+    clickers vs heavy error-ers, >= 14 events of the type): the k
+    smallest md5 hashes of the union are a uniform sample of it, and
+    the fraction present in both sets estimates J (Beyer et al. 2007
+    §5; stages/kmv.kmv_jaccard_estimate).  The estimate rides as the
+    exact integer pair (matches, k_used); the EXACT intersection and
+    union sizes come along as the certificate — every column integer,
+    the whole sketch under the hash gate."""
+    from ray.data.aggregate import Count as _Count
+
+    from ..stages.joins import broadcast_semi_join
+    from ..stages.kmv import kmv_jaccard_estimate
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def cohort(etype: str) -> rd.Dataset:
+        return (
+            ev.map_batches(
+                lambda t, e=etype: t.filter(
+                    pc.equal(t.column("event_type"), pa.scalar(e))
+                ).select(["user_id"]),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .groupby("user_id")
+            .aggregate(_Count(alias_name="n"))
+            .map_batches(
+                lambda t: t.filter(
+                    pc.greater_equal(t.column("n"), pa.scalar(14))
+                ).select(["user_id"]),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .materialize()
+        )
+
+    a = cohort("click")
+    b = cohort("error")
+    inter = broadcast_semi_join(a, b, on=["user_id"]).count()
+    union = a.count() + b.count() - inter
+    row = kmv_jaccard_estimate(a, b, "user_id", k=32)
+
+    def attach(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k_used": t.column("k_used").cast(pa.int64()),
+                "matches": t.column("matches").cast(pa.int64()),
+                "inter_exact": pa.array([inter] * t.num_rows, pa.int64()),
+                "union_exact": pa.array([union] * t.num_rows, pa.int64()),
+            }
+        )
+
+    return row.map_batches(attach, batch_format="pyarrow", batch_size=None)
