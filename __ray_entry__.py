@@ -2453,6 +2453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_walks_2step": R.graph_walks_2step,
         "graph_sssp_2it": R.graph_sssp_2it,
         "graph_matching_2it": R.graph_matching_2it,
+        "graph_coloring_2it": R.graph_coloring_2it,
         "graph_assortativity": R.graph_assortativity,
         "graph_clustering_coeff": R.graph_clustering_coeff,
         "f7_label_centroids": R.f7_label_centroids,
@@ -4624,6 +4625,35 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(r2.cand, 9223372036854775807)) AS BIGINT) AS dist "
             "FROM d1 FULL JOIN r2 ON d1.node = r2.node) "
             "SELECT node, dist FROM d2"
+        ),
+        "graph_coloring_2it": (
+            "WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "
+            "l_partkey AS p FROM lineitem), "
+            "e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM op a "
+            "JOIN op b ON a.o = b.o AND a.p < b.p), "
+            "adj AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "pr AS MATERIALIZED (SELECT node, "
+            "md5_number_upper(node::VARCHAR) AS h FROM "
+            "(SELECT DISTINCT node FROM adj)), "
+            "nm1 AS MATERIALIZED (SELECT adj.node, max(p.h) AS nh FROM adj "
+            "JOIN pr p ON p.node = adj.nbr GROUP BY 1), "
+            "w1 AS MATERIALIZED (SELECT pr.node FROM pr "
+            "JOIN nm1 ON nm1.node = pr.node WHERE pr.h > nm1.nh), "
+            "u1 AS MATERIALIZED (SELECT pr.* FROM pr "
+            "WHERE pr.node NOT IN (SELECT node FROM w1)), "
+            "nm2 AS MATERIALIZED (SELECT adj.node, max(p.h) AS nh FROM adj "
+            "JOIN u1 p ON p.node = adj.nbr GROUP BY 1), "
+            "w2 AS MATERIALIZED (SELECT u1.node FROM u1 "
+            "LEFT JOIN nm2 ON nm2.node = u1.node "
+            "WHERE nm2.nh IS NULL OR u1.h > nm2.nh) "
+            "SELECT node, CAST(0 AS BIGINT) AS color, CAST(1 AS BIGINT) "
+            "AS round FROM w1 "
+            "UNION ALL "
+            "SELECT w2.node, CAST(CASE WHEN EXISTS (SELECT 1 FROM adj "
+            "JOIN w1 ON w1.node = adj.nbr WHERE adj.node = w2.node) "
+            "THEN 1 ELSE 0 END AS BIGINT) AS color, CAST(2 AS BIGINT) "
+            "AS round FROM w2"
         ),
         "graph_matching_2it": (
             "WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "

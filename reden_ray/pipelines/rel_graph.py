@@ -668,3 +668,16 @@ def graph_matching_2it(sf_dir: str) -> rd.Dataset:
     return maximal_matching(
         _cooccur_edges(sf_dir, "l_orderkey", "l_partkey"), max_rounds=2
     )
+
+def graph_coloring_2it(sf_dir: str) -> rd.Dataset:
+    """Two Jones-Plassmann rounds (stages/coloring.py) over the part
+    co-order graph: hash-priority local maxima color first (palette 0),
+    round-2 winners take the smallest color absent among colored
+    neighbors — with one prior round that mex is the plain 0/1 CASE
+    the oracle unrolls.  Properness at the fixpoint is golden-locked
+    in tests/test_coloring.py."""
+    from ..stages.coloring import greedy_coloring
+
+    return greedy_coloring(
+        _cooccur_edges(sf_dir, "l_orderkey", "l_partkey"), rounds=2
+    )

@@ -44,6 +44,7 @@ WHITELIST = {
     "stages/curriculum.py": (1, "<= (2*clip+1) x n_buckets cell totals (grouped scan phase 2)"),
     "pipelines/audit.py": (1, "per-source counts (source-domain-sized, rel_io convention)"),
     "pipelines/relational3.py": (3, "nation rollup (25) + active-day set (date-domain) + event-type sizes (type-domain) broadcasts"),
+    "stages/snm.py": (1, "<= n_buckets bucket totals (grouped rank scan phase 2, ordering.py convention)"),
 }
 
 
