@@ -2525,6 +2525,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_fs_scores": _R3("er_fs_scores"),
         "text_sentence_stats": _R3("text_sentence_stats"),
         "approx_jaccard_users": _R3("approx_jaccard_users"),
+        "dq_fk_orphans": _R3("dq_fk_orphans"),
+        "o39_twap": _R3("o39_twap"),
         "type_user_jaccard": _R3("type_user_jaccard"),
     }
 
@@ -5011,6 +5013,40 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) "
             "SELECT e1, e2, e3, count(*) AS n FROM s "
             "WHERE e3 IS NOT NULL GROUP BY 1, 2, 3"
+        ),
+        "dq_fk_orphans": (
+            "SELECT fk, n_rows, n_orphans FROM ("
+            "SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_rows, "
+            "count(*) FILTER (l_orderkey NOT IN (SELECT o_orderkey FROM orders)) "
+            "AS n_orphans FROM lineitem "
+            "UNION ALL SELECT 'lineitem.l_partkey->part', count(*), "
+            "count(*) FILTER (l_partkey NOT IN (SELECT p_partkey FROM part)) "
+            "FROM lineitem "
+            "UNION ALL SELECT 'lineitem.l_suppkey->supplier', count(*), "
+            "count(*) FILTER (l_suppkey NOT IN (SELECT s_suppkey FROM supplier)) "
+            "FROM lineitem "
+            "UNION ALL SELECT 'orders.o_custkey->customer', count(*), "
+            "count(*) FILTER (o_custkey NOT IN (SELECT c_custkey FROM customer)) "
+            "FROM orders "
+            "UNION ALL SELECT 'customer.c_nationkey->nation', count(*), "
+            "count(*) FILTER (c_nationkey NOT IN (SELECT n_nationkey FROM nation)) "
+            "FROM customer "
+            "UNION ALL SELECT 'supplier.s_nationkey->nation', count(*), "
+            "count(*) FILTER (s_nationkey NOT IN (SELECT n_nationkey FROM nation)) "
+            "FROM supplier "
+            "UNION ALL SELECT 'nation.n_regionkey->region', count(*), "
+            "count(*) FILTER (n_regionkey NOT IN (SELECT r_regionkey FROM region)) "
+            "FROM nation)"
+        ),
+        "o39_twap": (
+            "WITH w AS (SELECT user_id, "
+            "CAST(round(value * 100) AS BIGINT) AS cents, epoch_us(ts) AS t, "
+            "lead(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS nxt FROM events) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(sum(nxt - t) AS BIGINT) AS held_us, "
+            "CAST(sum(cents * (nxt - t)) AS BIGINT) AS weighted_cents_us "
+            "FROM w WHERE nxt IS NOT NULL GROUP BY 1"
         ),
         "approx_jaccard_users": (
             "WITH ca AS (SELECT user_id FROM events WHERE event_type = 'click' "

@@ -1232,3 +1232,114 @@ def approx_jaccard_users(sf_dir: str) -> rd.Dataset:
         )
 
     return row.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+# --------------------------------------------------- referential audit
+
+
+def dq_fk_orphans(sf_dir: str) -> rd.Dataset:
+    """Referential-integrity audit across the star schema: for every
+    FK edge, total child rows and orphan rows (child key absent from
+    the parent) — the dq_checks companion for cross-TABLE contracts.
+    Parent key sets are dimension-sized, so each edge is one
+    broadcast anti-join + two scalar counts; the fact table streams."""
+    from ..stages.joins import broadcast_anti_join
+
+    edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    names: list[str] = []
+    totals: list[int] = []
+    orphans: list[int] = []
+    for name, child_t, child_k, parent_t, parent_k in edges:
+        child = _read(sf_dir, child_t, [child_k])
+        parent = _read(sf_dir, parent_t, [parent_k]).map_batches(
+            lambda t, ck=child_k, pk=parent_k: pa.table({ck: t.column(pk)}),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        names.append(name)
+        totals.append(child.count())
+        orphans.append(broadcast_anti_join(child, parent, on=[child_k]).count())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "fk": pa.array(names, pa.string()),
+                "n_rows": pa.array(totals, pa.int64()),
+                "n_orphans": pa.array(orphans, pa.int64()),
+            }
+        )
+    )
+
+
+# ------------------------------------------------- time-weighted value
+
+
+def o39_twap(sf_dir: str) -> rd.Dataset:
+    """Time-weighted value exposure per user (the TWAP building block):
+    each event's value is held until the user's next event; report the
+    exact integer-microsecond weight total and the weighted value sum
+    (4dp) — sums, never the ratio (the integer-mean knife edge).  One
+    user-hash shuffle; the hold intervals are a per-group lexsort +
+    shifted diff, no window loop."""
+    from ..stages.partition import expansion_partitions, part_column
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    n_parts = expansion_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        # value is 2-dp money: integer CENTS x integer microsecond gaps
+        # keeps the whole query exact int64 (a float weighted sum at
+        # ~1e12 magnitude has ulp ~1e-4 — exactly the 4dp knife edge)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "cents": pa.array(
+                    np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+        return t.append_column("__part", part_column(t, ["user_id"], n_parts))
+
+    def per_user(g: pa.Table) -> pa.Table:
+        g = g.drop_columns("__part")
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        c = g.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))  # event_id breaks ts ties
+        u, ts, c = u[order], ts[order], c[order]
+        n = len(u)
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        ends = np.concatenate([starts[1:], [n]])
+        uu: list[int] = []
+        wt: list[int] = []
+        ws: list[int] = []
+        for s0, e0 in zip(starts, ends):
+            if e0 - s0 < 2:
+                continue  # a single event holds no interval
+            gaps = ts[s0 + 1 : e0] - ts[s0 : e0 - 1]
+            uu.append(int(u[s0]))
+            wt.append(int(gaps.sum()))
+            ws.append(int((c[s0 : e0 - 1] * gaps).sum()))
+        return pa.table(
+            {
+                "user_id": pa.array(uu, pa.int64()),
+                "held_us": pa.array(wt, pa.int64()),
+                "weighted_cents_us": pa.array(ws, pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
