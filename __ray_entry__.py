@@ -2483,6 +2483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_postings": R.inverted_index_postings,
         "index_search_and": R.index_search_and,
         "io_zonemap_prune": R.io_zonemap_prune,
+        "search_curated_corpus": R.search_curated_corpus,
         "emb_quantize_error": R.emb_quantize_error,
         "o30_rolling_anomaly": R.o30_rolling_anomaly,
         # round-4 continuation 3 (relational2 module)
@@ -4479,6 +4480,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(tf) AS BIGINT) AS total_tf, "
             "string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings "
             "FROM tf GROUP BY term"
+        ),
+        "search_curated_corpus": (
+            "WITH toks0 AS (SELECT doc_id, unnest(list_filter(string_split_regex("
+            "lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents), "
+            "b AS (SELECT doc_id, CAST(md5_number_upper(tok) % 1024 AS BIGINT) AS j "
+            "FROM toks0), "
+            "sm AS (SELECT doc_id, sum(CAST(md5_number_upper('w:' || j::VARCHAR) "
+            "% 21 AS BIGINT) - 10) AS score FROM b GROUP BY 1), "
+            "sc AS (SELECT d.doc_id, d.text, coalesce(sm.score, 0)::BIGINT AS score "
+            "FROM documents d LEFT JOIN sm USING (doc_id)), "
+            "winners AS (SELECT doc_id, text, score FROM ("
+            "SELECT doc_id, text, score, row_number() OVER (PARTITION BY text "
+            "ORDER BY score DESC, doc_id) AS rn FROM sc) WHERE rn = 1), "
+            "surv AS (SELECT doc_id, text FROM winners WHERE score > 0), "
+            "tf AS (SELECT s.doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM surv s, unnest(list_filter(string_split_regex(lower(s.text), "
+            "'[^a-z0-9]+'), x -> x <> '')) AS u(t) GROUP BY 1, 2), "
+            "hits AS (SELECT doc_id, count(*) AS n, CAST(sum(tf) AS BIGINT) "
+            "AS score FROM tf WHERE term IN ('dup', 'data') GROUP BY 1) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, score FROM hits "
+            "WHERE n = 2 ORDER BY score DESC, doc_id LIMIT 10"
         ),
         "io_zonemap_prune": (
             "SELECT count(*) AS n_rows, "

@@ -343,3 +343,38 @@ def io_zonemap_prune(sf_dir: str) -> rd.Dataset:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+def search_curated_corpus(sf_dir: str) -> rd.Dataset:
+    """END-TO-END serving composite: quality-aware exact dedup
+    (identical texts keep the best-scoring copy; bodies never
+    shuffle) -> quality cut (linear hashed-BoW score > 0) -> sharded
+    inverted-index build over the survivors (artifact written to
+    scratch) -> conjunctive search ('dup' AND 'data', tf-sum top-10)
+    against the WRITTEN index bytes.  Every stage is an
+    already-oracled primitive; the composite chains their CTEs into
+    one DuckDB statement, the two-run-composite discipline the linker
+    family uses."""
+    import shutil
+    import tempfile
+
+    from ..stages.invindex import build_inverted_index, search_and
+    from ..stages.joins import shuffle_semi_join
+    from ..stages.scoring import dedup_keep_best
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    winners = dedup_keep_best(docs)
+    kept = winners.map_batches(
+        lambda t: t.filter(
+            pc.greater(t.column("score"), pa.scalar(0))
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    survivors = shuffle_semi_join(docs, kept, on=["doc_id"])
+    tmp = tempfile.mkdtemp(prefix="reden_search_corpus_")
+    try:
+        build_inverted_index(survivors, tmp, num_shards=8)
+        out = search_and(tmp, ["dup", "data"], k=10, num_shards=8).materialize()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
