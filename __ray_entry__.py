@@ -2454,6 +2454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sssp_2it": R.graph_sssp_2it,
         "graph_matching_2it": R.graph_matching_2it,
         "graph_coloring_2it": R.graph_coloring_2it,
+        "graph_edge_support": R.graph_edge_support,
         "graph_assortativity": R.graph_assortativity,
         "graph_clustering_coeff": R.graph_clustering_coeff,
         "f7_label_centroids": R.f7_label_centroids,
@@ -4649,6 +4650,19 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(r2.cand, 9223372036854775807)) AS BIGINT) AS dist "
             "FROM d1 FULL JOIN r2 ON d1.node = r2.node) "
             "SELECT node, dist FROM d2"
+        ),
+        "graph_edge_support": (
+            "WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s "
+            "FROM lineitem), "
+            "e AS MATERIALIZED (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a "
+            "JOIN ps b ON a.p = b.p AND a.s < b.s), "
+            "tri AS MATERIALIZED (SELECT e1.u AS x, e1.v AS y, e2.v AS z "
+            "FROM e e1 JOIN e e2 ON e2.u = e1.v "
+            "JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) "
+            "SELECT u, v, count(*) AS support FROM ("
+            "SELECT x AS u, y AS v FROM tri "
+            "UNION ALL SELECT y, z FROM tri "
+            "UNION ALL SELECT x, z FROM tri) GROUP BY 1, 2"
         ),
         "graph_coloring_2it": (
             "WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "

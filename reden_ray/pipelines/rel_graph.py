@@ -681,3 +681,14 @@ def graph_coloring_2it(sf_dir: str) -> rd.Dataset:
     return greedy_coloring(
         _cooccur_edges(sf_dir, "l_orderkey", "l_partkey"), rounds=2
     )
+
+def graph_edge_support(sf_dir: str) -> rd.Dataset:
+    """Per-edge triangle support of the supplier co-supply graph (the
+    k-truss building block; stages/triangles.edge_support) — the wedge
+    plan with the center carried through and each closed triangle
+    exploded into its three canonical edges via one coarse pair
+    reduce.  Oracle: the textbook 3-way self-join triangle CTE
+    exploded the same way."""
+    from ..stages.triangles import edge_support
+
+    return edge_support(_cooccur_edges(sf_dir, "l_partkey", "l_suppkey"))

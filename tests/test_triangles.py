@@ -50,3 +50,27 @@ def test_triangle_count_known():
         )
     )
     assert triangle_count(ds).to_pandas()["n_triangles"][0] == 4
+
+
+def test_edge_support_small(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reden_ray.stages.triangles import edge_support
+
+    # K4 on {1,2,3,4} (every edge in 2 triangles) + pendant 5 + an
+    # extra triangle {4,5,6}? no — keep hand-checkable: K4 plus edge
+    # (4,5): K4 edges support 2, (4,5) in no triangle -> absent
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([e[0] for e in edges], pa.int64()),
+                "v": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    got = {(r["u"], r["v"]): r["support"] for r in edge_support(ds).take_all()}
+    assert got == {
+        (1, 2): 2, (1, 3): 2, (1, 4): 2, (2, 3): 2, (2, 4): 2, (3, 4): 2,
+    }
