@@ -2455,6 +2455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_matching_2it": R.graph_matching_2it,
         "graph_coloring_2it": R.graph_coloring_2it,
         "graph_edge_support": R.graph_edge_support,
+        "graph_ppr_2it": R.graph_ppr_2it,
         "graph_assortativity": R.graph_assortativity,
         "graph_clustering_coeff": R.graph_clustering_coeff,
         "f7_label_centroids": R.f7_label_centroids,
@@ -4650,6 +4651,32 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(r2.cand, 9223372036854775807)) AS BIGINT) AS dist "
             "FROM d1 FULL JOIN r2 ON d1.node = r2.node) "
             "SELECT node, dist FROM d2"
+        ),
+        "graph_ppr_2it": (
+            "WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "
+            "l_partkey AS p FROM lineitem), "
+            "e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM op a "
+            "JOIN op b ON a.o = b.o AND a.p < b.p), "
+            "sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e), "
+            "deg AS MATERIALIZED (SELECT u, count(*) AS dg FROM sym GROUP BY 1), "
+            "seeds AS MATERIALIZED (SELECT u AS node FROM deg WHERE u % 50 = 0), "
+            "ns AS (SELECT count(*) AS m FROM seeds), "
+            "p0 AS (SELECT node, 1.0 / m AS r FROM seeds, ns), "
+            "g1 AS MATERIALIZED (SELECT s.v AS node, sum(p.r / d.dg) AS c "
+            "FROM sym s JOIN p0 p ON p.node = s.u JOIN deg d ON d.u = s.u "
+            "GROUP BY 1), "
+            "p1 AS MATERIALIZED (SELECT COALESCE(g.node, sd.node) AS node, "
+            "0.85 * COALESCE(g.c, 0) + (CASE WHEN sd.node IS NOT NULL "
+            "THEN (1.0 - 0.85) / ns.m ELSE 0 END) AS r "
+            "FROM g1 g FULL JOIN seeds sd ON sd.node = g.node CROSS JOIN ns), "
+            "g2 AS MATERIALIZED (SELECT s.v AS node, sum(p.r / d.dg) AS c "
+            "FROM sym s JOIN p1 p ON p.node = s.u JOIN deg d ON d.u = s.u "
+            "GROUP BY 1), "
+            "p2 AS (SELECT COALESCE(g.node, sd.node) AS node, "
+            "0.85 * COALESCE(g.c, 0) + (CASE WHEN sd.node IS NOT NULL "
+            "THEN (1.0 - 0.85) / ns.m ELSE 0 END) AS r "
+            "FROM g2 g FULL JOIN seeds sd ON sd.node = g.node CROSS JOIN ns) "
+            "SELECT CAST(node AS BIGINT) AS node, ROUND(r, 6) AS ppr FROM p2"
         ),
         "graph_edge_support": (
             "WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s "

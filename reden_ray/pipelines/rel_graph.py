@@ -692,3 +692,131 @@ def graph_edge_support(sf_dir: str) -> rd.Dataset:
     from ..stages.triangles import edge_support
 
     return edge_support(_cooccur_edges(sf_dir, "l_partkey", "l_suppkey"))
+
+def graph_ppr_2it(sf_dir: str, damping: float = 0.85) -> rd.Dataset:
+    """TWO unrolled PERSONALIZED PageRank iterations over the part
+    co-order graph: teleport mass restarts at the SEED set (parts
+    divisible by 50) instead of uniformly — the entity-relatedness /
+    neighborhood-sampling primitive (GraphSAGE/PPRGo shape).  Update:
+    r' = d * gather + (1-d)/|S| on seeds ONLY; nodes never reached and
+    not seeded carry no row.  Same per-iteration cost as pr2_cooccur
+    (one rank join + one destination groupby); symmetric graph -> no
+    dangling mass.  Values rounded 6dp (distributed float sums differ
+    from DuckDB in the last ulp; literals mirrored exactly: 0.15/m)."""
+    from ..stages.joins import hash_join, smart_join, staged_nonempty
+    from ..stages.triangles import _distinct_edges
+
+    e = _distinct_edges(
+        _cooccur_edges(sf_dir, "l_orderkey", "l_partkey"), "u", "v"
+    ).materialize()
+
+    def sym(t: pa.Table) -> pa.Table:
+        uu = t.column("u").combine_chunks()
+        vv = t.column("v").combine_chunks()
+        return pa.table(
+            {
+                "u": pa.concat_arrays([uu, vv]),
+                "v": pa.concat_arrays([vv, uu]),
+            }
+        )
+
+    se = staged_nonempty(e.map_batches(sym, batch_format="pyarrow", batch_size=None))
+    assert se is not None
+    deg = se.groupby("u").count().map_batches(
+        lambda t: t.rename_columns(["u", "dg"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    edges = smart_join(se, deg, on=["u"]).materialize()
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(u[u % 50 == 0], pa.int64())})
+
+    seeds = staged_nonempty(
+        deg.map_batches(seed_rows, batch_format="pyarrow", batch_size=None)
+    )
+    assert seeds is not None
+    m = seeds.count()
+    base = (1.0 - damping) / m
+
+    pr = seeds.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "r": pa.array(np.full(t.num_rows, 1.0 / m), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    for _ in range(2):
+        pru = staged_nonempty(
+            pr.map_batches(
+                lambda t: t.rename_columns(["u", "r"]),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        )
+        assert pru is not None
+        contrib = hash_join(edges, pru, on=["u"])
+
+        def part_sum(t: pa.Table) -> pa.Table:
+            r = t.column("r").to_numpy(zero_copy_only=False)
+            dg = t.column("dg").to_numpy(zero_copy_only=False).astype(np.float64)
+            tt = pa.table(
+                {"node": t.column("v"), "c": pa.array(r / dg, pa.float64())}
+            )
+            g = tt.group_by(["node"]).aggregate([("c", "sum")])
+            return g.rename_columns(["node", "c"])
+
+        summed = staged_nonempty(
+            contrib.map_batches(part_sum, batch_format="pyarrow", batch_size=None)
+            .groupby("node")
+            .sum("c")
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": t.column(0).cast(pa.int64()), "c": t.column(1)}
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        )
+        assert summed is not None
+        merged = hash_join(summed, seeds.map_batches(
+            lambda t: pa.table(
+                {"node": t.column("node"), "is_seed": pa.array([1] * t.num_rows, pa.int64())}
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ), on=["node"], how="full_outer")
+
+        def update(t: pa.Table) -> pa.Table:
+            c = pc.fill_null(t.column("c"), pa.scalar(0.0, pa.float64()))
+            c = c.to_numpy(zero_copy_only=False)
+            s = pc.fill_null(
+                t.column("is_seed"), pa.scalar(0, pa.int64())
+            ).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": t.column("node").cast(pa.int64()),
+                    "r": pa.array(damping * c + s * base, pa.float64()),
+                }
+            )
+
+        pr = merged.map_batches(update, batch_format="pyarrow", batch_size=None)
+
+    return pr.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "ppr": pa.array(
+                    np.round(t.column("r").to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
