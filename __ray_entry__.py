@@ -2530,6 +2530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_jaccard_users": _R3("approx_jaccard_users"),
         "dq_fk_orphans": _R3("dq_fk_orphans"),
         "o39_twap": _R3("o39_twap"),
+        "o40_acf_lag1": _R3("o40_acf_lag1"),
         "type_user_jaccard": _R3("type_user_jaccard"),
     }
 
@@ -5100,6 +5101,14 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'nation.n_regionkey->region', count(*), "
             "count(*) FILTER (n_regionkey NOT IN (SELECT r_regionkey FROM region)) "
             "FROM nation)"
+        ),
+        "o40_acf_lag1": (
+            "WITH w AS (SELECT user_id, value, lead(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(count(*) AS BIGINT) AS n_pairs, "
+            "ROUND(corr(value, nxt), 6) AS acf1 FROM w WHERE nxt IS NOT NULL "
+            "GROUP BY 1 HAVING corr(value, nxt) IS NOT NULL"
         ),
         "o39_twap": (
             "WITH w AS (SELECT user_id, "

@@ -1343,3 +1343,14 @@ def o39_twap(sf_dir: str) -> rd.Dataset:
         .groupby("__part")
         .map_groups(per_user, batch_format="pyarrow")
     )
+
+def o40_acf_lag1(sf_dir: str) -> rd.Dataset:
+    """Per-user lag-1 autocorrelation of event values under (ts,
+    event_id) order (stages/tseries.py) — the seasonality/anomaly
+    primitive.  One user-hash coarse shuffle; users with < 3 events or
+    a zero-variance side emit no row (SQL corr is NULL there)."""
+    from ..stages.tseries import lag1_autocorr
+
+    return lag1_autocorr(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    )
