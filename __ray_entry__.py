@@ -2531,6 +2531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_fk_orphans": _R3("dq_fk_orphans"),
         "o39_twap": _R3("o39_twap"),
         "o40_acf_lag1": _R3("o40_acf_lag1"),
+        "o41_mann_kendall": _R3("o41_mann_kendall"),
+        "o42_cusum_max": _R3("o42_cusum_max"),
         "type_user_jaccard": _R3("type_user_jaccard"),
     }
 
@@ -5101,6 +5103,33 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'nation.n_regionkey->region', count(*), "
             "count(*) FILTER (n_regionkey NOT IN (SELECT r_regionkey FROM region)) "
             "FROM nation)"
+        ),
+        "o41_mann_kendall": (
+            "WITH o AS (SELECT user_id, value, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), "
+            "s AS (SELECT a.user_id, SUM(CASE WHEN b.value > a.value THEN 1 "
+            "WHEN b.value < a.value THEN -1 ELSE 0 END) AS s_stat "
+            "FROM o a JOIN o b ON b.user_id = a.user_id AND b.rn > a.rn "
+            "GROUP BY 1), "
+            "n AS (SELECT user_id, count(*) AS n_events FROM events "
+            "GROUP BY 1 HAVING count(*) >= 2) "
+            "SELECT CAST(n.user_id AS BIGINT) AS user_id, "
+            "CAST(n.n_events AS BIGINT) AS n_events, "
+            "CAST(s.s_stat AS BIGINT) AS s_stat "
+            "FROM n JOIN s ON s.user_id = n.user_id"
+        ),
+        "o42_cusum_max": (
+            "WITH w AS (SELECT user_id, ts, event_id, "
+            "CAST(round(value * 100) AS BIGINT) - 12000 AS d FROM events), "
+            "p AS (SELECT user_id, ts, event_id, sum(d) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS pf FROM w), "
+            "c AS (SELECT user_id, pf - least(min(pf) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING), 0) AS cu FROM p) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(max(cu) AS BIGINT) AS max_cusum FROM c GROUP BY 1"
         ),
         "o40_acf_lag1": (
             "WITH w AS (SELECT user_id, value, lead(value) OVER ("

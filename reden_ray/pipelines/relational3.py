@@ -1354,3 +1354,27 @@ def o40_acf_lag1(sf_dir: str) -> rd.Dataset:
     return lag1_autocorr(
         _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
     )
+
+def o41_mann_kendall(sf_dir: str) -> rd.Dataset:
+    """Mann-Kendall monotone-trend statistic per user
+    (stages/tseries.mann_kendall_s): S = sum of pairwise value signs
+    under time order — nonparametric, ALL-INTEGER (no float edge
+    anywhere).  Users with one event emit no row."""
+    from ..stages.tseries import mann_kendall_s
+
+    return mann_kendall_s(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    )
+
+
+def o42_cusum_max(sf_dir: str) -> rd.Dataset:
+    """Max one-sided upward CUSUM per user against a 120.00 target
+    (stages/tseries.cusum_max): the drift/changepoint alarm statistic
+    in exact integer cents, loop-free via prefix sums resetting at
+    their running minimum."""
+    from ..stages.tseries import cusum_max
+
+    return cusum_max(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]),
+        target_cents=12000,
+    )

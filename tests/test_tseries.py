@@ -72,3 +72,47 @@ def test_matches_duckdb(ray_session):
     ).df()
     want_map = dict(zip(want["user_id"], want["acf1"]))
     assert got == pytest.approx(want_map, abs=1e-6)
+
+
+def test_mann_kendall_small(ray_session):
+    from reden_ray.stages.tseries import mann_kendall_s
+
+    rows = [
+        # user 1: strictly increasing (S = C(4,2) = 6)
+        (1, 0, np.datetime64("2020-01-01T00:00"), 1.0),
+        (1, 1, np.datetime64("2020-01-01T00:01"), 2.0),
+        (1, 2, np.datetime64("2020-01-01T00:02"), 3.0),
+        (1, 3, np.datetime64("2020-01-01T00:03"), 4.0),
+        # user 2: decreasing with a tie (pairs: 3 down, tie 0 -> S=-2... )
+        (2, 4, np.datetime64("2020-01-01T00:00"), 5.0),
+        (2, 5, np.datetime64("2020-01-01T00:01"), 5.0),
+        (2, 6, np.datetime64("2020-01-01T00:02"), 1.0),
+        # user 3: single event -> no row
+        (3, 7, np.datetime64("2020-01-01T00:00"), 9.0),
+    ]
+    got = {
+        r["user_id"]: (r["n_events"], r["s_stat"])
+        for r in mann_kendall_s(_ds(rows)).take_all()
+    }
+    assert got == {1: (4, 6), 2: (3, -2)}
+
+
+def test_cusum_max_small(ray_session):
+    from reden_ray.stages.tseries import cusum_max
+
+    rows = [
+        # user 1 cents: 150, 50, 150, 150 vs target 100 ->
+        # d = 50, -50, 50, 50; S = 50, 0, 50, 100 -> max 100
+        (1, 0, np.datetime64("2020-01-01T00:00"), 1.50),
+        (1, 1, np.datetime64("2020-01-01T00:01"), 0.50),
+        (1, 2, np.datetime64("2020-01-01T00:02"), 1.50),
+        (1, 3, np.datetime64("2020-01-01T00:03"), 1.50),
+        # user 2: always below target -> max 0
+        (2, 4, np.datetime64("2020-01-01T00:00"), 0.10),
+        (2, 5, np.datetime64("2020-01-01T00:01"), 0.20),
+    ]
+    got = {
+        r["user_id"]: (r["n_events"], r["max_cusum"])
+        for r in cusum_max(_ds(rows), target_cents=100).take_all()
+    }
+    assert got == {1: (4, 100), 2: (2, 0)}
